@@ -1,0 +1,576 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** The relational query surface (SURVEY.md §2.K).
+  *
+  * The reference delegates every relational operator beyond COUNT(*) and
+  * TOP-1 to the source DBMS via pass-through SQL
+  * (`CopyTable.java:325-327`); a Spark-native engine executes them itself.
+  * Each query here is a named, oracle-checkable operator over the harness
+  * star schema.
+  *
+  * Determinism rules (so results hash-match the DuckDB oracle):
+  *  - money/double aggregates go through `DecimalType(18,6)` per row, are
+  *    summed exactly, then cast back to double — order-independent;
+  *  - every result has a total-order `ORDER BY`;
+  *  - integer-ish function outputs are cast to the same width both sides.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Scale 6 captures every harness measure exactly (prices/discount/tax
+  // carry ≤2 decimals each; their triple product ≤6), so the cast never
+  // lands on a rounding tie and Spark/DuckDB agree bit-for-bit.
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  /** Exact, order-independent sum of a double expression, as double. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // A5: count aggregate (pre-flight cardinality / COPY n RECORDS hint)
+    "q01_count_star" -> { (s, d) =>
+      Tables(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // A2: projection scan — column pruning must reach the parquet reader
+    "q02_projection" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // filter + projection — predicate pushdown to parquet
+    "q03_filter_pushdown" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz") &&
+          col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // hash aggregate w/ multiple measures (TPC-H Q1 shape) — flagship
+    "q04_agg_pricing_summary" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // filter + global aggregate (TPC-H Q6 shape)
+    "q05_filter_agg_revenue" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // 3-way join + agg + top-k by computed measure (TPC-H Q3 shape)
+    "q06_join_topk_revenue" -> { (s, d) =>
+      val c = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    // broadcast join small dim + agg
+    "q07_broadcast_join_agg" -> { (s, d) =>
+      val l = Tables(s, d, "lineitem")
+      val p = Tables(s, d, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // 6-way star join (TPC-H Q5 shape) — dims broadcast, facts shuffled once
+    "q08_star_join_revenue" -> { (s, d) =>
+      val r = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, d, "nation")
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      val su = Tables(s, d, "supplier")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // left-semi join (EXISTS)
+    "q09_semi_join" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // left-anti join (NOT EXISTS)
+    "q10_anti_join" -> { (s, d) =>
+      val c = Tables(s, d, "customer")
+      val o = Tables(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // left-outer join + two-level aggregate (orders-per-size histogram)
+    "q11_outer_join_histogram" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val l = Tables(s, d, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+        .groupBy(o("o_orderkey")).agg(count(l("l_linenumber")).as("n_items"))
+        .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items")
+    },
+
+    // window: rank + row_number per partition, top-3
+    "q12_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+      Tables(s, d, "customer")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "rn", "rnk", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // window: running sum frame (rows unbounded preceding)
+    "q13_window_running_sum" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders").filter(col("o_custkey") < 100)
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // window: lag/lead
+    "q14_window_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, d, "events").filter(col("user_id") < 20)
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .select("user_id", "event_id", "ts", "value", "prev_value", "next_type")
+        .orderBy("user_id", "event_id")
+    },
+
+    // rollup w/ grouping markers
+    "q15_rollup" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"),
+          grouping("o_orderstatus").cast("int").as("g_status"),
+          grouping("o_orderpriority").cast("int").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // cube
+    "q16_cube" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // distinct
+    "q17_distinct" -> { (s, d) =>
+      Tables(s, d, "customer").select("c_mktsegment", "c_nationkey")
+        .distinct().orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // global sort + limit (TakeOrderedAndProject)
+    "q18_topk_orders" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)
+    },
+
+    // set op: INTERSECT
+    "q19_intersect" -> { (s, d) =>
+      val a = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val b = Tables(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      a.intersect(b).orderBy("custkey")
+    },
+
+    // set op: EXCEPT
+    "q20_except" -> { (s, d) =>
+      val a = Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
+      val b = Tables(s, d, "orders").select(col("o_custkey").as("custkey"))
+      a.except(b).orderBy("custkey")
+    },
+
+    // set op: UNION ALL with provenance tag
+    "q21_union_all" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val hi = o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+        .select(lit("hi").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      val lo = o.filter(col("o_orderpriority") === "5-LOW" && col("o_totalprice") < 50000)
+        .select(lit("lo").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      hi.unionAll(lo).orderBy("bucket", "o_orderkey")
+    },
+
+    // scalar string function pipeline
+    "q22_string_funcs" -> { (s, d) =>
+      Tables(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        size(split(col("p_name"), " ")).cast("int").as("n_words"))
+        .orderBy("p_partkey")
+    },
+
+    // scalar date/time function pipeline + agg
+    "q23_date_funcs" -> { (s, d) =>
+      Tables(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          quarter(col("o_orderdate")).cast("int").as("q"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(count(lit(1)).as("n_orders"), min("o_orderdate").as("first_date"))
+        .orderBy("y", "m")
+    },
+
+    // scalar math function pipeline
+    "q24_math_funcs" -> { (s, d) =>
+      Tables(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("price_k_floor"),
+        ceil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pmod(col("l_linenumber"), lit(3)).cast("int").as("ln_mod3"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // conditional aggregation (CASE WHEN)
+    "q25_conditional_agg" -> { (s, d) =>
+      Tables(s, d, "orders").groupBy("o_orderpriority").agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_pending"))
+        .orderBy("o_orderpriority")
+    },
+
+    // group-by + HAVING
+    "q26_having" -> { (s, d) =>
+      Tables(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .filter(col("n_customers") >= 40)
+        .orderBy("c_nationkey")
+    },
+
+    // SQL surface: correlated EXISTS subquery (A3 pass-through parity)
+    "q27_sql_exists" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderpriority, count(*) AS n
+              |FROM orders
+              |WHERE EXISTS (SELECT 1 FROM lineitem
+              |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // SQL surface: scalar subquery
+    "q28_sql_scalar_subquery" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal > 0.99 * (SELECT max(c_acctbal) FROM customer)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // equi+range (non-equi band) join
+    "q29_range_join" -> { (s, d) =>
+      val l = Tables(s, d, "lineitem")
+      val p = Tables(s, d, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") &&
+          l("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+
+    // time bucketing (tumbling hour) + agg over events
+    "q30_time_bucket_agg" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_ts", "event_type")
+    },
+
+    // pivot (event_type → columns)
+    "q31_pivot" -> { (s, d) =>
+      Tables(s, d, "events").filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "signup", "error", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .select(col("user_id"), col("click").as("n_click"), col("view").as("n_view"),
+          col("signup").as("n_signup"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"))
+        .orderBy("user_id")
+    },
+
+    // A6: watermark scan (max of trigger column) — timestamp flavor
+    "q32_watermark_max_ts" -> { (s, d) =>
+      Tables(s, d, "events").agg(max("ts").as("max_ts"))
+    },
+
+    // A6: watermark scan — numeric flavor
+    "q33_watermark_max_id" -> { (s, d) =>
+      Tables(s, d, "events").agg(max("event_id").as("max_id"))
+    },
+
+    // F1: empty-source guard — per-table cardinality report
+    "q34_table_counts" -> { (s, d) =>
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+        .map { t => Tables(s, d, t).agg(lit(t).as("tbl"), count(lit(1)).as("n_rows")) }
+        .reduce(_ unionAll _).orderBy("tbl")
+    },
+
+    // exact count distinct (grouped)
+    "q35_count_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // approximate count distinct (HLL++) — rows-only check (impl-specific values)
+    "q36_approx_count_distinct" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_count_star" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q02_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_filter_agg_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q06_join_topk_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q07_broadcast_join_agg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q08_star_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_outer_join_histogram" ->
+      """SELECT n_items, count(*) AS n_orders FROM (
+        |  SELECT o.o_orderkey, count(l.l_linenumber) AS n_items
+        |  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey) t
+        |GROUP BY n_items ORDER BY n_items""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT c_nationkey, rn, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q13_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q14_window_lag_lead" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q15_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q17_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q18_topk_orders" ->
+      """SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q19_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+    "q20_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q21_union_all" ->
+      """SELECT * FROM (
+        |  SELECT 'hi' AS bucket, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT 'lo' AS bucket, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '5-LOW' AND o_totalprice < 50000) t
+        |ORDER BY bucket, o_orderkey""".stripMargin,
+    "q22_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q23_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  count(*) AS n_orders, min(o_orderdate) AS first_date
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin,
+    "q24_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(l_linenumber % 3 AS INTEGER) AS ln_mod3
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q25_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_having" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(*) >= 40 ORDER BY c_nationkey""".stripMargin,
+    "q27_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q28_sql_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 0.99 * (SELECT max(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q29_range_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q30_time_bucket_agg" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "q31_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_watermark_max_ts" ->
+      "SELECT CAST(max(ts) AS TIMESTAMP) AS max_ts FROM events",
+    "q33_watermark_max_id" ->
+      "SELECT max(event_id) AS max_id FROM events",
+    "q34_table_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'region' AS tbl, count(*) AS n_rows FROM region UNION ALL
+        |  SELECT 'nation', count(*) FROM nation UNION ALL
+        |  SELECT 'customer', count(*) FROM customer UNION ALL
+        |  SELECT 'supplier', count(*) FROM supplier UNION ALL
+        |  SELECT 'part', count(*) FROM part UNION ALL
+        |  SELECT 'orders', count(*) FROM orders UNION ALL
+        |  SELECT 'lineitem', count(*) FROM lineitem) t
+        |ORDER BY tbl""".stripMargin,
+    "q35_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // q36_approx_count_distinct: intentionally no oracle (HLL values are
+    // implementation-specific) → driver records rows-only check.
+  )
+}
