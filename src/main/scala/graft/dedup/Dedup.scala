@@ -1,0 +1,243 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.text.TextAnalysis.{tokens, wordShingles, fingerprint}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the 100 TB design point):
+  *  - exact dedup is one hash-shuffle on a 32-byte fingerprint, never on
+  *    the full text;
+  *  - MinHash signatures are computed map-side (64 codegen'd mins over an
+  *    exploded shingle stream), so the shuffle carries (doc_id, 64×long),
+  *    not documents;
+  *  - LSH banding turns the O(n²) pair space into per-bucket joins; the
+  *    bucket-size cap bounds skew (a degenerate bucket of k docs would
+  *    otherwise produce k² candidate pairs);
+  *  - candidate verification re-joins only the candidate doc_ids back to
+  *    shingle sets — the full corpus is never self-joined.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup, deterministic survivor: keep the row with the smallest
+    * `idCol` per fingerprint group (dropDuplicates keeps an arbitrary row,
+    * which is not oracle-checkable). One shuffle on the 128-bit hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Duplicate-group report: fingerprint → group size + surviving id. */
+  def dupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  /** Per-doc MinHash signature: `numPerm` independent min-hashes over the
+    * distinct word-shingle set. Hash family: xxhash64 seeded by the
+    * permutation index (deterministic across runs/partitions). */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(array_distinct(wordShingles(col(textCol), shingleN))).as("shingle"))
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("signature"))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
+    * with the fraction of matching minhashes (the Jaccard estimate).
+    *
+    * `maxBucket` caps degenerate buckets (boilerplate shingles at web
+    * scale) — dropped buckets are the standard MinHashLSH skew guard. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val banded = sigs.select(
+      col(idCol), col("signature"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit("band"), lit(b), slice(col("signature"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+    val smallBuckets = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = smallBuckets.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val b = smallBuckets.select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("signature").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banding → candidate
+    * pairs above the estimated-similarity threshold. */
+  def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numPerm: Int = 64, shingleN: Int = 3,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN)
+    lshCandidatePairs(sigs, idCol, bands, rows)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint: per-token xxhash64, bitwise majority
+    * vote. Pure expression — for each bit position, sum ±1 over tokens and
+    * take the sign. */
+  def simHash(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitExprs = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4×16-bit fingerprint quarters
+    * (a pair within Hamming distance 3 shares at least one quarter — the
+    * classic pigeonhole blocking), then verify the full distance. */
+  def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    val blocked = fps.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val a = blocked.select(col("block_idx"), col("block_key"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = blocked.select(col("block_idx"), col("block_key"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact n-gram Jaccard
+  // ---------------------------------------------------------------------
+
+  /** Exact pairwise Jaccard over distinct word-shingle sets, via a
+    * shingle-inverted-index join (pairs that share no shingle are never
+    * materialized). O(sum over shingles of df²) — use on a candidate
+    * subset or post-LSH, not the raw corpus. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------------
+  // Queries + oracles
+  // ---------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: duplicate-group report (hash-shuffle on fingerprint)
+    "q50_exact_dup_groups" -> { (s, d) =>
+      dupGroups(Tables(s, d, "documents"), "text", "doc_id")
+        .orderBy("fp")
+    },
+
+    // exact dedup: surviving rows (deterministic min-id survivor)
+    "q51_exact_dedup" -> { (s, d) =>
+      exactDedup(Tables(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "fp").orderBy("doc_id")
+    },
+
+    // exact n-gram Jaccard near-dup pairs on a deterministic subsample
+    "q52_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      ngramJaccardPairs(docs, "text", "doc_id", shingleN = 3, threshold = 0.05)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash signatures + LSH banding candidate pairs (rows-only: hash
+    // family is engine-internal)
+    "q53_minhash_lsh_pairs" -> { (s, d) =>
+      minHashNearDups(Tables(s, d, "documents"), "text", "doc_id",
+        threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash fingerprints (rows-only)
+    "q54_simhash" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs within Hamming distance 10 (rows-only)
+    "q55_simhash_near_dups" -> { (s, d) =>
+      simHashNearDups(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_exact_dup_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q51_exact_dedup" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, fp FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q52_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |              FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin
+    // q53-q55: MinHash/SimHash internals (xxhash64 family) are not
+    // expressible in DuckDB SQL — rows-only; property-tested in ScalaTest.
+  )
+}

@@ -1,0 +1,199 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scale notes:
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — no shuffle until the per-query top-k aggregation, and
+  *    that shuffle carries only (query_id, neighbor_id, score);
+  *  - the LSH variant (random hyperplanes) buckets the corpus so each
+  *    query probes ~corpus/2^bits vectors — the 100 TB path;
+  *  - dot products are `zip_with` + `aggregate` folds over codegen'd
+  *    expressions (left-to-right, deterministic), all math in double.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic left-to-right dot product of two float vectors, in
+    * double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: broadcast the query set against the corpus.
+    * Baseline for recall evaluation of the approximate variants. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) bucket key: sign bits of the
+    * vector's projection onto `bits` pseudo-random hyperplanes. The
+    * hyperplanes are derived deterministically from xxhash64(plane, dim)
+    * mapped to [-1, 1] — no stored model, identical on every executor. */
+  def hyperplaneKey(vec: Column, dim: Int, bits: Int): Column = {
+    val bitExprs = (0 until bits).map { p =>
+      val proj = (0 until dim).map { i =>
+        val coef = (xxhash64(lit(p * 7919 + i)) % 10007L).cast("double") / 10007.0
+        element_at(vec, i + 1).cast("double") * coef
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are keyed by
+    * hyperplane signature; each query only scans its bucket. Recall is
+    * traded for a ~2^bits fan-in reduction; multiprobe (flipping one bit)
+    * recovers near-boundary neighbors. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int = 4,
+      multiprobe: Boolean = true): DataFrame = {
+    val key = hyperplaneKey(col(vecCol), dim, bits)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      key.as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      key.as("bucket0"))
+    // probe own bucket + (optionally) each 1-bit-flipped neighbor bucket
+    val probes = if (multiprobe)
+      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
+    else array(lit(0L))
+    val q = broadcast(qBase
+      .select(col("query_id"), col("q_vec"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (pairs in different buckets are missed — the standard
+    * recall/cost trade; raise `bits` for cost, lower for recall). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int = 4): DataFrame = {
+    val keyed = df.select(col(idCol), col(vecCol),
+      hyperplaneKey(col(vecCol), dim, bits).as("bucket"))
+    val a = keyed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = keyed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // vector norms (sanity-checkable scalar math over array columns)
+    "q60_embedding_norms" -> { (s, d) =>
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).cast("int").as("dim"),
+          l2Norm(col("embedding")).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    // brute-force cosine top-3 for a fixed query subset
+    "q61_cosine_topk_brute" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      bruteForceTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // pairwise cosine between the first vectors of each label (small n²,
+    // exercises the full similarity-matrix shape)
+    "q62_cosine_matrix" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings").filter(col("vec_id") < 12)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // LSH-bucketed approximate top-k (rows-only: bucket family internal)
+    "q63_ann_lsh_topk" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      lshTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 4)
+        .orderBy("query_id", "rnk")
+    },
+
+    // centroid per label (mean vector — the classic cluster summary)
+    "q64_label_centroid_norm" -> { (s, d) =>
+      // mean of each dimension, computed as decimal-exact sums / count
+      val emb = Tables(s, d, "embeddings")
+      val dims = 64
+      val sums = (0 until dims).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("decimal(27,10)")).as(s"s_$i"))
+      emb.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sums: _*)
+        .select(col("label"), col("n_vecs"),
+          sqrt((0 until dims).map(i =>
+            pow((col(s"s_$i") / col("n_vecs")).cast("double"), 2)).reduce(_ + _))
+            .as("centroid_norm"))
+        .orderBy("label")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_embedding_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+        |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q61_cosine_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+        |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+        |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
+        |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q62_cosine_matrix" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 12)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+        |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin
+    // q63 (LSH ANN): bucket family is engine-internal — rows-only; recall
+    //   vs q61 brute force is asserted in ScalaTest.
+    // q64: decimal-exact centroid; DuckDB's DECIMAL(27,10) sum of floats
+    //   rounds differently at the 10th decimal → verified in ScalaTest
+    //   against a driver-side computation instead.
+  )
+}

@@ -1,0 +1,192 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All built from codegen'd `org.apache.spark.sql.functions._` — no UDFs —
+  * so whole-stage codegen spans the full pipeline and the work distributes
+  * embarrassingly (per-row, no shuffle until an explicit aggregate).
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokenization (the canonical LLM-pipeline pre-tokenizer). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish sub-word segmentation: letter runs, digit runs, and single
+    * punctuation marks (GPT-2-style pre-tokenizer, simplified to an
+    * RE2-compatible alternation both engines support). */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles (for near-dup detection). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+  }
+
+  /** Stable document fingerprint: md5 of whitespace-normalized text.
+    * (The rolling-hash variant is [[rollingFingerprint]].) */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Rolling hash over tokens (rotate-xor fold) — order-sensitive, so
+    * reordered text changes the fingerprint while md5-of-sorted-shingles
+    * would not. Bitwise ops only: wraps instead of tripping ANSI-mode
+    * overflow checks. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 27)).bitwiseXOR(xxhash64(t)))
+
+  private val punctClass = "[.!?,;:]"
+
+  /** Per-document quality metrics (length / punct / stopword ratios). */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_punct", (length(t) - length(regexp_replace(t, punctClass, ""))).cast("long"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("avg_token_len",
+        (length(regexp_replace(t, "\\s+", "")).cast("double")) / col("n_tokens"))
+      .withColumn("uniq_token_ratio",
+        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
+    * language-ID heuristic. Deliberately small: language ID at 100 TB must
+    * stay a cheap per-row expression, not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "it", "that", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Language ID: argmax of stopword-set overlap, 'und' when no evidence.
+    * Pure expression (array_intersect against literal arrays). */
+  def langIdExpr(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  val queries: Map[String, Q] = Map(
+    // token counting: whitespace + BPE-ish regex segmentation
+    "q40_token_count" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("int").as("n_ws_tokens"),
+        size(bpeishTokens(col("text"))).cast("int").as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring
+    "q41_text_quality" -> { (s, d) =>
+      qualityMetrics(Tables(s, d, "documents"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "n_punct", "punct_ratio",
+          "avg_token_len", "uniq_token_ratio")
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting — md5-normalized (oracle-checkable)
+    "q42_fingerprint" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting — rolling hash (xxhash64 fold; rows-only)
+    "q46_rolling_fingerprint" -> { (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        rollingFingerprint(col("text")).as("fp_rolling"))
+        .orderBy("doc_id")
+    },
+
+    // shingling statistics (basis of MinHash / Jaccard dedup)
+    "q43_shingle_stats" -> { (s, d) =>
+      val sh = wordShingles(col("text"), 3)
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(sh).cast("int").as("n_shingles"),
+        size(array_distinct(sh)).cast("int").as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    },
+
+    // language ID (stopword-overlap heuristic) + corpus language profile
+    "q44_lang_id" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("lang_pred", langIdExpr(col("text")))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    },
+
+    // corpus-level token stats per source (the "what's in my crawl" query)
+    "q45_corpus_stats" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+          sum(dec(length(col("text")).cast("double") / 4.0)).cast("double").as("est_llm_tokens"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("source")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
+        |    AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_token_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_shingle_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(toks) < 3 THEN 0 ELSE len(toks) - 2 END AS INTEGER) AS n_shingles,
+        |  CAST(CASE WHEN len(toks) < 3 THEN 0 ELSE len(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) END AS INTEGER) AS n_distinct_shingles
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // q44_lang_id + q46_rolling_fingerprint: heuristic/hash internals not
+    // expressible in ANSI SQL — driver records rows-only checks.
+    "q45_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CAST(length(text) / 4.0 AS DECIMAL(18,6))) AS DOUBLE) AS est_llm_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
