@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** The 4-phase copy pipeline (SURVEY.md §3.1) — the reference's whole-job
+  * semantics, Spark-native.
+  *
+  * Phase ordering is the reference's downtime-minimizing fleet order
+  * (`CopyTool.java:202-299`): ALL tables extract, then ALL load, then ALL
+  * publish, then GC — so a multi-table publish is consistent and the
+  * publish window is as small as possible. Unlike the single-threaded
+  * reference, each phase step is a distributed Spark job.
+  *
+  * Results mirror the reference's exit codes
+  * (`CopyTool.java:66-68,95-106`): Copied=0, NoNewData=2, Failed=1.
+  */
+object CopyJob {
+
+  /** What to extract (A1-A3): a named table, optional projection, or an
+    * arbitrary SQL query over the registered tables. */
+  final case class FromSpec(
+      name: String,
+      columns: Option[Seq[String]] = None,
+      query: Option[String] = None)
+
+  sealed trait PublishMode
+  /** E1+E3: versioned snapshot + atomic pointer switch (default ON in the
+    * reference: `useFastViewSwitching`, `CopyTable.java:54-63`). */
+  case object ViewSwitch extends PublishMode
+  /** E2: temp-dir swap into a stable data dir. */
+  case object TempSwap extends PublishMode
+
+  final case class TableSpec(
+      id: String,
+      from: FromSpec,
+      to: String,
+      allowEmpty: Boolean = false,    // F1 default (CopyTable.java:69)
+      autoTrim: Boolean = true,       // §1.3 default (CopyTable.java:72)
+      publishMode: PublishMode = ViewSwitch,
+      keepVersions: Int = 2)          // E5 default (CopyTool.java:578-580)
+
+  final case class TriggerSpec(table: String, column: String)
+
+  final case class JobConfig(
+      tables: Seq[TableSpec],
+      sourceDir: String,              // harness source (parquet star schema)
+      stagingRoot: String,
+      targetRoot: String,
+      stateDir: String,
+      trigger: Option[TriggerSpec] = None,
+      switchOnly: Boolean = false,    // E6 --switch-only
+      noSwitch: Boolean = false) {    // E6 --no-switch
+    /** Config identity for watermark-state scoping (G3). */
+    def hash: String = Watermark.configHash(this.toString)
+  }
+
+  sealed trait JobResult { def exitCode: Int }
+  case object Copied extends JobResult { val exitCode = 0 }
+  case object NoNewData extends JobResult { val exitCode = 2 }
+  final case class Failed(reason: String, cause: Option[Throwable] = None)
+    extends JobResult { val exitCode = 1 }
+
+  /** Resolve a FromSpec to a DataFrame (the A1-A3 scan surface). */
+  def resolveSource(spark: SparkSession, cfg: JobConfig, from: FromSpec): DataFrame =
+    from.query match {
+      case Some(q) =>
+        Tables.registerAll(spark, cfg.sourceDir)
+        spark.sql(q)
+      case None =>
+        val df = Tables(spark, cfg.sourceDir, from.name)
+        from.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
+    }
+
+  private def stagingDir(cfg: JobConfig, t: TableSpec): String =
+    Paths.get(cfg.stagingRoot, s"table_${t.from.name}_${t.to}").toString
+
+  private def statePath(cfg: JobConfig) =
+    Paths.get(cfg.stateDir, s"job-${cfg.hash.take(12)}_lastrun.txt")
+
+  def run(spark: SparkSession, cfg: JobConfig): JobResult = {
+    try {
+      // ---- trigger check (G1-G4): skip everything when certain no new data
+      val polled: Option[Option[Watermark.Value]] = cfg.trigger.map { tr =>
+        val v = Watermark.poll(Tables(spark, cfg.sourceDir, tr.table), tr.column)
+        val stored = Watermark.readState(statePath(cfg))
+        if (!Watermark.hasNewData(v, stored, cfg.hash)) return NoNewData
+        v
+      }
+
+      val version = Publish.newVersion()
+
+      if (!cfg.switchOnly) {
+        // ---- F1 empty-source guard: ALL tables checked before ANY copy
+        val empties = cfg.tables.filterNot(_.allowEmpty).filter { t =>
+          resolveSource(spark, cfg, t.from).isEmpty   // limit-1 probe, not count
+        }
+        if (empties.nonEmpty)
+          return Failed(s"empty source tables: ${empties.map(_.id).mkString(", ")}")
+
+        // ---- PHASE 1: extract ALL tables to durable staging
+        cfg.tables.foreach { t =>
+          Staging.stage(resolveSource(spark, cfg, t.from), stagingDir(cfg, t), t.autoTrim)
+        }
+
+        // ---- PHASE 2: load ALL tables (staging → snapshot)
+        cfg.tables.foreach { t =>
+          val m = Staging.validate(spark, stagingDir(cfg, t))   // F3
+          if (m.count > 0 || t.allowEmpty) {                    // B4 short-circuit
+            val staged = Staging.read(spark, stagingDir(cfg, t))
+            t.publishMode match {
+              case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
+              case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
+            }
+          }
+        }
+      }
+
+      // ---- PHASE 3: publish ALL tables (pointer/view switch)
+      if (!cfg.noSwitch) {
+        cfg.tables.foreach { t =>
+          t.publishMode match {
+            case ViewSwitch =>
+              if (cfg.switchOnly) Publish.publishNewest(cfg.targetRoot, t.to) // E6
+              else Publish.publishVersion(cfg.targetRoot, t.to, version)
+            case TempSwap => () // already swapped in phase 2
+          }
+        }
+      }
+
+      // ---- PHASE 4: retention GC
+      cfg.tables.filter(_.publishMode == ViewSwitch).foreach { t =>
+        Publish.gcOldVersions(cfg.targetRoot, t.to, t.keepVersions)
+      }
+
+      // ---- E7 staging cleanup + G3 state persist (only after full success)
+      if (!cfg.switchOnly) cfg.tables.foreach(t => Staging.cleanup(stagingDir(cfg, t)))
+      polled.flatten.foreach { v =>
+        Watermark.writeState(statePath(cfg), Watermark.State(v, cfg.hash))
+      }
+      Copied
+    } catch {
+      case e: Exception => Failed(e.getMessage, Some(e))
+    }
+  }
+
+  /** H1 interval scheduler: run forever, stay alive on failure, sleep the
+    * configured interval. Batch re-invocation — semantically identical to
+    * the reference's loop (`CopyTool.java:122-160`). `maxRuns` bounds it
+    * for tests. */
+  def runScheduled(spark: SparkSession, cfg: JobConfig, intervalSeconds: Long,
+      maxRuns: Int = Int.MaxValue, onResult: JobResult => Unit = _ => ()): Unit = {
+    var runs = 0
+    while (runs < maxRuns) {
+      val result = try run(spark, cfg) catch {
+        case e: Exception => Failed(e.getMessage, Some(e))
+      }
+      onResult(result)
+      runs += 1
+      if (runs < maxRuns) Thread.sleep(intervalSeconds * 1000)
+    }
+  }
+}
