@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.mm.Multimodal
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + shingles on crafted strings") {
+    val df = Seq("a b c d", "  x   y  ", "one").toDF("text")
+      .select(col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        TextAnalysis.wordShingles(col("text"), 3).as("sh3"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](1) == Seq("a", "b", "c", "d"))
+    assert(rows(0).getSeq[String](2) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](1) == Seq("x", "y"))
+    assert(rows(1).getSeq[String](2) == Seq.empty) // shorter than shingle
+    assert(rows(2).getSeq[String](2) == Seq.empty)
+  }
+
+  test("bpe-ish tokenizer splits letter/digit/punct runs") {
+    val got = Seq("abc de-f12,g").toDF("text")
+      .select(TextAnalysis.bpeishTokens(col("text"))).head().getSeq[String](0)
+    assert(got == Seq("abc", "de", "-", "f", "12", ",", "g"))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      ("the cat sat on the mat and it was good", "en"),
+      ("el perro y la casa en un dia", "es"),
+      ("der hund und die katze ist von den", "de"),
+      ("le chat et la maison les des", "fr"),
+      ("zzz qqq www", "und")).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langIdExpr(col("text")).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), s"for ${r}"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rolling hash is order-sensitive") {
+    val df = Seq(
+      ("Hello  World", "hello world", "world hello")).toDF("a", "b", "c")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b")),
+      TextAnalysis.rollingFingerprint(col("b")) === TextAnalysis.rollingFingerprint(col("c")))
+      .head()
+    assert(r.getBoolean(0))   // normalization collapses case+whitespace
+    assert(!r.getBoolean(1))  // token order matters for the rolling hash
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base corpus + an exact dup + a near dup (one token changed)
+  private lazy val docs = {
+    val base = Tables(spark, sf(), "documents").select("doc_id", "text")
+    val src = base.filter(col("doc_id") === 0).head().getString(1)
+    val nearDup = src.split(" ").toSeq.updated(1, "XYZZY").mkString(" ")
+    base.unionAll(Seq((100000L, src), (100001L, nearDup)).toDF("doc_id", "text"))
+  }
+
+  test("exact dedup finds the injected exact duplicate, keeps min id") {
+    val groups = Dedup.dupGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(kept.count() == docs.count() - 1)
+    assert(kept.filter(col("doc_id") === 100000L).isEmpty)
+  }
+
+  test("minhash LSH finds exact + near dup pair, estimates high jaccard") {
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exactPair = pairs.find(p => p._1 == 0L && p._2 == 100000L)
+    assert(exactPair.nonEmpty, s"exact dup not found in $pairs")
+    assert(exactPair.get._3 == 1.0)
+    assert(pairs.exists(p => (p._1 == 0L && p._2 == 100001L) ||
+      (p._1 == 100000L && p._2 == 100001L)), s"near dup not found in $pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard on the near-dup pair") {
+    val subset = docs.filter(col("doc_id").isin(0L, 100001L))
+    val exact = Dedup.ngramJaccardPairs(subset, "text", "doc_id").head().getDouble(2)
+    val est = Dedup.minHashNearDups(subset, "text", "doc_id", threshold = 0.0)
+      .head().getDouble(2)
+    assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
+  }
+
+  test("simhash: identical text → distance 0; near dup → small; corpus spread") {
+    val fps = docs.filter(col("doc_id").isin(0L, 100000L, 100001L))
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(100000L))
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(100001L)) <= 12)
+    val nearPairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearPairs.contains((0L, 100000L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  private lazy val emb = Tables(spark, sf(), "embeddings")
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("LSH ANN recall@3 vs brute force tracks probed fraction") {
+    // the harness embeddings are near-uniform random (no cluster
+    // structure), so LSH recall ~= fraction of corpus probed; at 2 bits
+    // with 1-bit multiprobe we probe 3 of 4 buckets → expect >= ~0.6
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 3, dim = 64, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall brute=${brute.size} ann=${ann.size}")
+    // tighter LSH (4 bits) probes ~5/16 of the corpus — recall drops with
+    // cost, never to zero
+    val ann4 = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 3, dim = 64, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall4 = (brute & ann4).size.toDouble / brute.size
+    assert(recall4 > 0.1 && ann4.size == brute.size)
+  }
+
+  test("ANN cosines are never better than brute-force rank-1") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val bruteBest = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val annBest = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 1, dim = 64, bits = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    annBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-12) }
+  }
+
+  test("hyperplane bucket key is deterministic across evaluations") {
+    val k1 = emb.select(col("vec_id"),
+      Similarity.hyperplaneKey(col("embedding"), 64, 4).as("k")).collect()
+    val k2 = emb.select(col("vec_id"),
+      Similarity.hyperplaneKey(col("embedding"), 64, 4).as("k")).collect()
+    assert(k1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      k2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("feature extraction is deterministic, typed, partition-preserving") {
+    val assets = Multimodal.assetsFromDocuments(spark, sf())
+    val f1 = Multimodal.extractFeatures(assets).collect()
+    val f2 = Multimodal.extractFeatures(assets).collect()
+    assert(f1.sortBy(_.asset_id).sameElements(f2.sortBy(_.asset_id)))
+    assert(f1.forall(f => f.width >= 64 && f.width < 128))
+    assert(f1.forall(f => f.checksum.length == 64))
+    assert(f1.filter(_.kind == "image").forall(_.n_frames == 1))
+  }
+
+  test("payloads stay binary end-to-end (no stringification)") {
+    val assets = Multimodal.assetsFromDocuments(spark, sf())
+    assert(assets.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("resize plan never upscales and preserves aspect bound") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, sf())).toDF()
+    val planned = Multimodal.resizePlan(feats, maxDim = 96)
+    val bad = planned.filter(col("out_width") > 96 || col("out_height") > 96 ||
+      col("out_width") > col("width") || col("out_height") > col("height"))
+    assert(bad.isEmpty)
+  }
+
+  test("frame sampling emits stride-spaced indices, videos/audio only") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(spark, sf())).toDF()
+    val frames = Multimodal.sampleFrames(feats, stride = 30)
+    assert(frames.filter(col("kind") === "image").isEmpty)
+    val bad = frames.filter(col("frame_idx") % 30 =!= 0)
+    assert(bad.isEmpty)
+  }
+}
