@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming surface (SURVEY.md §2.J).
+  *
+  * The reference's only streaming behavior is a poll loop with a
+  * monotonic watermark and state committed after success
+  * (`CopyTool.java:122-160,332-477`). Batch-first [[graft.pipeline.CopyJob]]
+  * reproduces those semantics exactly; this module is the
+  * streaming-native variant plus the event-time operators a Spark engine
+  * adds on top: watermarked windowed aggregation and custom session
+  * state via flatMapGroupsWithState.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  // not private: Catalyst's generated encoder code needs public accessors
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Streaming-native incremental copy: file stream over the source dir,
+    * AvailableNow trigger (process everything new, then stop — the
+    * streaming twin of the reference's poll-then-copy run), checkpointed
+    * state replacing the `_lastrun.txt` file. */
+  def incrementalCopy(spark: SparkSession, sourceDir: String, targetDir: String,
+      checkpointDir: String): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .format("parquet")
+      .option("path", targetDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation (event-time, late data
+    * dropped past the watermark). NTZ event times are coerced to
+    * TIMESTAMP (watermarks require it; value-preserving under the pinned
+    * UTC session). */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState): a session closes after `gapMinutes` of
+    * user inactivity. Sessions close either when a later in-gap-violating
+    * event for the same user arrives, or when the event-time watermark
+    * passes session_end + gap (EventTimeTimeout — no wall-clock spinning,
+    * deterministic under AvailableNow replays). Emits closed sessions
+    * (Append mode). */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.total)
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val closed = state.getOption.map(close(userId, _))
+        state.remove()
+        closed.iterator
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+            case Some(s) =>
+              closed ::= close(userId, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // fire once the watermark passes the inactivity gap; the +1 ms
+          // guard keeps the timestamp ahead of an already-advanced watermark
+          state.setTimeoutTimestamp(
+            math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (test/dev harness for AvailableNow
+    * pipelines). */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streaming.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+import EventsStream.{Event, Session}
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "click",
+      v: Double = 1.0): Event =
+    Event(id, Timestamp.valueOf(t), user, typ, v)
+
+  test("windowed agg over a memory stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, "2024-01-01 00:01:00", 1), ev(2, "2024-01-01 00:02:00", 1),
+      ev(3, "2024-01-01 00:07:00", 2), ev(4, "2024-01-01 01:00:00", 2))
+    val agg = EventsStream.windowedAgg(mem.toDF(), "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    mem.addData(ev(5, "2024-01-01 03:00:00", 3)) // push watermark forward
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_agg")
+      .select("window_start", "n").orderBy("window_start").collect()
+    // first window [00:00,00:05): 2 events; [00:05,00:10): 1; [01:00,01:05): 1
+    assert(rows.map(_.getLong(1)).take(3).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("streaming incremental copy with AvailableNow + checkpoint (G/J)") {
+    val base = Files.createTempDirectory("stream")
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckp = s"$base/ckp"
+    Tables(spark, sf(), "nation").write.parquet(src)
+    EventsStream.incrementalCopy(spark, src, dst, ckp)
+    assert(spark.read.parquet(dst).count() == 25)
+    // second run: checkpoint remembers processed files → no duplicates
+    EventsStream.incrementalCopy(spark, src, dst, ckp)
+    assert(spark.read.parquet(dst).count() == 25)
+    // new data arrives → only the delta is appended
+    Tables(spark, sf(), "region").select(
+      col("r_regionkey").as("n_nationkey"), col("r_name").as("n_name"),
+      col("r_regionkey").as("n_regionkey")).write.mode("append").parquet(src)
+    EventsStream.incrementalCopy(spark, src, dst, ckp)
+    assert(spark.read.parquet(dst).count() == 30)
+  }
+
+  test("sessionization closes sessions at the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two bursts 2h apart → first session closes when second starts
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, v = 2.0), ev(2, "2024-01-01 00:10:00", 1, v = 3.0),
+      ev(3, "2024-01-01 02:00:00", 1, v = 5.0))
+    val sessions = EventsStream.sessionize(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a much-later event (any user) advances the watermark past user 1's
+    // gap → the open 02:00 session closes via event-time timeout
+    mem.addData(ev(4, "2024-01-02 12:00:00", 2))
+    q.processAllAvailable()
+    mem.addData(ev(5, "2024-01-03 12:00:00", 2)) // one more batch to fire timeouts
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions").as[Session].collect().sortBy(_.session_start.getTime)
+    assert(closed.length >= 2)
+    assert(closed(0).n_events == 2 && closed(0).total_value == 5.0)
+    assert(closed(0).session_start == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(closed(0).session_end == Timestamp.valueOf("2024-01-01 00:10:00"))
+    // the timed-out session (02:00 burst)
+    assert(closed(1).session_start == Timestamp.valueOf("2024-01-01 02:00:00"))
+    assert(closed(1).n_events == 1 && closed(1).total_value == 5.0)
+  }
+}
