@@ -1,0 +1,143 @@
+package graft.sinks
+
+import java.sql.Types
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcType, JdbcDialects}
+import org.apache.spark.sql.types._
+import graft.types.{Identifiers, TypeMap}
+
+/** MonetDB target support (SURVEY.md §2.C, §2.D).
+  *
+  * Three layers:
+  *  1. [[MonetDbDialect]] — a Spark `JdbcDialect` so `df.write.jdbc`
+  *     (the C3 batched-INSERT path, `batchsize` option = the reference's
+  *     `batch.size`) emits MonetDB-correct identifiers/types/truncate;
+  *  2. [[MonetDdl]] — the catalog DDL strings (D1-D11) as pure,
+  *     golden-testable generators;
+  *  3. [[MonetSink.copyIntoSql]] — the C1/C2 `COPY INTO` bulk-load
+  *     statements (records hint, LOCKED mode, the reference's delimiter
+  *     and NULL conventions).
+  *
+  * No live MonetDB exists in the test container; the SQL/config surface
+  * is unit-tested, execution happens in integration environments.
+  */
+object MonetDbDialect extends JdbcDialect {
+  override def canHandle(url: String): Boolean = url.startsWith("jdbc:monetdb:")
+
+  /** Identifier policy: lowercase + quote (`MonetDBTable.java:50-53`,
+    * `MonetDBUtil.java:301-333`). */
+  override def quoteIdentifier(colName: String): String = Identifiers.quote(colName)
+
+  override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+    case LongType         => Some(JdbcType("bigint", Types.BIGINT))
+    case BinaryType       => Some(JdbcType("blob", Types.BLOB))
+    case BooleanType      => Some(JdbcType("boolean", Types.BOOLEAN))
+    case StringType       => Some(JdbcType("clob", Types.CLOB))
+    case DateType         => Some(JdbcType("date", Types.DATE))
+    case d: DecimalType   =>
+      Some(JdbcType(TypeMap.sparkToMonetDdlType(d), Types.DECIMAL))
+    case DoubleType       => Some(JdbcType("double", Types.DOUBLE))
+    case IntegerType      => Some(JdbcType("int", Types.INTEGER))
+    case FloatType        => Some(JdbcType("real", Types.REAL))
+    case ShortType        => Some(JdbcType("smallint", Types.SMALLINT))
+    case TimestampType    => Some(JdbcType("timestamp", Types.TIMESTAMP))
+    case TimestampNTZType => Some(JdbcType("timestamp", Types.TIMESTAMP))
+    case ByteType         => Some(JdbcType("tinyint", Types.TINYINT))
+    case _                => None
+  }
+
+  /** MonetDB-style truncate is `DELETE FROM` (C7, `MonetDBUtil.java:93-107`). */
+  override def getTruncateQuery(table: String,
+      cascade: Option[Boolean] = None): String = s"DELETE FROM $table"
+
+  override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
+}
+
+/** Catalog DDL generation (D1-D11) — pure string builders mirroring
+  * `MonetDBUtil.java`. */
+object MonetDdl {
+  private def q(s: String) = Identifiers.quote(s)
+
+  /** D1 exists check (schema case-insensitive, `MonetDBUtil.java:26-63`). */
+  def existsSql(schema: String, table: String): String =
+    s"SELECT name FROM sys.tables WHERE name = '${Identifiers.normalize(table)}' " +
+      s"AND schema_id IN (SELECT id FROM sys.schemas WHERE LOWER(name) = " +
+      s"LOWER('${schema}'))"
+
+  /** D2 table-vs-view: `query IS NULL` ⇒ table (`MonetDBUtil.java:65-88`). */
+  def isTableSql(schema: String, table: String): String =
+    s"SELECT (query IS NULL) AS is_table FROM sys.tables " +
+      s"WHERE name = '${Identifiers.normalize(table)}' " +
+      s"AND schema_id IN (SELECT id FROM sys.schemas WHERE LOWER(name) = " +
+      s"LOWER('${schema}'))"
+
+  /** D8 drop table / D9 drop view (`MonetDBUtil.java:112-127,396-430`). */
+  def dropTableSql(schema: String, table: String): String =
+    s"DROP TABLE ${q(schema)}.${q(table)}"
+  def dropViewSql(schema: String, view: String): String =
+    s"DROP VIEW ${q(schema)}.${q(view)}"
+
+  /** D10 CTAS temp→final copy (`MonetDBUtil.java:136-157`). */
+  def ctasSql(schema: String, from: String, to: String): String =
+    s"CREATE TABLE ${q(schema)}.${q(to)} AS SELECT * FROM ${q(schema)}.${q(from)} WITH DATA"
+
+  /** D11/E3 view repoint (`MonetDBUtil.java:442-529`). */
+  def createViewSql(schema: String, view: String, versionedTable: String): String =
+    s"CREATE VIEW ${q(schema)}.${q(view)} AS SELECT * FROM ${q(schema)}.${q(versionedTable)}"
+
+  /** E4 newest-version discovery (`CopyTool.java:513-548`). */
+  def findVersionsSql(table: String): String =
+    s"SELECT name FROM sys.tables WHERE name LIKE " +
+      s"'${Identifiers.normalize(table)}\\_20%\\_%' ORDER BY name DESC"
+}
+
+object MonetSink {
+
+  /** Ensure the dialect is registered (idempotent). */
+  def registerDialect(): Unit = JdbcDialects.registerDialect(MonetDbDialect)
+
+  sealed trait LoadMethod
+  case object CopyIntoFromFile extends LoadMethod  // C1
+  case object CopyIntoFromStdin extends LoadMethod // C2
+  case object BatchedInsert extends LoadMethod     // C3
+
+  /** C1/C2 `COPY INTO` statement. Conventions are the reference's staging
+    * contract (`CopyTool.java:984-991,1053-1061`): exact-count records
+    * hint (lets the server pre-allocate), `LOCKED` WAL bypass (default
+    * ON), comma/newline/doublequote delimiters, `\N` NULLs. */
+  def copyIntoSql(schema: String, table: String, records: Option[Long],
+      source: Option[String], locked: Boolean = true): String = {
+    val hint = records.map(n => s"$n RECORDS ").getOrElse("")
+    val from = source.map(f => s"FROM '$f'").getOrElse("FROM STDIN")
+    val lock = if (locked) " LOCKED" else ""
+    s"COPY ${hint}INTO ${Identifiers.quote(schema)}.${Identifiers.quote(table)} " +
+      s"$from USING DELIMITERS ',','\\n','\"' NULL AS '\\\\N'$lock"
+  }
+
+  /** C4 load-method selection: the reference cascades
+    * COPY-file → COPY-stdin → INSERT at runtime; Spark-side the writer is
+    * chosen up front (a cascade is only meaningful against a live server;
+    * the enum + this policy function preserve the semantics). A freshly
+    * created table auto-promotes to COPY INTO (C5,
+    * `MonetDBUtil.java:183-189`). */
+  def chooseLoadMethod(configured: Option[LoadMethod], freshTable: Boolean): LoadMethod =
+    configured.getOrElse(if (freshTable) CopyIntoFromFile else BatchedInsert)
+
+  /** C3 batched-INSERT path via Spark's JDBC writer; `batchsize` is the
+    * reference's `batch.size` (default 10000, `CopyToolConfig.java:44`). */
+  def writeJdbc(df: DataFrame, url: String, schema: String, table: String,
+      user: String, password: String, batchSize: Int = 10000,
+      truncate: Boolean = false): Unit = {
+    registerDialect()
+    val mode = if (truncate) "overwrite" else "append"
+    df.write.mode(mode)
+      .option("truncate", truncate.toString) // overwrite→truncate = C7 DELETE FROM
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, s"${Identifiers.normalize(schema)}.${Identifiers.normalize(table)}", {
+        val p = new java.util.Properties()
+        p.setProperty("user", user)
+        p.setProperty("password", password)
+        p
+      })
+  }
+}
