@@ -48,10 +48,23 @@ object Dedup {
     * permutation index (deterministic across runs/partitions). */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(array_distinct(wordShingles(col(textCol), shingleN))).as("shingle"))
+    // Shingle via posexplode + window leads instead of an interpreted
+    // array-transform lambda: everything stays in whole-stage codegen, and
+    // the window's hash-partitioning on the doc id is REUSED by the
+    // min-aggregation below (one shuffle total). Duplicate shingles are
+    // harmless under min(), so no distinct pass is needed. The
+    // variable-length shingle is hashed once; each permutation re-hashes
+    // the fixed 8-byte value (numPerm× fewer string traversals).
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = docs.select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+    val leads = (1 until shingleN).map(i => lead(col("tok"), i).over(w))
+    val sh = tok
+      .withColumn("h", xxhash64((col("tok") +: leads): _*))
+      .withColumn("last", leads.last)
+      .filter(col("last").isNotNull)
     val mins = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"mh_$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("signature"))
   }
@@ -89,7 +102,10 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerm: Int = 64, shingleN: Int = 3,
       bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN)
+    // persist: the signature table is tiny relative to the corpus
+    // (id + numPerm longs) and feeds BOTH sides of the band self-join —
+    // without it the whole shingle+minhash pipeline runs twice
+    val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN).persist()
     lshCandidatePairs(sigs, idCol, bands, rows)
       .filter(col("est_jaccard") >= threshold)
   }
@@ -115,12 +131,37 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash as a table: explode tokens → 64 codegen'd ±1 sums with
+    * map-side partial aggregation → assemble the fingerprint. Same result
+    * as [[simHash]] but whole-stage-codegen throughout (the Column-level
+    * fold evaluates interpreted lambdas 64× per row — fine for ad-hoc
+    * expressions, wrong for a corpus pass). Docs with no tokens get
+    * fingerprint 0, matching the fold's seed. */
+  def simHashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
+    }
+    val fp = (0 until 64)
+      .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val computed = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+    // keep token-less docs (fingerprint 0), matching the fold semantics
+    docs.select(col(idCol)).join(computed, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
   /** SimHash near-dup pairs: block on the 4×16-bit fingerprint quarters
     * (a pair within Hamming distance 3 shares at least one quarter — the
     * classic pigeonhole blocking), then verify the full distance. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fps = docs.select(col(idCol), simHash(col(textCol)).as("simhash"))
+    // persist: 64-bit fingerprints are 16 bytes/doc and feed both sides of
+    // the block self-join — avoids recomputing the corpus pass
+    val fps = simHashTable(docs, textCol, idCol).persist()
     val blocked = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -196,8 +237,7 @@ object Dedup {
 
     // SimHash fingerprints (rows-only)
     "q54_simhash" -> { (s, d) =>
-      Tables(s, d, "documents")
-        .select(col("doc_id"), simHash(col("text")).as("simhash"))
+      simHashTable(Tables(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     },
 

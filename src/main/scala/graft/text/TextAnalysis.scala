@@ -82,6 +82,31 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Language ID as a table (corpus-scale path): explode lowercase
+    * tokens, broadcast-join the stopword lexicon, count DISTINCT matched
+    * stopwords per (doc, lang) — the set-intersection semantics of
+    * [[langIdExpr]] — and take the argmax. Whole-stage codegen + one
+    * shuffle on doc id; same result as the expression form ('und' when no
+    * stopword hits at all). */
+  def langIdTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexicon = broadcast(
+      stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+        .toDF("lang_cand", "tok"))
+    val hits = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .join(lexicon, Seq("tok"))
+      .groupBy(col(idCol), col("lang_cand"))
+      .agg(countDistinct(col("tok")).as("score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score"), col("lang_cand"))).as("best"))
+      .select(col(idCol), col("best.lang_cand").as("lang_pred"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+  }
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
 
   val queries: Map[String, Q] = Map(
@@ -130,8 +155,9 @@ object TextAnalysis {
 
     // language ID (stopword-overlap heuristic) + corpus language profile
     "q44_lang_id" -> { (s, d) =>
-      Tables(s, d, "documents")
-        .withColumn("lang_pred", langIdExpr(col("text")))
+      val docs = Tables(s, d, "documents")
+      langIdTable(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "lang_pred")
     },

@@ -42,6 +42,16 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), s"for ${r}"))
   }
 
+  test("langIdTable matches the expression form on the corpus") {
+    val docs = Tables(spark, sf(), "documents")
+    val viaExpr = docs.select(col("doc_id"),
+      TextAnalysis.langIdExpr(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaTable = TextAnalysis.langIdTable(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr == viaTable)
+  }
+
   test("fingerprint is whitespace/case-insensitive; rolling hash is order-sensitive") {
     val df = Seq(
       ("Hello  World", "hello world", "world hello")).toDF("a", "b", "c")
@@ -94,9 +104,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
   }
 
+  test("simHashTable matches the Column-fold simHash definition") {
+    val subset = docs.filter(col("doc_id") < 20)
+    val viaFold = subset.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTable = Dedup.simHashTable(subset, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFold == viaTable)
+  }
+
   test("simhash: identical text → distance 0; near dup → small; corpus spread") {
-    val fps = docs.filter(col("doc_id").isin(0L, 100000L, 100001L))
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+    val fps = Dedup.simHashTable(
+      docs.filter(col("doc_id").isin(0L, 100000L, 100001L)), "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(0L) == fps(100000L))
     assert(java.lang.Long.bitCount(fps(0L) ^ fps(100001L)) <= 12)
