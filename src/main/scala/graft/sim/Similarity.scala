@@ -19,11 +19,12 @@ import graft.sources.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic left-to-right dot product of two float vectors, in
-    * double precision. */
+  /** Deterministic index-ascending dot product of two float vectors, in
+    * double precision — a native codegen'd Catalyst expression
+    * ([[graft.functions.VectorDot]]); same accumulation order as the
+    * equivalent zip_with+aggregate fold, ~10× less per-pair overhead. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+
+/** Bridge into `private[sql]` Spark internals needed to expose custom
+  * Catalyst expressions as user-facing `Column`s (the same door Spark's
+  * own `functions` object uses). Kept to the minimum surface. */
+object GraftBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** Input-type spec for ExpectsInputTypes implementations. */
+  val floatArrayType: AbstractDataType = ArrayType(FloatType)
+}
