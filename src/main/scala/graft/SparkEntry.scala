@@ -15,13 +15,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ text.TextAnalysis.queries ++
+    ops.Relational.queries ++ ops.Extended.queries ++ text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++ mm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check for those). */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracles ++ text.TextAnalysis.oracles ++
+    ops.Relational.oracles ++ ops.Extended.oracles ++ text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++ mm.Multimodal.oracles
 }

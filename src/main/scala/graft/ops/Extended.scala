@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.text.TextAnalysis.tokens
+
+/** Extended operators: as-of join, deterministic sampling/splits,
+  * sequence packing, grouping sets, percentiles.
+  *
+  * The as-of join is the canonical "operator Spark lacks" case. Instead
+  * of a custom SparkPlan, it composes built-ins the scalable way: union
+  * the two sides, one window pass per key — O(n log n) with a single
+  * shuffle on the join key, versus the O(n·m) range self-join a naive
+  * translation would produce.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts < left.ts` (strict) and equal keys. Tag-union + last(...,
+    * ignoreNulls) window; at equal timestamps the left row sorts first so
+    * strictly-earlier right rows only. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // left rows carry null payload; right rows carry null left-columns
+    val lTagged = left
+      .withColumn("_is_left", lit(1))
+      .withColumn("_tag", lit(0))
+    val rTagged = payloadCols.foldLeft(
+      right.select((keys :+ tsCol).map(col) ++ payloadCols.map(c => col(c).as(s"_p_$c")): _*)) {
+        (d, _) => d
+      }
+      .withColumn("_is_left", lit(0))
+      .withColumn("_tag", lit(1))
+    val lAligned = payloadCols.foldLeft(lTagged) { (d, c) =>
+      d.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rAligned = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+      .foldLeft(rTagged) { (d, c) =>
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    // right rows (_tag=1) sort BEFORE left rows at strictly earlier ts
+    // only; at equal ts the left row (_tag=0) comes first, so last(...,
+    // ignoreNulls) over the preceding frame sees strictly-earlier rights
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"_asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_is_left") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Deterministic hash sample: keep rows whose md5's last hex digit is
+    * below `sixteenths`/16 — stable across runs, engines, and partitions
+    * (the property `df.sample` cannot give). */
+  def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16)
+    df.filter(substring(md5(col(keyCol).cast("string")), 32, 1) <
+      lit(java.lang.Integer.toHexString(sixteenths)))
+  }
+
+  /** Deterministic train/val/test split by content hash: 12/2/2
+    * sixteenths. Adding documents never moves an existing one between
+    * splits. */
+  def splitColumn(keyCol: Column): Column = {
+    val h = substring(md5(keyCol.cast("string")), 32, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
+  /** Offset-based sequence packing: documents are packed, in id order,
+    * into fixed-capacity token sequences; a document's sequence is chosen
+    * by its start offset (docs may straddle a boundary — the streaming-
+    * friendly packing used for LLM pretraining shards). Packing is per
+    * shard (`shardSize` docs), so the window never needs a global sort —
+    * each shard packs independently in parallel. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, shardSize: Long = 100000L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", (col(idCol) / shardSize).cast("long"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_id", (col("start_offset") / maxTokens).cast("long"))
+      .withColumn("offset_in_seq", col("start_offset") % maxTokens)
+      .select(idCol, "n_tokens", "shard", "start_offset", "seq_id", "offset_in_seq")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // as-of join: previous event per (user, ts) — strict inequality
+    "q80_asof_join" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+        .select("event_id", "user_id", "ts", "value")
+      asofJoin(e, e.withColumnRenamed("event_id", "prev_event_id")
+          .withColumnRenamed("value", "prev_value"),
+        keys = Seq("user_id"), tsCol = "ts",
+        payloadCols = Seq("prev_event_id", "prev_value"))
+        .select("event_id", "user_id", "ts", "value", "asof_prev_event_id", "asof_prev_value")
+        .withColumnRenamed("asof_prev_event_id", "prev_event_id")
+        .withColumnRenamed("asof_prev_value", "prev_value")
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // deterministic hash sampling (stable across engines)
+    "q81_hash_sample" -> { (s, d) =>
+      hashSample(Tables(s, d, "documents"), "text", 4)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // train/val/test split profile
+    "q82_train_val_test" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("split", splitColumn(col("text")))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+
+    // sequence packing for training shards
+    "q83_pack_sequences" -> { (s, d) =>
+      packSequences(Tables(s, d, "documents"), "doc_id", "text", maxTokens = 4096)
+        .orderBy("doc_id")
+    },
+
+    // GROUPING SETS via the SQL surface
+    "q84_grouping_sets" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+        .stripMargin)
+    },
+
+    // exact percentiles (interpolated), grouped
+    "q85_percentiles" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // approximate percentiles (t-digest-style sketch; rows-only — sketch
+    // values are implementation-specific)
+    "q86_approx_percentiles" -> { (s, d) =>
+      Tables(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5)").as("approx_p50"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q80_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
+        |  e2.event_id AS prev_event_id, e2.value AS prev_value
+        |FROM events e
+        |ASOF LEFT JOIN events e2 ON e.user_id = e2.user_id AND e2.ts < e.ts
+        |ORDER BY e.user_id, ts, e.event_id""".stripMargin,
+    "q81_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(text), 32, 1) < '4' ORDER BY doc_id""".stripMargin,
+    "q82_train_val_test" ->
+      """SELECT CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+        |            WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "q83_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id // 100000 AS BIGINT) AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, start_offset,
+        |  CAST(start_offset // 4096 AS BIGINT) AS seq_id,
+        |  CAST(start_offset % 4096 AS BIGINT) AS offset_in_seq
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q84_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q85_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // q86: sketch internals — rows-only.
+  )
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ExtendedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: strict inequality, per-key isolation, null when no match") {
+    val left = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "L1"),
+      (1L, Timestamp.valueOf("2024-01-01 00:20:00"), "L2"),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), "L3"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "exact-tie"), // NOT matched (strict <)
+      (1L, Timestamp.valueOf("2024-01-01 00:09:00"), "r9"),
+      (1L, Timestamp.valueOf("2024-01-01 00:15:00"), "r15"),
+      (2L, Timestamp.valueOf("2024-01-01 00:19:00"), "other-key"))
+      .toDF("k", "ts", "rv")
+    val got = Extended.asofJoin(left, right, Seq("k"), "ts", Seq("rv"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    // L1@00:10 → r9 (00:09; the 00:10 tie excluded), L2@00:20 → r15,
+    // L3(k=2)@00:05 → null (k=2's only right row is later)
+    assert(got.toSeq == Seq(("L1", "r9"), ("L2", "r15"), ("L3", null)))
+  }
+
+  test("hashSample is deterministic and fraction-ish") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val a = Extended.hashSample(docs, "text", 4).select("doc_id").collect().toSet
+    val b = Extended.hashSample(docs, "text", 4).select("doc_id").collect().toSet
+    assert(a == b)
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"frac=$frac") // 4/16 = 0.25 expected
+    // monotone: a larger sample contains the smaller one
+    val bigger = Extended.hashSample(docs, "text", 8).select("doc_id").collect().toSet
+    assert(a.subsetOf(bigger))
+  }
+
+  test("split covers all rows exactly once with stable assignment") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+      .withColumn("split", Extended.splitColumn(col("text")))
+    assert(docs.filter(col("split").isNull).isEmpty)
+    val counts = docs.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("packSequences: offsets are contiguous and bounded per shard") {
+    val packed = Extended.packSequences(
+      graft.sources.Tables(spark, sf("sf0.01"), "documents"),
+      "doc_id", "text", maxTokens = 512, shardSize = 100L)
+    val rows = packed.orderBy("doc_id").collect()
+    // start offsets are the running sum of previous docs within the shard
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, shardRows) =>
+      val sorted = shardRows.sortBy(_.getAs[Long]("doc_id"))
+      var expected = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expected)
+        assert(r.getAs[Long]("seq_id") == expected / 512)
+        assert(r.getAs[Long]("offset_in_seq") == expected % 512)
+        expected += r.getAs[Long]("n_tokens")
+      }
+    }
+    // shards pack independently: every shard restarts at offset 0
+    assert(rows.filter(_.getAs[Long]("offset_in_seq") == 0L).nonEmpty)
+  }
+}
