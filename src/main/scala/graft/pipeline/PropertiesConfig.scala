@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import graft.sources.SqlGen
+import graft.sources.JdbcSource.JdbcSourceConfig
+
+/** Properties-file config front-end (SURVEY.md §2.F2/H6,
+  * `CopyToolConfig.java`).
+  *
+  * Parses the reference's `config.properties` surface — multi-source
+  * registry (`mssql.<id>.*` / `postgresql.<id>.*`, default id
+  * `_default`), per-table job specs (`table.<id>.*`), trigger, scheduler,
+  * batch size — with env-var substitution on every value, and validates
+  * it the way the reference does: invalid tables are dropped with a
+  * reason; zero valid tables is an error.
+  */
+object PropertiesConfig {
+
+  final case class SourceDef(id: String, dialect: SqlGen.Dialect,
+      server: String, database: String, user: String, password: String,
+      port: Option[Int], instance: Option[String])
+
+  final case class TableDef(
+      id: String,
+      source: String,
+      from: Option[String], fromColumns: Option[String],
+      fromQuery: Option[String], fromCountQuery: Option[String],
+      to: String, schema: String,
+      create: Boolean, truncate: Boolean, drop: Boolean,
+      copyViaTempTable: Boolean, tempTablePrefix: String,
+      useFastViewSwitching: Boolean,
+      allowEmpty: Boolean, autoTrim: Boolean,
+      copyMethod: Option[String])
+
+  final case class TriggerDef(source: String, table: String, column: String,
+      directory: Option[String])
+
+  final case class Parsed(
+      sources: Map[String, SourceDef],
+      tables: Map[String, TableDef],
+      target: Option[SourceDef],
+      trigger: Option[TriggerDef],
+      schedulerIntervalSeconds: Option[Long],
+      batchSize: Int,
+      warnings: Seq[String])
+
+  val DefaultSourceId = "_default"
+
+  /** Parse `key = value` lines (comments `#`, blank lines ignored),
+    * applying env substitution per value. */
+  def parseProperties(text: String, env: Map[String, String] = sys.env): Map[String, String] =
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> EnvSubst.substitute(v.trim, env))
+          case _           => None
+        }
+      }.toMap
+
+  def parse(text: String, env: Map[String, String] = sys.env): Parsed = {
+    val props = parseProperties(text, env)
+    var warnings = Vector.empty[String]
+
+    def sourcesFor(prefix: String, dialect: SqlGen.Dialect): Map[String, SourceDef] = {
+      // keys look like `mssql.<id>.<prop>` or bare `mssql.<prop>` (default id)
+      val keys = props.keySet.filter(_.startsWith(prefix + "."))
+      val props3 = Set("user", "password", "server", "database", "port", "instance")
+      val ids = keys.map(_.stripPrefix(prefix + ".")).map { rest =>
+        rest.split("\\.", 2) match {
+          case Array(p) if props3.contains(p) => DefaultSourceId
+          case Array(id, _)                   => id
+          case _                              => DefaultSourceId
+        }
+      }
+      ids.flatMap { id =>
+        def get(p: String) =
+          if (id == DefaultSourceId) props.get(s"$prefix.$p")
+          else props.get(s"$prefix.$id.$p")
+        (get("server"), get("database")) match {
+          case (Some(server), Some(db)) =>
+            Some(id -> SourceDef(id, dialect, server, db,
+              get("user").getOrElse(""), get("password").getOrElse(""),
+              get("port").flatMap(_.toIntOption), get("instance")))
+          case _ =>
+            warnings :+= s"source '$id' ($prefix) missing server/database — skipped"
+            None
+        }
+      }.toMap
+    }
+
+    val sources = sourcesFor("mssql", SqlGen.MsSql) ++
+      sourcesFor("postgresql", SqlGen.Postgres)
+
+    val target = (props.get("monetdb.server"), props.get("monetdb.database")) match {
+      case (Some(s), Some(d)) => Some(SourceDef("monetdb", SqlGen.Postgres, s, d,
+        props.getOrElse("monetdb.user", ""), props.getOrElse("monetdb.password", ""),
+        props.get("monetdb.port").flatMap(_.toIntOption), None))
+      case _ => None
+    }
+
+    val tableIds = props.keySet.filter(_.startsWith("table."))
+      .map(_.stripPrefix("table.").split("\\.", 2)(0))
+    val tables = tableIds.flatMap { id =>
+      def get(p: String) = props.get(s"table.$id.$p")
+      def flag(p: String, dflt: Boolean) =
+        get(p).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
+      val from = get("from")
+      val fromQuery = get("from.query")
+      val to = get("to").orElse(from)
+      val sourceId = get("source").getOrElse(DefaultSourceId)
+      // validation mirrors CopyToolConfig: drop invalid tables with a reason
+      if (from.isEmpty && fromQuery.isEmpty) {
+        warnings :+= s"table '$id' has neither from nor from.query — skipped"; None
+      } else if (fromQuery.nonEmpty && get("from.countquery").isEmpty) {
+        warnings :+= s"table '$id' has from.query without from.countquery — skipped"; None
+      } else if (to.isEmpty) {
+        warnings :+= s"table '$id' has no target name — skipped"; None
+      } else if (!sources.contains(sourceId)) {
+        warnings :+= s"table '$id' references unknown source '$sourceId' — skipped"; None
+      } else Some(id -> TableDef(
+        id, sourceId, from, get("from.columns"), fromQuery, get("from.countquery"),
+        to.get, get("schema").getOrElse("sys"),
+        flag("create", dflt = true), flag("truncate", dflt = false),
+        flag("drop", dflt = true),
+        flag("copyViaTempTable", dflt = false),
+        get("tempTablePrefix").getOrElse("tmp_"),
+        flag("useFastViewSwitching", dflt = true),
+        flag("allowempty", dflt = false), flag("autotrim", dflt = true),
+        get("copymethod")))
+    }.toMap
+
+    val trigger = for {
+      table <- props.get("trigger.table")
+      column <- props.get("trigger.column")
+    } yield TriggerDef(props.getOrElse("trigger.source", DefaultSourceId),
+      table, column, props.get("trigger.directory"))
+
+    val interval = props.get("scheduler.interval").map(Intervals.parseSeconds)
+
+    Parsed(sources, tables, target, trigger, interval,
+      props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000), warnings)
+  }
+
+  /** Strict variant: zero valid tables is a configuration error (the
+    * reference aborts, `CopyToolConfig.java:359-399`). */
+  def parseOrFail(text: String, env: Map[String, String] = sys.env): Parsed = {
+    val p = parse(text, env)
+    if (p.tables.isEmpty)
+      throw new IllegalArgumentException(
+        "no valid tables configured: " + p.warnings.mkString("; "))
+    p
+  }
+
+  /** JDBC reader config for a parsed source (the A1-A3 extract surface). */
+  def jdbcConfig(src: SourceDef, t: TableDef): JdbcSourceConfig =
+    JdbcSourceConfig(src.dialect, src.server, src.database, src.user,
+      src.password, src.port,
+      fromName = t.from.getOrElse(""),
+      fromColumns = t.fromColumns,
+      fromQuery = t.fromQuery)
+}

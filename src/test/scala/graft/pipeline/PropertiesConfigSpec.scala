@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SqlGen
+
+class PropertiesConfigSpec extends AnyFunSuite {
+
+  // shaped like the reference's config.properties.example (F2 fixture)
+  private val canonical =
+    """# canonical job config
+      |monetdb.user = monetdb
+      |monetdb.password = ENV:TARGET_PASSWORD:fallbackpw
+      |monetdb.server = localhost
+      |monetdb.database = my_target
+      |
+      |mssql.db1.user = dbuser
+      |mssql.db1.password = dbpassword
+      |mssql.db1.server = dbserver
+      |mssql.db1.database = my_db
+      |
+      |table.example.source = db1
+      |table.example.from = example_table
+      |table.example.to = example_table_new
+      |table.example.schema = sys
+      |table.example.create = true
+      |table.example.truncate = true
+      |table.example.copyViaTempTable = true
+      |table.example.tempTablePrefix = tmp_
+      |table.example.useFastViewSwitching = false
+      |
+      |batch.size = 10000
+      |scheduler.interval = every 5 minutes
+      |trigger.source = db1
+      |trigger.table = updated
+      |trigger.column = last_updatetime
+      |""".stripMargin
+
+  test("canonical config parses: sources, target, table, trigger, scheduler") {
+    val p = PropertiesConfig.parseOrFail(canonical, env = Map.empty)
+    assert(p.sources.keySet == Set("db1"))
+    assert(p.sources("db1").dialect == SqlGen.MsSql)
+    assert(p.sources("db1").server == "dbserver")
+    assert(p.target.exists(_.database == "my_target"))
+    assert(p.target.exists(_.password == "fallbackpw")) // env default applied
+    val t = p.tables("example")
+    assert(t.from.contains("example_table") && t.to == "example_table_new")
+    assert(t.truncate && t.copyViaTempTable && !t.useFastViewSwitching)
+    assert(t.tempTablePrefix == "tmp_")
+    assert(p.trigger.exists(tr => tr.table == "updated" && tr.column == "last_updatetime"))
+    assert(p.schedulerIntervalSeconds.contains(300L))
+    assert(p.batchSize == 10000)
+    assert(p.warnings.isEmpty)
+  }
+
+  test("env substitution reads the environment when set") {
+    val p = PropertiesConfig.parse(canonical, env = Map("TARGET_PASSWORD" -> "secret"))
+    assert(p.target.exists(_.password == "secret"))
+  }
+
+  test("invalid tables dropped with reasons; zero tables is an error (F2)") {
+    val bad =
+      """mssql.db1.server = s
+        |mssql.db1.database = d
+        |table.a.to = out_only
+        |table.b.from.query = SELECT 1
+        |table.b.to = x
+        |table.c.from = t
+        |table.c.source = missing_src
+        |""".stripMargin
+    val p = PropertiesConfig.parse(bad, env = Map.empty)
+    assert(p.tables.isEmpty)
+    assert(p.warnings.exists(_.contains("'a'")))          // no from
+    assert(p.warnings.exists(_.contains("from.countquery"))) // query w/o count
+    assert(p.warnings.exists(_.contains("unknown source")))
+    intercept[IllegalArgumentException](PropertiesConfig.parseOrFail(bad, Map.empty))
+  }
+
+  test("query tables need a paired count query; valid when present") {
+    val ok =
+      """postgresql.src.server = s
+        |postgresql.src.database = d
+        |table.q.source = src
+        |table.q.from.query = SELECT a, b FROM t WHERE x > 1
+        |table.q.from.countquery = SELECT count(*) FROM t WHERE x > 1
+        |table.q.to = q_out
+        |""".stripMargin
+    val p = PropertiesConfig.parseOrFail(ok, env = Map.empty)
+    assert(p.sources("src").dialect == SqlGen.Postgres)
+    val cfg = PropertiesConfig.jdbcConfig(p.sources("src"), p.tables("q"))
+    assert(graft.sources.JdbcSource.options(cfg)("query") ==
+      "SELECT a, b FROM t WHERE x > 1")
+  }
+
+  test("default source id for bare mssql.* keys") {
+    val p = PropertiesConfig.parse(
+      """mssql.server = s
+        |mssql.database = d
+        |table.t.from = x
+        |table.t.to = y
+        |""".stripMargin, env = Map.empty)
+    assert(p.sources.contains(PropertiesConfig.DefaultSourceId))
+    assert(p.tables("t").source == PropertiesConfig.DefaultSourceId)
+  }
+}
