@@ -154,6 +154,38 @@ object Extended {
       Tables(s, d, "lineitem").groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_quantity, 0.5)").as("approx_p50"))
         .orderBy("l_returnflag")
+    },
+
+    // JSON extraction from string columns (the semi-structured surface)
+    "q87_json_extract" -> { (s, d) =>
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    // JSON extract + aggregate (bucketed profile of a JSON field)
+    "q88_json_agg" -> { (s, d) =>
+      Tables(s, d, "events")
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(floor(col("k_val") / 10).cast("int").as("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_bucket")
+    },
+
+    // typed Aggregator UDAF (exact fixed-point buffer → oracle-checkable)
+    "q89_custom_aggregator" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events").select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.StatsAggregator.fixedPointStats.toColumn.name("stats"))
+        .toDF("user_id", "stats")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("stats.min").as("min_value"),
+          col("stats.max").as("max_value"), col("stats.mean").as("mean_value"),
+          col("stats.n").as("n_events"))
+        .orderBy("user_id")
     }
   )
 
@@ -197,7 +229,21 @@ object Extended {
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q86: sketch internals — rows-only.
+    "q87_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q88_json_agg" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER)
+        |    AS k_bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q89_custom_aggregator" ->
+      """SELECT user_id, min(value) AS min_value, max(value) AS max_value,
+        |  (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*)
+        |    AS mean_value,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
