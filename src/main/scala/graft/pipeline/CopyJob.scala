@@ -51,7 +51,10 @@ object CopyJob {
       stateDir: String,
       trigger: Option[TriggerSpec] = None,
       switchOnly: Boolean = false,    // E6 --switch-only
-      noSwitch: Boolean = false) {    // E6 --no-switch
+      noSwitch: Boolean = false,      // E6 --no-switch
+      /** resume from durable staging after a crash between phases 1 and 2
+        * (the reference's staging-triplet recovery, SURVEY §3.1). */
+      resumeFromStaging: Boolean = false) {
     /** Config identity for watermark-state scoping (G3). */
     def hash: String = Watermark.configHash(this.toString)
   }
@@ -91,7 +94,21 @@ object CopyJob {
 
       val version = Publish.newVersion()
 
-      if (!cfg.switchOnly) {
+      if (cfg.resumeFromStaging) {
+        // crash-between-phases resumption (§3.1): phase 1 already ran and
+        // its durable staging survived — validate it (F3) and continue
+        // from phase 2 without re-extracting
+        cfg.tables.foreach { t =>
+          val m = Staging.validate(spark, stagingDir(cfg, t))
+          if (m.count > 0 || t.allowEmpty) {
+            val staged = Staging.read(spark, stagingDir(cfg, t))
+            t.publishMode match {
+              case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
+              case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
+            }
+          }
+        }
+      } else if (!cfg.switchOnly) {
         // ---- F1 empty-source guard: ALL tables checked before ANY copy
         val empties = cfg.tables.filterNot(_.allowEmpty).filter { t =>
           resolveSource(spark, cfg, t.from).isEmpty   // limit-1 probe, not count
