@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.vec_dot
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search, complementing the hyperplane-LSH variant.
+  *
+  * Build: a KMeans coarse quantizer (`nlist` centroids, seeded →
+  * reproducible) partitions the corpus into cells; the "index" is just
+  * the corpus with a cell id — naturally storable partitioned/bucketed
+  * by cell so a probe touches only matching files.
+  *
+  * Search: each query ranks centroids by exact Euclidean distance
+  * (|c|² − 2q·c, computed with the codegen'd [[graft.functions.VectorDot]]),
+  * keeps the best `nprobe` cells, and scans only those cells —
+  * corpus-fraction ≈ nprobe/nlist per query. Centroids are tiny and
+  * broadcast; the cell join is the only shuffle.
+  */
+object IvfIndex {
+
+  final case class Model(cells: DataFrame, centroids: DataFrame, nlist: Int)
+
+  /** Train the quantizer and assign every corpus vector to its cell. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.withColumn("features",
+      array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(feats)
+    val cells = model.transform(feats)
+      .select(col(idCol), col(vecCol), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cell", "centroid")
+    Model(cells, centroids, nlist)
+  }
+
+  /** Top-k cosine neighbors per query, probing `nprobe` cells. */
+  def search(model: Model, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    // rank centroids per query by Euclidean distance: |c|^2 - 2 q·c
+    val wProbe = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(model.centroids))
+      .withColumn("cdist",
+        vec_dot(col("centroid"), col("centroid")) - lit(2.0) * vec_dot(col("q_vec"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    // scan only the probed cells
+    val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(model.cells.withColumnRenamed(idCol, "neighbor_id"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col(vecCol)))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+}

@@ -139,6 +139,16 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF ANN: KMeans coarse quantizer + nprobe cell scan (rows-only:
+    // quantizer cells are model-internal; recall vs brute is spec-tested)
+    "q65_ann_ivf_topk" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      IvfIndex.search(model, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // centroid per label (mean vector — the classic cluster summary)
     "q64_label_centroid_norm" -> { (s, d) =>
       // mean of each dimension, computed as decimal-exact sums / count
