@@ -173,6 +173,25 @@ object Extended {
         .orderBy("k_bucket")
     },
 
+    // generator / table-function surface: explode tokens → word counts
+    // (the UDTF-parity path: flatMap/explode instead of a table function)
+    "q90_explode_wordcount" -> { (s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"))
+        .limit(100)
+    },
+
+    // array aggregation: deterministic via sort_array(collect_list)
+    "q91_collect_sorted" -> { (s, d) =>
+      Tables(s, d, "orders").filter(col("o_orderkey") < 100)
+        .groupBy("o_orderstatus")
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // typed Aggregator UDAF (exact fixed-point buffer → oracle-checkable)
     "q89_custom_aggregator" -> { (s, d) =>
       import s.implicits._
@@ -238,6 +257,17 @@ object Extended {
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER)
         |    AS k_bucket, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q90_explode_wordcount" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin,
+    "q91_collect_sorted" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+        |  count(*) AS n
+        |FROM orders WHERE o_orderkey < 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q89_custom_aggregator" ->
       """SELECT user_id, min(value) AS min_value, max(value) AS max_value,
         |  (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*)

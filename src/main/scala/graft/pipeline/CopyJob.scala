@@ -162,6 +162,24 @@ object CopyJob {
     }
   }
 
+  /** H4 multi-config sequential runs (the reference's docker-entrypoint
+    * loop over N config files): run each job in order, never letting one
+    * failure stop the fleet; returns per-job results. */
+  def runAll(spark: SparkSession, configs: Seq[JobConfig]): Seq[JobResult] =
+    configs.map { cfg =>
+      try run(spark, cfg) catch { case e: Exception => Failed(e.getMessage, Some(e)) }
+    }
+
+  /** H5 failure alerting: the engine-core hook — the reference's SMTP
+    * mailer is one possible `alert` implementation (deliberately outside
+    * the engine, SURVEY §2.H5). */
+  def runWithAlert(spark: SparkSession, cfg: JobConfig)
+      (alert: Failed => Unit): JobResult =
+    run(spark, cfg) match {
+      case f: Failed => alert(f); f
+      case ok        => ok
+    }
+
   /** H1 interval scheduler: run forever, stay alive on failure, sleep the
     * configured interval. Batch re-invocation — semantically identical to
     * the reference's loop (`CopyTool.java:122-160`). `maxRuns` bounds it

@@ -17,6 +17,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # stringify unhashable cells (arrays/structs) so sorting works
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, dict)) or hasattr(v, "__array__")).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
