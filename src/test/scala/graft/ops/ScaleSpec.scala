@@ -104,6 +104,33 @@ class ResumeSpec extends SparkSpec {
     assert(Publish.readCurrent(spark, cfg.targetRoot, "nation_out").count() == 25)
   }
 
+  test("runAll keeps going past a failing job and reports per-job results (H4)") {
+    val base = Files.createTempDirectory("fleet")
+    def cfg(name: String, query: String) = JobConfig(
+      Seq(TableSpec(name, FromSpec(name, query = Some(query)), s"${name}_out")),
+      sf(), s"$base/staging_$name", s"$base/target", s"$base/state")
+    val results = CopyJob.runAll(spark, Seq(
+      cfg("good1", "SELECT * FROM nation"),
+      cfg("bad", "SELECT * FROM nation WHERE n_nationkey < 0"), // empty → guard fails
+      cfg("good2", "SELECT * FROM region")))
+    assert(results.map(_.exitCode) == Seq(0, 1, 0))
+    assert(Publish.readCurrent(spark, s"$base/target", "good2_out").count() == 5)
+  }
+
+  test("runWithAlert fires the hook only on failure (H5)") {
+    val base = Files.createTempDirectory("alert")
+    var alerts = List.empty[String]
+    val bad = JobConfig(
+      Seq(TableSpec("b", FromSpec("b",
+        query = Some("SELECT * FROM nation WHERE n_nationkey < 0")), "b_out")),
+      sf(), s"$base/staging", s"$base/target", s"$base/state")
+    CopyJob.runWithAlert(spark, bad)(f => alerts ::= f.reason)
+    assert(alerts.length == 1 && alerts.head.contains("empty source"))
+    val good = bad.copy(tables = Seq(TableSpec("g", FromSpec("nation"), "g_out")))
+    CopyJob.runWithAlert(spark, good)(f => alerts ::= f.reason)
+    assert(alerts.length == 1) // no new alert on success
+  }
+
   test("resume with corrupt staging fails cleanly (F3)") {
     val base = Files.createTempDirectory("resume2")
     val cfg = JobConfig(
