@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 queries of whole-stage-codegen classes overflow the default
+  // 240m code cache; once full, the JIT stops compiling and expression-
+  // heavy queries run interpreted (10-20x slower, run-order dependent)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -25,14 +25,17 @@ object IvfIndex {
 
   final case class Model(cells: DataFrame, centroids: DataFrame, nlist: Int)
 
-  /** Train the quantizer and assign every corpus vector to its cell. */
+  /** Train the quantizer and assign every corpus vector to its cell.
+    * `maxIter` is deliberately low: a coarse ANN quantizer needs balanced
+    * cells, not converged clusters — extra iterations buy recall nothing
+    * measurable and cost a full corpus pass each. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L): Model = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 5): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val feats = corpus.withColumn("features",
       array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(feats)
     val cells = model.transform(feats)
