@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
+  * works the same as the Column API. Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[functions] val vecDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot takes exactly 2 arguments")
+      VectorDot(children.head, children(1))
+    })
+
+  /** Imperative registration for an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = vecDotDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

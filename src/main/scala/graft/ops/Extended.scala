@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 import graft.text.TextAnalysis.tokens
 
@@ -173,6 +174,29 @@ object Extended {
         .orderBy("k_bucket")
     },
 
+    // gap-based sessionization, batch form (the oracle-checkable twin of
+    // streaming EventsStream.sessionize): lag → gap flag → cumulative
+    // session index → per-session aggregate
+    "q92_sessionize_batch" -> { (s, d) =>
+      val wOrder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(wOrder))
+        .withColumn("new_session",
+          // NTZ has no direct long cast; via TIMESTAMP = epoch seconds
+          // under the pinned UTC session
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("new_session").over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // generator / table-function surface: explode tokens → word counts
     // (the UDTF-parity path: flatMap/explode instead of a table function)
     "q90_explode_wordcount" -> { (s, d) =>
@@ -257,6 +281,24 @@ object Extended {
       """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER)
         |    AS k_bucket, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q92_sessionize_batch" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |indexed AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM indexed GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q90_explode_wordcount" ->
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -48,6 +48,15 @@ class VectorExpressionsSpec extends SparkSpec {
     r.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
 
+  test("vec_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM emb_sql ORDER BY vec_id LIMIT 3")
+      .collect()
+    assert(r.length == 3 && r.forall(_.getDouble(1) > 0))
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables(spark, sf(), "embeddings").limit(5)
     val plan = emb.select(vec_dot(col("embedding"), col("embedding")))
