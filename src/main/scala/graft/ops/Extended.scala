@@ -216,6 +216,40 @@ object Extended {
         .orderBy("o_orderstatus")
     },
 
+    // multiset set-ops: INTERSECT ALL / EXCEPT ALL
+    "q93_setops_all" -> { (s, d) =>
+      val o = Tables(s, d, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      open.intersectAll(fin).groupBy(lit("intersect_all").as("op"))
+        .agg(count(lit(1)).as("n"))
+        .unionAll(open.exceptAll(fin).groupBy(lit("except_all").as("op"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy("op")
+    },
+
+    // date arithmetic: interval shift + day diff
+    "q94_date_arithmetic" -> { (s, d) =>
+      Tables(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("days_since_epoch_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // fuzzy string matching: Levenshtein distance on near-identical names
+    "q95_levenshtein" -> { (s, d) =>
+      val p = Tables(s, d, "part").filter(col("p_partkey") < 200)
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+        .filter(col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
+
     // typed Aggregator UDAF (exact fixed-point buffer → oracle-checkable)
     "q89_custom_aggregator" -> { (s, d) =>
       import s.implicits._
@@ -310,6 +344,31 @@ object Extended {
         |  count(*) AS n
         |FROM orders WHERE o_orderkey < 100
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q93_setops_all" ->
+      """SELECT * FROM (
+        |  SELECT 'except_all' AS op, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    EXCEPT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1
+        |  UNION ALL
+        |  SELECT 'intersect_all', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    INTERSECT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2) u
+        |ORDER BY op""".stripMargin,
+    "q94_date_arithmetic" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_epoch_start
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "q95_levenshtein" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 200 AND b.p_partkey < 200
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q89_custom_aggregator" ->
       """SELECT user_id, min(value) AS min_value, max(value) AS max_value,
         |  (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*)
