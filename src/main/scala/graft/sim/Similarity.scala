@@ -149,6 +149,15 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // embedding-cosine near-dup pairs via LSH buckets (rows-only)
+    "q66_embedding_near_dups" -> { (s, d) =>
+      // synthetic embeddings are near-orthogonal (random): 0.2 is already
+      // a strong-similarity threshold there; real corpora would use ~0.9
+      cosineNearDupPairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.2, bits = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // centroid per label (mean vector — the classic cluster summary)
     "q64_label_centroid_norm" -> { (s, d) =>
       // mean of each dimension, computed as decimal-exact sums / count

@@ -162,6 +162,17 @@ object TextAnalysis {
         .orderBy("lang", "lang_pred")
     },
 
+    // corpus quality filter: the canonical "clean the crawl" gate —
+    // keep documents passing all threshold checks (pure pushdown-able
+    // predicates over the quality metrics)
+    "q47_quality_filter" -> { (s, d) =>
+      qualityMetrics(Tables(s, d, "documents"), "text")
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.05 &&
+          col("avg_token_len") >= 3.0 && col("uniq_token_ratio") > 0.3)
+        .select("doc_id", "n_tokens", "punct_ratio", "uniq_token_ratio")
+        .orderBy("doc_id")
+    },
+
     // corpus-level token stats per source (the "what's in my crawl" query)
     "q45_corpus_stats" -> { (s, d) =>
       Tables(s, d, "documents")
@@ -208,6 +219,20 @@ object TextAnalysis {
         |FROM w ORDER BY doc_id""".stripMargin,
     // q44_lang_id + q46_rolling_fingerprint: heuristic/hash internals not
     // expressible in ANSI SQL — driver records rows-only checks.
+    "q47_quality_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_token_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, punct_ratio, uniq_token_ratio FROM m
+        |WHERE n_tokens >= 20 AND punct_ratio < 0.05
+        |  AND avg_token_len >= 3.0 AND uniq_token_ratio > 0.3
+        |ORDER BY doc_id""".stripMargin,
     "q45_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
