@@ -34,7 +34,12 @@ object Bench {
         .select(xxhash64(col("text"))).count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: substrings of query names to run (dev profiling);
+    // no args = full suite (the driver's mode)
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -63,10 +63,11 @@ object Dedup {
       .withColumn("h", xxhash64((col("tok") +: leads): _*))
       .withColumn("last", leads.last)
       .filter(col("last").isNotNull)
-    val mins = (0 until numPerm).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numPerm).map(i => col(s"mh_$i")): _*).as("signature"))
+    // one native aggregate (primitive long[numPerm] buffer, map-side
+    // partial agg) instead of numPerm separate min(xxhash64) columns —
+    // identical values, 64× narrower agg schema, no wide codegen
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashFunctions.minhash_agg(col("h"), numPerm).as("signature"))
   }
 
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
@@ -92,8 +93,8 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+        graft.functions.VectorFunctions.sig_match_frac(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
       .distinct()
   }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.GraftBridge
@@ -67,6 +67,133 @@ case class VectorDot(left: Expression, right: Expression)
       newRight: Expression): VectorDot = copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket key over a float vector, one pass.
+  *
+  * Semantically identical to the composed form (`bits` sign-bit
+  * projections, coefficient `(xxhash64(p*7919+i) % 10007)/10007`,
+  * index-ascending summation) but the `bits × dim` coefficient matrix is
+  * materialized ONCE at plan time instead of `bits × dim` literal
+  * `element_at` expression nodes — the composed tree at dim=64/bits=4 is
+  * 256 multiply-add subtrees whose codegen alone costs seconds and falls
+  * back to interpreted eval past the JIT limits.
+  */
+case class HyperplaneLshKey(child: Expression, dim: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_lsh_key"
+
+  // Deterministic pseudo-random hyperplanes — same family on every
+  // executor, no stored model. Mirrors xxhash64(lit(p*7919+i)) % 10007
+  // over an IntegerType literal (seed 42, hashInt).
+  @transient private lazy val coefs: Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (p, i) =>
+      (org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(p * 7919 + i, 42L) % 10007L).toDouble / 10007.0
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, x.numElements())
+    var key = 0L
+    var p = 0
+    while (p < bits) {
+      val c = coefs(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += x.getFloat(i).toDouble * c(i); i += 1 }
+      if (proj > 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cf = ctx.addReferenceObj("coefs", coefs, "double[][]")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |long $key = 0L;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  double[] c = $cf[$p];
+         |  double $proj = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $proj += ((double) $v.getFloat($i)) * c[$i];
+         |  }
+         |  if ($proj > 0) $key |= (1L << $p);
+         |}
+         |${ev.value} = $key;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshKey =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays agree —
+  * the MinHash Jaccard estimate. Replaces the interpreted
+  * `size(filter(zip_with(...)))` lambda chain on the candidate-pair path. */
+case class SigMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_match_frac"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigMatchFrac = copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private def expr(c: Column): Expression = GraftBridge.toExpression(c)
   private def column(e: Expression): Column = GraftBridge.toColumn(e)
@@ -81,4 +208,12 @@ object VectorFunctions {
   /** Cosine similarity. */
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** Random-hyperplane LSH bucket key (sign bits of `bits` projections). */
+  def vec_lsh_key(v: Column, dim: Int, bits: Int): Column =
+    column(HyperplaneLshKey(expr(v), dim, bits))
+
+  /** Fraction of agreeing positions in two minhash signatures. */
+  def sig_match_frac(a: Column, b: Column): Column =
+    column(SigMatchFrac(expr(a), expr(b)))
 }

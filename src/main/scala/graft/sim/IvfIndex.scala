@@ -35,7 +35,11 @@ object IvfIndex {
     import spark.implicits._
     val feats = corpus.withColumn("features",
       array_to_vector(col(vecCol)))
+    // random init, not k-means||: the parallel init alone is ~5 extra
+    // corpus passes, and a coarse ANN quantizer needs balanced cells, not
+    // an optimal clustering (FAISS trains IVF the same way)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(feats)
     val cells = model.transform(feats)

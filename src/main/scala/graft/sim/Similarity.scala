@@ -47,17 +47,12 @@ object Similarity {
   /** Random-hyperplane (SimHash-for-vectors) bucket key: sign bits of the
     * vector's projection onto `bits` pseudo-random hyperplanes. The
     * hyperplanes are derived deterministically from xxhash64(plane, dim)
-    * mapped to [-1, 1] — no stored model, identical on every executor. */
-  def hyperplaneKey(vec: Column, dim: Int, bits: Int): Column = {
-    val bitExprs = (0 until bits).map { p =>
-      val proj = (0 until dim).map { i =>
-        val coef = (xxhash64(lit(p * 7919 + i)) % 10007L).cast("double") / 10007.0
-        element_at(vec, i + 1).cast("double") * coef
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bitExprs.reduce((x: Column, y: Column) => x.bitwiseOR(y))
-  }
+    * mapped to [-1, 1] — no stored model, identical on every executor.
+    * Native one-pass codegen expression ([[graft.functions.HyperplaneLshKey]]);
+    * the composed `bits × dim` element_at tree it replaces cost seconds of
+    * codegen compile alone. */
+  def hyperplaneKey(vec: Column, dim: Int, bits: Int): Column =
+    graft.functions.VectorFunctions.vec_lsh_key(vec, dim, bits)
 
   /** LSH-bucketed approximate top-k: corpus and queries are keyed by
     * hyperplane signature; each query only scans its bucket. Recall is

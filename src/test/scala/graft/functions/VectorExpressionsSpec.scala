@@ -64,4 +64,47 @@ class VectorExpressionsSpec extends SparkSpec {
     // '*(n)' marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project [vec_dot"), plan)
   }
+
+  test("vec_lsh_key matches the composed element_at projection tree") {
+    val dim = 64; val bits = 4
+    // the formula the native expression replaced (Similarity.hyperplaneKey
+    // pre-round-2): sign bits of sum_i vec[i] * (xxhash64(p*7919+i)%10007)/10007
+    val composed = (0 until bits).map { p =>
+      val proj = (0 until dim).map { i =>
+        val coef = (xxhash64(lit(p * 7919 + i)) % 10007L).cast("double") / 10007.0
+        element_at(col("embedding"), i + 1).cast("double") * coef
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val diff = Tables(spark, sf(), "embeddings").limit(200)
+      .select(vec_lsh_key(col("embedding"), dim, bits).as("native"),
+        composed.as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(diff.isEmpty)
+  }
+
+  test("sig_match_frac matches the zip_with/filter/size fold") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val r = df.select(sig_match_frac(col("a"), col("b")).as("f")).collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(0.75, 1.0, 0.0))
+  }
+
+  test("minhash_agg matches numPerm separate min(xxhash64(h, i)) aggregates") {
+    val numPerm = 16
+    val hashed = Tables(spark, sf(), "documents").limit(50)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val viaCols = hashed.groupBy("doc_id")
+      .agg((0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"m_$i")).head,
+        (0 until numPerm).map(i => min(xxhash64(col("h"), lit(i))).as(s"m_$i")).tail: _*)
+      .select(col("doc_id"), array((0 until numPerm).map(i => col(s"m_$i")): _*).as("sig"))
+    val viaAgg = hashed.groupBy("doc_id")
+      .agg(MinHashFunctions.minhash_agg(col("h"), numPerm).as("sig"))
+    assert(viaCols.join(viaAgg, "doc_id")
+      .filter(viaCols("sig") =!= viaAgg("sig")).isEmpty)
+  }
 }
