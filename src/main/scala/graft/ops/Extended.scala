@@ -58,6 +58,33 @@ object Extended {
         payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
   }
 
+  /** As-of join via the native whole-operator Catalyst path
+    * ([[graft.plans.AsOfJoinPlan]] → strategy → sort-merge
+    * [[graft.plans.AsOfJoinExec]]): one shuffle per side on the key, one
+    * O(|L|+|R|) forward merge per partition, O(1) state. Same semantics
+    * as [[asofJoin]] (latest right row with equal keys and
+    * `right.ts < left.ts`); output = left columns ++ right payload
+    * columns (right key/time dropped). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBridge
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.ensureRegistered(spark)
+    // fresh aliases so a self-join can't share attribute ids across sides
+    val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lp = GraftBridge.analyzed(left)
+    val rp = GraftBridge.analyzed(rFresh)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+      throw new IllegalArgumentException(s"asofJoinNative: no column '$n'"))
+    val joined = GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lp, rp, keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, tsCol), attr(rp, tsCol), strict))
+    val keep = lp.output ++ rp.output.filterNot(a =>
+      keys.exists(_.equalsIgnoreCase(a.name)) || a.name.equalsIgnoreCase(tsCol))
+    joined.select(keep.map(a => GraftBridge.toColumn(a)).toSeq: _*)
+  }
+
   /** Deterministic hash sample: keep rows whose md5's last hex digit is
     * below `sixteenths`/16 — stable across runs, engines, and partitions
     * (the property `df.sample` cannot give). */
@@ -96,17 +123,17 @@ object Extended {
   }
 
   val queries: Map[String, Q] = Map(
-    // as-of join: previous event per (user, ts) — strict inequality
+    // as-of join: previous event per (user, ts) — strict inequality,
+    // via the native whole-operator path (AsOfJoinPlan/Exec); oracle is
+    // DuckDB's built-in ASOF LEFT JOIN
     "q80_asof_join" -> { (s, d) =>
       val e = Tables(s, d, "events")
         .select("event_id", "user_id", "ts", "value")
-      asofJoin(e, e.withColumnRenamed("event_id", "prev_event_id")
-          .withColumnRenamed("value", "prev_value"),
-        keys = Seq("user_id"), tsCol = "ts",
-        payloadCols = Seq("prev_event_id", "prev_value"))
-        .select("event_id", "user_id", "ts", "value", "asof_prev_event_id", "asof_prev_value")
-        .withColumnRenamed("asof_prev_event_id", "prev_event_id")
-        .withColumnRenamed("asof_prev_value", "prev_value")
+      asofJoinNative(e,
+        e.select(col("user_id"), col("ts"),
+          col("event_id").as("prev_event_id"), col("value").as("prev_value")),
+        keys = Seq("user_id"), tsCol = "ts", strict = true)
+        .select("event_id", "user_id", "ts", "value", "prev_event_id", "prev_value")
         .orderBy("user_id", "ts", "event_id")
     },
 

@@ -95,10 +95,13 @@ object TextAnalysis {
       stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (l, w)) }
         .toDF("lang_cand", "tok"))
     val hits = docs
-      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      // array_distinct BEFORE the explode: tokens are then unique per doc,
+      // so the per-(doc, lang) score is a plain count — no Expand-based
+      // distinct aggregate (one shuffle instead of two), fewer exploded rows
+      .select(col(idCol), explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
       .join(lexicon, Seq("tok"))
       .groupBy(col(idCol), col("lang_cand"))
-      .agg(countDistinct(col("tok")).as("score"))
+      .agg(count(col("tok")).as("score"))
       .groupBy(col(idCol))
       .agg(max(struct(col("score"), col("lang_cand"))).as("best"))
       .select(col(idCol), col("best.lang_cand").as("lang_pred"))

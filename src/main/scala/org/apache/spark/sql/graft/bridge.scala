@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
 
@@ -13,4 +14,10 @@ object GraftBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   /** Input-type spec for ExpectsInputTypes implementations. */
   val floatArrayType: AbstractDataType = ArrayType(FloatType)
+  /** Wrap a custom LogicalPlan as a DataFrame (Dataset.ofRows's door). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  /** Analyzed plan of a DataFrame (for building composite plans). */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }

@@ -1,0 +1,83 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Extended
+import graft.sources.Tables
+
+/** The native as-of join (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec) against the union+window composition and hand-checked
+  * fixtures. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:00:05"), 101.0),
+    ("A", ts("2024-01-01 10:00:10"), 102.0),
+    ("B", ts("2024-01-01 10:00:03"), 200.0)
+  ).toDF("sym", "ts", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:00:04"), 7L),   // after 10:00:00 quote
+    ("A", ts("2024-01-01 10:00:05"), 8L),   // strict: still the 10:00:00 quote
+    ("A", ts("2024-01-01 09:59:59"), 9L),   // before any quote → null
+    ("B", ts("2024-01-01 10:00:03"), 10L),  // strict: equal ts → null
+    ("C", ts("2024-01-01 10:00:10"), 11L)   // key with no quotes → null
+  ).toDF("sym", "ts", "qty")
+
+  test("strict semantics on a hand-checked fixture") {
+    val r = Extended.asofJoinNative(trades, quotes, Seq("sym"), "ts")
+      .orderBy("sym", "ts")
+      .select("sym", "qty", "px")
+      .collect().map(t => (t.getString(0), t.getLong(1),
+        if (t.isNullAt(2)) null else t.getDouble(2)))
+    assert(r.toSeq == Seq(
+      ("A", 9L, null), ("A", 7L, 100.0), ("A", 8L, 100.0),
+      ("B", 10L, null), ("C", 11L, null)))
+  }
+
+  test("non-strict (<=) picks the equal-timestamp row") {
+    val r = Extended.asofJoinNative(trades, quotes, Seq("sym"), "ts", strict = false)
+      .filter(col("sym") === "B").select("px").head()
+    assert(r.getDouble(0) == 200.0)
+  }
+
+  test("matches the union+window composition on real events data") {
+    val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
+    val native = Extended.asofJoinNative(e,
+      e.select(col("user_id"), col("ts"),
+        col("event_id").as("prev_event_id"), col("value").as("prev_value")),
+      keys = Seq("user_id"), tsCol = "ts")
+      .select("event_id", "user_id", "ts", "value", "prev_event_id", "prev_value")
+    val composed = Extended.asofJoin(e,
+      e.withColumnRenamed("event_id", "prev_event_id")
+        .withColumnRenamed("value", "prev_value"),
+      keys = Seq("user_id"), tsCol = "ts",
+      payloadCols = Seq("prev_event_id", "prev_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_prev_event_id").as("prev_event_id"),
+        col("asof_prev_value").as("prev_value"))
+    assert(native.count() == e.count())
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("physical plan uses AsOfJoinExec with sorted, clustered children") {
+    val r = Extended.asofJoinNative(trades, quotes, Seq("sym"), "ts")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+
+  test("every left row appears exactly once (left-outer cardinality)") {
+    val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
+    val n = Extended.asofJoinNative(e,
+      e.select(col("user_id"), col("ts"), col("value").as("pv")),
+      Seq("user_id"), "ts").count()
+    assert(n == e.count())
+  }
+}
