@@ -29,6 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // ~70 queries of whole-stage-codegen classes overflow the default
   // 240m code cache; once full, the JIT stops compiling and expression-
-  // heavy queries run interpreted (10-20x slower, run-order dependent)
-  "-XX:ReservedCodeCacheSize=512m",
+  // heavy queries run interpreted (10-20x slower, run-order dependent).
+  // Reserved (not committed) memory, so oversizing is free.
+  "-XX:ReservedCodeCacheSize=1g",
 )

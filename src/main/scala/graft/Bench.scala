@@ -44,8 +44,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside operator pipelines so queries are
-      // timed in isolation (no cross-query memory pressure)
+      // timed in isolation (no cross-query memory pressure); the GC nudge
+      // lets ContextCleaner release accumulated broadcasts/shuffles —
+      // without it, storage-memory pressure from ~70 queries' broadcast
+      // blocks bleeds into later queries' scan throughput
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
