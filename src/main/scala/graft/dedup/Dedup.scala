@@ -115,13 +115,19 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash fingerprint: per-token xxhash64, bitwise majority
-    * vote. Pure expression — for each bit position, sum ±1 over tokens and
+  /** SimHash bit width: 60, not 64 — the fingerprint is built from the
+    * 60-bit cross-engine token hash ([[graft.text.TextAnalysis.h60]]),
+    * which keeps every shift/sum overflow-free in both Spark ANSI mode
+    * and DuckDB, making the whole SimHash family oracle-checkable. */
+  val simHashBits = 60
+
+  /** SimHash fingerprint: per-token h60 hash, bitwise majority vote.
+    * Pure expression — for each bit position, sum ±1 over tokens and
     * take the sign. */
   def simHash(textCol: Column): Column = {
     val toks = tokens(lower(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitExprs = (0 until 64).map { b =>
+    val hashes = transform(toks, t => graft.text.TextAnalysis.h60(t))
+    val bitExprs = (0 until simHashBits).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
@@ -129,7 +135,7 @@ object Dedup {
     bitExprs.reduce((x: Column, y: Column) => x.bitwiseOR(y))
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
+  /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash as a table: explode tokens → 64 codegen'd ±1 sums with
@@ -141,11 +147,11 @@ object Dedup {
   def simHashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h", graft.text.TextAnalysis.h60(col("tok")))
+    val votes = (0 until simHashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
     }
-    val fp = (0 until 64)
+    val fp = (0 until simHashBits)
       .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     val computed = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
@@ -155,17 +161,20 @@ object Dedup {
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the 4×16-bit fingerprint quarters
-    * (a pair within Hamming distance 3 shares at least one quarter — the
-    * classic pigeonhole blocking), then verify the full distance. */
+  /** SimHash near-dup pairs: block on the 4×15-bit fingerprint quarters
+    * (a pair within Hamming distance 3 shares at least one quarter
+    * unchanged — the classic pigeonhole blocking, EXACT for
+    * `maxHamming ≤ 3`), then verify the full distance. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist: 64-bit fingerprints are 16 bytes/doc and feed both sides of
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    // persist: fingerprints are 16 bytes/doc and feed both sides of
     // the block self-join — avoids recomputing the corpus pass
     val fps = simHashTable(docs, textCol, idCol).persist()
     val blocked = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -236,18 +245,41 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash fingerprints (rows-only)
+    // SimHash fingerprints (60-bit cross-engine hash; oracle-checked)
     "q54_simhash" -> { (s, d) =>
       simHashTable(Tables(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs within Hamming distance 10 (rows-only)
+    // SimHash near-dup pairs within Hamming distance 3 — the 4-block
+    // pigeonhole makes this EXACT, so the brute-force O(n²) DuckDB pair
+    // scan is a true oracle for the blocked plan
     "q55_simhash_near_dups" -> { (s, d) =>
-      simHashNearDups(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 10)
+      simHashNearDups(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
     }
   )
+
+  /** DuckDB mirror of the per-bit majority vote (shared by q54/q55):
+    * token → 60-bit md5-derived hash → 60 vote sums → fingerprint. */
+  private def simHashOracleCore: String = {
+    val votes = (0 until simHashBits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(", ")
+    val fp = (0 until simHashBits)
+      .map(b => s"(CASE WHEN v_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+       |  FROM tok),
+       |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |fp AS (SELECT d.doc_id,
+       |    COALESCE(CAST($fp AS BIGINT), 0::BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q50_exact_dup_groups" ->
@@ -277,8 +309,18 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.05
-        |ORDER BY id_a, id_b""".stripMargin
-    // q53-q55: MinHash/SimHash internals (xxhash64 family) are not
-    // expressible in DuckDB SQL — rows-only; property-tested in ScalaTest.
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q54_simhash" ->
+      s"""WITH $simHashOracleCore
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "q55_simhash_near_dups" ->
+      s"""WITH $simHashOracleCore
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    // q53: the MinHash permutation family (seeded xxhash64 chain) is
+    // engine-internal — rows-only; property-tested in ScalaTest.
   )
 }

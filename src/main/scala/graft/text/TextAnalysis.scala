@@ -36,13 +36,28 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
-  /** Rolling hash over tokens (rotate-xor fold) — order-sensitive, so
-    * reordered text changes the fingerprint while md5-of-sorted-shingles
-    * would not. Bitwise ops only: wraps instead of tripping ANSI-mode
-    * overflow checks. */
-  def rollingFingerprint(c: Column): Column =
-    aggregate(tokens(c), lit(0L),
-      (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 27)).bitwiseXOR(xxhash64(t)))
+  /** 60-bit token hash both engines can compute identically: the first
+    * 15 hex chars of md5, parsed as an integer. The 60-bit width (not 64)
+    * keeps every downstream shift/sum below 2^63, where Spark's ANSI mode
+    * and DuckDB both stay overflow-free — which is what makes SimHash and
+    * the rolling fingerprint ORACLE-checkable rather than rows-only.
+    * (Swap in xxhash64 for ~3× cheaper hashing when cross-engine
+    * reproducibility isn't required.) */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Rolling hash over tokens — order-sensitive, so reordered text
+    * changes the fingerprint while md5-of-sorted-shingles would not.
+    * 60-bit rotate-left-5 then xor with the token hash; all operands stay
+    * under 2^60 so neither engine can overflow (DuckDB errors on shift
+    * overflow, Spark ANSI on arithmetic). */
+  def rollingFingerprint(c: Column): Column = {
+    val mask55 = (1L << 55) - 1
+    aggregate(tokens(c), lit(0L), (acc, t) =>
+      shiftleft(acc.bitwiseAND(lit(mask55)), 5)
+        .bitwiseOR(shiftright(acc, 55))
+        .bitwiseXOR(h60(t)))
+  }
 
   private val punctClass = "[.!?,;:]"
 
@@ -138,7 +153,8 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // document fingerprinting — rolling hash (xxhash64 fold; rows-only)
+    // document fingerprinting — rolling hash (order-sensitive 60-bit
+    // rotate-xor fold over md5-derived token hashes; oracle-checked)
     "q46_rolling_fingerprint" -> { (s, d) =>
       Tables(s, d, "documents").select(
         col("doc_id"),
@@ -220,8 +236,18 @@ object TextAnalysis {
         |    list_transform(range(1, len(toks) - 1),
         |      i -> array_to_string(toks[i:i+2], ' ')))) END AS INTEGER) AS n_distinct_shingles
         |FROM w ORDER BY doc_id""".stripMargin,
-    // q44_lang_id + q46_rolling_fingerprint: heuristic/hash internals not
-    // expressible in ANSI SQL — driver records rows-only checks.
+    // q44_lang_id: heuristic internals (argmax over stopword profiles)
+    // are spec-tested rather than oracle-checked.
+    "q46_rolling_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, hs),
+        |    (acc, h) -> xor(((acc & 36028797018963967) << 5) | (acc >> 55), h))
+        |    AS fp_rolling
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q47_quality_filter" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
