@@ -363,6 +363,32 @@ object Relational {
       Tables(s, d, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")
+    },
+
+    // unpivot / melt: wide measure columns → long (id, measure, value)
+    "q37_unpivot" -> { (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure", valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // distribution windows: ntile buckets + percent_rank + cume_dist
+    "q38_ntile_percentrank" -> { (s, d) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
+      Tables(s, d, "customer")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("c_custkey") % 10 === 0)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "quartile", "pct_rank", "cume")
+        .orderBy("c_nationkey", "c_custkey")
     }
   )
 
@@ -569,8 +595,33 @@ object Relational {
     "q35_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q36_approx_count_distinct: intentionally no oracle (HLL values are
     // implementation-specific) → driver records rows-only check.
+    "q37_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |    l_quantity AS value FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    l_extendedprice FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |    l_discount FROM src
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q38_ntile_percentrank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, quartile, pct_rank, cume
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal ASC, c_custkey ASC))
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_nationkey, c_custkey""".stripMargin
   )
 }

@@ -50,26 +50,65 @@ object IvfIndex {
     Model(cells, centroids, nlist)
   }
 
-  /** Top-k cosine neighbors per query, probing `nprobe` cells. */
-  def search(model: Model, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int): DataFrame = {
-    // rank centroids per query by Euclidean distance: |c|^2 - 2 q·c
+  /** Per-query probe set: the `nprobe` nearest centroids by exact
+    * Euclidean distance (|c|² − 2q·c, codegen'd dot products). */
+  private def probesFor(model: Model, queries: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(model.centroids))
       .withColumn("cdist",
         vec_dot(col("centroid"), col("centroid")) - lit(2.0) * vec_dot(col("q_vec"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
       .select("query_id", "q_vec", "cell")
-    // scan only the probed cells
+  }
+
+  private def topKInProbedCells(cells: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(probes)
-      .join(model.cells.withColumnRenamed(idCol, "neighbor_id"), Seq("cell"))
+      .join(cells.withColumnRenamed(idCol, "neighbor_id"), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosine(col("q_vec"), col(vecCol)))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** Top-k cosine neighbors per query, probing `nprobe` cells. */
+  def search(model: Model, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame =
+    topKInProbedCells(model.cells, probesFor(model, queries, idCol, vecCol, nprobe),
+      idCol, vecCol, k)
+
+  /** Persist the index as parquet PARTITIONED BY cell: at scale the
+    * "index" is just a directory layout, and a probe becomes a
+    * partition-pruned scan that never opens the other cells' files. */
+  def save(model: Model, path: String): Unit = {
+    model.cells.write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    Model(spark.read.parquet(s"$path/cells"), centroids, centroids.count().toInt)
+  }
+
+  /** Search a persisted index with STATIC partition pruning: the union of
+    * all queries' probe cells (≤ nlist values, independent of query
+    * count) is collected and pushed as a literal IN filter, so the
+    * parquet scan lists only the probed cell directories — the
+    * 100 TB path where nprobe/nlist of the corpus is read, verifiable as
+    * `PartitionFilters` in the plan. */
+  def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val model = load(spark, path)
+    val probes = probesFor(model, queries, idCol, vecCol, nprobe)
+      .persist()  // tiny (queries × nprobe); feeds the collect AND the join
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val pruned = model.cells.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    topKInProbedCells(pruned, probes, idCol, vecCol, k)
   }
 }

@@ -111,6 +111,22 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup at ingest — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]]: fingerprint the payload
+    * (whitespace-normalized md5, same family as the batch path) and drop
+    * any row whose fingerprint was already seen within the watermark
+    * horizon. State is one 32-char fingerprint per distinct document
+    * bounded by the watermark (dropDuplicatesWithinWatermark evicts
+    * state older than the horizon), so this runs indefinitely at ingest
+    * scale — the batch dedup then only handles cross-horizon dups. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/dev harness for AvailableNow
     * pipelines). */

@@ -51,4 +51,20 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(run() == run())
   }
+
+  test("persisted index probe partition-prunes and matches in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(model, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inMem = IvfIndex.search(model, queries, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = IvfIndex.searchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == inMem)
+    // the probed-cell IN filter must reach the parquet scan as a
+    // partition filter — only the probed cell directories are listed
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+  }
 }

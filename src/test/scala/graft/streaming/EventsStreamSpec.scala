@@ -79,4 +79,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(closed(1).session_start == Timestamp.valueOf("2024-01-01 02:00:00"))
     assert(closed(1).n_events == 1 && closed(1).total_value == 5.0)
   }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming dedup drops within-watermark duplicates, keeps the first") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val deduped = EventsStream.dedupStream(mem.toDF(), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: an in-batch duplicate (same text, different whitespace —
+    // the normalized fingerprint must catch it)
+    mem.addData(
+      Doc(1, Timestamp.valueOf("2024-01-01 00:00:00"), "hello world"),
+      Doc(2, Timestamp.valueOf("2024-01-01 00:01:00"), "  hello   world "),
+      Doc(3, Timestamp.valueOf("2024-01-01 00:02:00"), "something else"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate within the watermark horizon
+    mem.addData(Doc(4, Timestamp.valueOf("2024-01-01 00:03:00"), "hello world"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
 }
