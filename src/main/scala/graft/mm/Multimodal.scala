@@ -97,25 +97,37 @@ object Multimodal {
         .orderBy("asset_id")
     },
 
-    // full decode-stub feature table (dims derive from the stub — rows-only)
+    // full decode-stub feature table — the stub's pseudo-dims are sha256-
+    // derived, so the oracle recomputes them from the same digest
     "q71_multimodal_features" -> { (s, d) =>
       extractFeatures(assetsFromDocuments(s, d)).toDF()
         .orderBy("asset_id")
     },
 
-    // resize planning over decoded dims (rows-only; depends on stub dims)
+    // resize planning over decoded dims (oracle mirrors the stub dims)
     "q72_multimodal_resize" -> { (s, d) =>
       resizePlan(extractFeatures(assetsFromDocuments(s, d)).toDF(), maxDim = 96)
         .select("asset_id", "width", "height", "out_width", "out_height")
         .orderBy("asset_id")
     },
 
-    // frame sampling fan-out (rows-only; depends on stub frame counts)
+    // frame sampling fan-out (oracle mirrors the stub frame counts)
     "q73_multimodal_frames" -> { (s, d) =>
       sampleFrames(extractFeatures(assetsFromDocuments(s, d)).toDF(), stride = 30)
+        .select(col("asset_id"), col("kind"), col("n_frames"),
+          col("frame_idx").cast("int").as("frame_idx"))
         .orderBy("asset_id", "frame_idx")
     }
   )
+
+  /** DuckDB mirror of the decode stub's pseudo-dimensions: byte k of
+    * sha256(payload) is hex chars [2k+1, 2k+2]. */
+  private val oracleDims =
+    """CAST(64 + (('0x' || substr(sha256(text), 1, 2))::INT % 64) AS INTEGER) AS width,
+      |  CAST(64 + (('0x' || substr(sha256(text), 3, 2))::INT % 64) AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+      |    ELSE 1 + (('0x' || substr(sha256(text), 5, 2))::INT % 120) END AS INTEGER)
+      |    AS n_frames""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q70_multimodal_meta" ->
@@ -124,8 +136,34 @@ object Multimodal {
         |    ELSE 'video' END AS kind,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS checksum
-        |FROM documents ORDER BY asset_id""".stripMargin
-    // q71-q73: pseudo-decode stub internals — rows-only; determinism and
-    // schema asserted in ScalaTest.
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q71_multimodal_features" ->
+      s"""SELECT doc_id AS asset_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS kind,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  $oracleDims,
+         |  sha256(text) AS checksum
+         |FROM documents ORDER BY asset_id""".stripMargin,
+    "q72_multimodal_resize" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id, $oracleDims FROM documents),
+         |s AS (SELECT asset_id, width, height,
+         |    CASE WHEN greatest(width, height) <= 96 THEN 1.0
+         |      ELSE CAST(96 AS DOUBLE) / greatest(width, height) END AS scale
+         |  FROM f)
+         |SELECT asset_id, width, height,
+         |  CAST(floor(width * scale) AS INTEGER) AS out_width,
+         |  CAST(floor(height * scale) AS INTEGER) AS out_height
+         |FROM s ORDER BY asset_id""".stripMargin,
+    "q73_multimodal_frames" ->
+      s"""WITH f AS (SELECT doc_id AS asset_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS kind,
+         |    $oracleDims
+         |  FROM documents)
+         |SELECT asset_id, kind, n_frames,
+         |  CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+         |FROM f WHERE n_frames > 1
+         |ORDER BY asset_id, frame_idx""".stripMargin
   )
 }

@@ -236,8 +236,30 @@ object TextAnalysis {
         |    list_transform(range(1, len(toks) - 1),
         |      i -> array_to_string(toks[i:i+2], ' ')))) END AS INTEGER) AS n_distinct_shingles
         |FROM w ORDER BY doc_id""".stripMargin,
-    // q44_lang_id: heuristic internals (argmax over stopword profiles)
-    // are spec-tested rather than oracle-checked.
+    // q44: the stopword-overlap argmax, mirrored relationally — the
+    // lexicon literals and the (score DESC, lang DESC) tie-break match
+    // Spark's max(struct(score, lang_cand)) lexicographic max exactly
+    "q44_lang_id" -> {
+      val lex = stopwords.toSeq.sortBy(_._1)
+        .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }
+        .mkString(", ")
+      s"""WITH lex(lang_cand, t) AS (VALUES $lex),
+         |tok AS (SELECT doc_id,
+         |    unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS t
+         |  FROM documents),
+         |hits AS (SELECT doc_id, lang_cand, count(*) AS score
+         |  FROM tok JOIN lex USING (t) GROUP BY doc_id, lang_cand),
+         |best AS (SELECT doc_id, lang_cand,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, lang_cand DESC) AS rn
+         |  FROM hits),
+         |pred AS (SELECT d.doc_id, COALESCE(b.lang_cand, 'und') AS lang_pred
+         |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1)
+         |SELECT d.lang, p.lang_pred, count(*) AS n_docs
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY d.lang, p.lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin
+    },
     "q46_rolling_fingerprint" ->
       """WITH t AS (SELECT doc_id,
         |    list_transform(regexp_split_to_array(trim(text), '\s+'),
