@@ -31,6 +31,12 @@ object CopyJob {
   case object ViewSwitch extends PublishMode
   /** E2: temp-dir swap into a stable data dir. */
   case object TempSwap extends PublishMode
+  /** C3/C7 live-database load: truncate-and-batch-INSERT the staged data
+    * into a JDBC table via the `graft-jdbc` DataSource V2 writer (each
+    * Spark partition streams its own `batchsize`-row INSERT batches).
+    * The load is the publish — the target table must already exist
+    * (D3 DDL generation is the caller's step, as in the reference). */
+  final case class JdbcLoad(url: String, batchSize: Int = 10000) extends PublishMode
 
   final case class TableSpec(
       id: String,
@@ -76,6 +82,14 @@ object CopyJob {
         from.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
     }
 
+  /** C7 truncate + C3 distributed batched INSERT, in one overwrite. */
+  private def jdbcLoad(staged: DataFrame, j: JdbcLoad, table: String): Unit =
+    staged.write.format("graft-jdbc")
+      .option("url", j.url).option("dbtable", table)
+      .option("batchsize", j.batchSize.toString)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .save()
+
   private def stagingDir(cfg: JobConfig, t: TableSpec): String =
     Paths.get(cfg.stagingRoot, s"table_${t.from.name}_${t.to}").toString
 
@@ -105,6 +119,7 @@ object CopyJob {
             t.publishMode match {
               case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
               case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
+              case j: JdbcLoad => jdbcLoad(staged, j, t.to)
             }
           }
         }
@@ -129,6 +144,7 @@ object CopyJob {
             t.publishMode match {
               case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
               case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
+              case j: JdbcLoad => jdbcLoad(staged, j, t.to)
             }
           }
         }
@@ -142,6 +158,7 @@ object CopyJob {
               if (cfg.switchOnly) Publish.publishNewest(cfg.targetRoot, t.to) // E6
               else Publish.publishVersion(cfg.targetRoot, t.to, version)
             case TempSwap => () // already swapped in phase 2
+            case _: JdbcLoad => () // the load is the publish
           }
         }
       }

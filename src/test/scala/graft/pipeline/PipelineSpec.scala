@@ -239,6 +239,29 @@ class CopyJobSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(cfg.stagingRoot, "table_nation_nation_out")))
   }
 
+  test("end-to-end copy into a live JDBC database (C3/C7 via graft-jdbc)") {
+    // the reference's whole pipeline shape — extract → stage → load into
+    // a real database — with embedded Derby standing in for MonetDB
+    val url = "jdbc:derby:memory:copyjobdb;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE nation_live (n_nationkey BIGINT, n_name VARCHAR(64),
+           n_regionkey BIGINT, n_comment VARCHAR(256))""")
+      finally st.close()
+    } finally c.close()
+    val cfg = freshCfg(Seq(
+      TableSpec("nation", FromSpec("nation"), "nation_live",
+        publishMode = JdbcLoad(url, batchSize = 7))))  // batch < rows: crosses flushes
+    assert(CopyJob.run(spark, cfg) == Copied)
+    val back = spark.read.jdbc(url, "nation_live", new java.util.Properties())
+    assert(back.count() == 25)
+    // second run overwrites (truncate-before-load), not duplicates
+    assert(CopyJob.run(spark, cfg) == Copied)
+    assert(spark.read.jdbc(url, "nation_live", new java.util.Properties()).count() == 25)
+  }
+
   test("projection + query sources (A2/A3)") {
     val cfg = freshCfg(Seq(
       TableSpec("proj", FromSpec("nation", columns = Some(Seq("n_nationkey", "n_name"))), "proj_out"),
