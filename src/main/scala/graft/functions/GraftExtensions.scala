@@ -2,35 +2,69 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
-  * works the same as the Column API. Install via
+  * expressions as SQL functions (so `spark.sql("SELECT vec_dot(a, b)")`
+  * works the same as the Column API) and the whole-operator planner
+  * strategies. Install via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
-  private[functions] val vecDotDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => {
-      require(children.length == 2, "vec_dot takes exactly 2 arguments")
-      VectorDot(children.head, children(1))
-    })
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private[functions] val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot takes exactly 2 arguments")
+        VectorDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("vec_lsh_key"),
+      new ExpressionInfo(classOf[HyperplaneLshKey].getName, "vec_lsh_key"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "vec_lsh_key takes (vector, dim, bits)")
+        HyperplaneLshKey(children.head,
+          intLit(children(1), "vec_lsh_key", "dim"),
+          intLit(children(2), "vec_lsh_key", "bits"))
+      }),
+    (FunctionIdentifier("sig_match_frac"),
+      new ExpressionInfo(classOf[SigMatchFrac].getName, "sig_match_frac"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sig_match_frac takes exactly 2 arguments")
+        SigMatchFrac(children.head, children(1))
+      }),
+    (FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_agg takes (hash, numPerm)")
+        MinHashAgg(children.head,
+          intLit(children(1), "minhash_agg", "numPerm"))
+          .toAggregateExpression()
+      })
+  )
 
   /** Imperative registration for an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

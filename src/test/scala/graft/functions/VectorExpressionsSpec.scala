@@ -57,6 +57,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(_.getDouble(1) > 0))
   }
 
+  test("vec_lsh_key / sig_match_frac / minhash_agg callable from SQL") {
+    GraftExtensions.register(spark)
+    Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_sql2")
+    val keys = spark.sql(
+      "SELECT vec_lsh_key(embedding, 64, 4) AS k FROM emb_sql2 LIMIT 5").collect()
+    assert(keys.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val frac = spark.sql(
+      "SELECT sig_match_frac(array(1L, 2L, 3L, 4L), array(1L, 2L, 9L, 9L)) AS f")
+      .head().getDouble(0)
+    assert(frac == 0.5)
+    val sig = spark.sql(
+      """SELECT minhash_agg(h, 8) AS sig FROM
+        |  (SELECT xxhash64(cast(vec_id AS string)) AS h FROM emb_sql2)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables(spark, sf(), "embeddings").limit(5)
     val plan = emb.select(vec_dot(col("embedding"), col("embedding")))

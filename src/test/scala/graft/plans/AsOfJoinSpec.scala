@@ -80,4 +80,35 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("user_id"), "ts").count()
     assert(n == e.count())
   }
+
+  test("co-bucketed tables join with zero shuffle") {
+    // pay the shuffle once at write time (bucketBy user_id); the as-of
+    // join's ClusteredDistribution requirement is then already satisfied
+    // and EnsureRequirements inserts no Exchange on either side
+    Seq("b_ev_l", "b_ev_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a killed prior run can leave the warehouse dir behind after the
+      // catalog entry is gone
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(x: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(x)) {
+          val s = java.nio.file.Files.list(x)
+          try s.forEach(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(x)
+      }
+      if (java.nio.file.Files.exists(p)) rm(p)
+    }
+    val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
+    graft.sinks.Bucketing.writeBucketed(e, "b_ev_l", "user_id", 4)
+    graft.sinks.Bucketing.writeBucketed(
+      e.select(col("user_id"), col("ts"), col("value").as("pv")),
+      "b_ev_r", "user_id", 4)
+    val joined = Extended.asofJoinNative(
+      spark.table("b_ev_l"), spark.table("b_ev_r"), Seq("user_id"), "ts")
+    assert(joined.count() == e.count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
