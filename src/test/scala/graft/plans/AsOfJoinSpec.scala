@@ -81,6 +81,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n == e.count())
   }
 
+  test("column pruning reaches the scans under the custom node") {
+    // the node declares its key/time expressions, so Catalyst's generic
+    // column pruning pushes the top projection into both children — the
+    // left scan must not read the unused payload column
+    val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
+    val joined = Extended.asofJoinNative(
+      e, e.select(col("user_id"), col("ts"), col("value").as("pv")),
+      Seq("user_id"), "ts")
+      .select("event_id", "pv")
+    val scans = joined.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("ReadSchema"))
+    assert(scans.exists(s => s.contains("event_id") && !s.contains("value:")), scans.mkString("\n"))
+  }
+
   test("co-bucketed tables join with zero shuffle") {
     // pay the shuffle once at write time (bucketBy user_id); the as-of
     // join's ClusteredDistribution requirement is then already satisfied
