@@ -41,6 +41,33 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push deterministic left-side predicates BELOW the
+  * as-of join. Safe because the operator is left-outer shaped — every
+  * left row produces exactly one output row independent of the others,
+  * so filtering left rows before the join equals filtering after.
+  * (Right-side predicates must NOT push: removing right rows changes
+  * which row is "latest".) Catalyst's built-in PushDownPredicates skips
+  * unknown nodes, so without this rule a time-range filter above an
+  * as-of join would scan both sides in full. */
+object AsOfJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; inject via
   * `GraftExtensions` or `spark.experimental.extraStrategies`. */
 object AsOfJoinStrategy extends SparkStrategy {
@@ -51,12 +78,16 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 
   /** Idempotent runtime registration on a live session (the
-    * `spark.sql.extensions` path isn't available post-construction). */
+    * `spark.sql.extensions` path isn't available post-construction).
+    * Installs both the planner strategy and the filter-pushdown rule. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
     synchronized {
       if (!spark.experimental.extraStrategies.contains(this))
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ this
+      if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
     }
 }
 

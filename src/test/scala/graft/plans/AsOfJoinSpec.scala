@@ -81,6 +81,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n == e.count())
   }
 
+  test("left-side filters push below the join to the scan") {
+    val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
+    val joined = Extended.asofJoinNative(
+      e, e.select(col("user_id"), col("ts"), col("value").as("pv")),
+      Seq("user_id"), "ts")
+      .filter(col("user_id") < 10 && col("pv") > 0)
+    // the user_id predicate (left-only) must reach the left parquet scan
+    // as a pushed filter; the pv predicate (right payload) must stay above
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,10)]"), plan)
+    // correctness: same rows as filtering the composed-form result
+    val expect = Extended.asofJoin(e.filter(col("user_id") < 10),
+      e.withColumnRenamed("event_id", "x").withColumnRenamed("value", "pv")
+        .select("user_id", "ts", "pv"),
+      Seq("user_id"), "ts", Seq("pv"))
+      .filter(col("asof_pv") > 0).count()
+    assert(joined.count() == expect)
+  }
+
   test("column pruning reaches the scans under the custom node") {
     // the node declares its key/time expressions, so Catalyst's generic
     // column pruning pushes the top projection into both children — the
