@@ -379,6 +379,14 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
 
+    // ordered string aggregation (listagg / string_agg)
+    "q39_string_agg" -> { (s, d) =>
+      Tables(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("n_regionkey")
+    },
+
     // distribution windows: ntile buckets + percent_rank + cume_dist
     "q38_ntile_percentrank" -> { (s, d) =>
       val w = Window.partitionBy("c_nationkey").orderBy(asc("c_acctbal"), asc("c_custkey"))
@@ -611,6 +619,9 @@ object Relational {
         |    l_discount FROM src
         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q39_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q38_ntile_percentrank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, quartile, pct_rank, cume
         |FROM (

@@ -127,6 +127,26 @@ object EventsStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Stream-stream interval join: each event joins lookup rows for the
+    * same key whose event time falls within `[event.ts - horizon,
+    * event.ts]` — the streaming enrich pattern (click ↔ impression,
+    * reading ↔ calibration). Both sides are watermarked so the join
+    * state is bounded: a buffered row is dropped once the other side's
+    * watermark passes its eligibility window. */
+  def intervalJoin(events: DataFrame, lookups: DataFrame, keyCol: String,
+      horizon: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = events.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay).alias("l")
+    val r = lookups.withColumn("r_ts", col("r_ts").cast("timestamp"))
+      .withWatermark("r_ts", watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.r_ts") >= col("l.ts") - expr(s"INTERVAL $horizon") &&
+        col("r.r_ts") <= col("l.ts"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/dev harness for AvailableNow
     * pipelines). */

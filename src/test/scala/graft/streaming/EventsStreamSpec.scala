@@ -81,6 +81,30 @@ class EventsStreamSpec extends SparkSpec {
   }
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class Lookup(user_id: Long, r_ts: Timestamp, label: String)
+
+  test("stream-stream interval join enriches within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Event]
+    val lk = MemoryStream[Lookup]
+    val joined = EventsStream.intervalJoin(ev.toDF(), lk.toDF(), "user_id",
+      horizon = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    lk.addData(
+      Lookup(1, Timestamp.valueOf("2024-01-01 00:00:00"), "in_window"),
+      Lookup(1, Timestamp.valueOf("2024-01-01 00:10:00"), "after_event"),
+      Lookup(2, Timestamp.valueOf("2024-01-01 00:04:00"), "other_user"))
+    ev.addData(ev1(1, "2024-01-01 00:03:00"))   // joins "in_window" only
+    q.processAllAvailable()
+    q.stop()
+    val labels = spark.table("ss_join").select("label")
+      .collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("in_window"))
+  }
+
+  private def ev1(user: Long, t: String): Event =
+    Event(user * 100, Timestamp.valueOf(t), user, "click", 1.0)
 
   test("streaming dedup drops within-watermark duplicates, keeps the first") {
     implicit val sqlCtx = spark.sqlContext
