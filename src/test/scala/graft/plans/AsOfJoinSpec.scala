@@ -81,6 +81,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n == e.count())
   }
 
+  test("composite join keys match only when all key parts agree") {
+    val l = Seq(("A", 1, ts("2024-01-01 10:00:05"), 1L),
+                ("A", 2, ts("2024-01-01 10:00:05"), 2L))
+      .toDF("sym", "venue", "ts", "qty")
+    val r = Seq(("A", 1, ts("2024-01-01 10:00:00"), 50.0),
+                ("A", 2, ts("2024-01-01 10:00:01"), 60.0))
+      .toDF("sym", "venue", "ts", "px")
+    val out = Extended.asofJoinNative(l, r, Seq("sym", "venue"), "ts")
+      .orderBy("venue").select("venue", "px").collect()
+    assert(out.map(x => (x.getInt(0), x.getDouble(1))).toSeq ==
+      Seq((1, 50.0), (2, 60.0)))
+  }
+
   test("left-side filters push below the join to the scan") {
     val e = Tables(spark, sf(), "events").select("event_id", "user_id", "ts", "value")
     val joined = Extended.asofJoinNative(
