@@ -39,9 +39,10 @@ object Bench {
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside operator pipelines so queries are
       // timed in isolation (no cross-query memory pressure); the GC nudge
@@ -55,7 +56,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries still contribute a time but are named explicitly —
+    // a silent catch would report a clean-looking run on a broken query
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,6 +152,17 @@ object PropertiesConfig {
     p
   }
 
+  /** C3 live-load publish mode for the parsed `monetdb.*` target block,
+    * wired to the `graft-jdbc` DataSource V2 writer — connects the
+    * reference's config surface to the distributed batched-INSERT path.
+    * `batch.size` is the reference's global knob (default 10000). */
+  def jdbcLoadMode(parsed: Parsed,
+      props: Map[String, String] = Map.empty): Option[CopyJob.JdbcLoad] =
+    parsed.target.map { t =>
+      CopyJob.JdbcLoad(SqlGen.monetDbUrl(t.server, t.database),
+        props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000))
+    }
+
   /** JDBC reader config for a parsed source (the A1-A3 extract surface). */
   def jdbcConfig(src: SourceDef, t: TableDef): JdbcSourceConfig =
     JdbcSourceConfig(src.dialect, src.server, src.database, src.user,

@@ -101,4 +101,13 @@ class PropertiesConfigSpec extends AnyFunSuite {
     assert(p.sources.contains(PropertiesConfig.DefaultSourceId))
     assert(p.tables("t").source == PropertiesConfig.DefaultSourceId)
   }
+
+  test("monetdb target block maps to the graft-jdbc load mode") {
+    val p = PropertiesConfig.parseOrFail(canonical, env = Map.empty)
+    val props = PropertiesConfig.parseProperties(canonical, env = Map.empty)
+    val mode = PropertiesConfig.jdbcLoadMode(p, props)
+    assert(mode.contains(
+      CopyJob.JdbcLoad(SqlGen.monetDbUrl("localhost", "my_target"), 10000)))
+    assert(PropertiesConfig.jdbcLoadMode(p.copy(target = None)).isEmpty)
+  }
 }
