@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
@@ -192,6 +193,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // the full "clean the crawl" composition: quality gate → exact dedup
+    // (min-id survivor) → deterministic train/val/test split, reported as
+    // per-split counts + surviving token volume. Composes q47 + q51 + q82
+    // end-to-end — each stage is a narrow-column pass, so the whole
+    // pipeline is two shuffles (dedup window, final agg) at any scale.
+    "q48_corpus_pipeline" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val gated = qualityMetrics(docs, "text")
+        .filter(col("n_tokens") >= 20 && col("punct_ratio") < 0.05 &&
+          col("avg_token_len") >= 3.0 && col("uniq_token_ratio") > 0.3)
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      val deduped = gated
+        .withColumn("fp", fingerprint(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      deduped
+        .withColumn("split", graft.ops.Extended.splitColumn(col("text")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split")
+    },
+
     // corpus-level token stats per source (the "what's in my crawl" query)
     "q45_corpus_stats" -> { (s, d) =>
       Tables(s, d, "documents")
@@ -284,6 +308,31 @@ object TextAnalysis {
         |WHERE n_tokens >= 20 AND punct_ratio < 0.05
         |  AND avg_token_len >= 3.0 AND uniq_token_ratio > 0.3
         |ORDER BY doc_id""".stripMargin,
+    "q48_corpus_pipeline" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_token_ratio
+        |  FROM documents),
+        |gated AS (SELECT doc_id, text, n_tokens FROM m
+        |  WHERE n_tokens >= 20 AND punct_ratio < 0.05
+        |    AND avg_token_len >= 3.0 AND uniq_token_ratio > 0.3),
+        |dedup AS (SELECT doc_id, text, n_tokens,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM gated)
+        |SELECT CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+        |            WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM dedup WHERE rn = 1
+        |GROUP BY split ORDER BY split""".stripMargin,
     "q45_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
