@@ -30,7 +30,7 @@ object IvfIndex {
     * cells, not converged clusters — extra iterations buy recall nothing
     * measurable and cost a full corpus pass each. */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, maxIter: Int = 5): Model = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val feats = corpus.withColumn("features",

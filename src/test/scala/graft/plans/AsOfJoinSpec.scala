@@ -81,6 +81,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n == e.count())
   }
 
+  test("randomized inputs match a driver-side reference implementation") {
+    val rnd = new scala.util.Random(12345)
+    for (_ <- 1 to 3) {
+      // right side: unique (key, t) so the winner is well-defined
+      val rightRows = rnd.shuffle(
+        (for (k <- 0L until 6L; t <- 0 until 200) yield (k, t.toLong))
+          .toSeq).take(400)
+        .map { case (k, t) => (k, t, rnd.nextInt(1000)) }
+      val leftRows = Seq.fill(300)(
+        (rnd.nextInt(7).toLong, rnd.nextInt(220).toLong, rnd.nextLong()))
+      val l = leftRows.toDF("k", "t", "payload")
+      val r = rightRows.toDF("k", "t", "rv")
+      val got = Extended.asofJoinNative(l, r, Seq("k"), "t")
+        .select("k", "t", "payload", "rv")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getInt(3))))
+        .toSet
+      val byKey = rightRows.groupBy(_._1)
+      val expect = leftRows.map { case (k, t, p) =>
+        val m = byKey.getOrElse(k, Seq.empty).filter(_._2 < t)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, t, p, m)
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
   test("composite join keys match only when all key parts agree") {
     val l = Seq(("A", 1, ts("2024-01-01 10:00:05"), 1L),
                 ("A", 2, ts("2024-01-01 10:00:05"), 2L))
