@@ -55,4 +55,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
       "l_discount:double,l_shipdate:timestamp_ntz>"), p)
   }
+
+  test("q61: brute-force top-k broadcasts the query set, streams the corpus") {
+    val p = plan("q61_cosine_topk_brute")
+    // the small query side is broadcast; the corpus is never shuffled
+    // before the per-query top-k aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("minhash signatures: ONE shuffle total (window partitioning reused by agg)") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val p = graft.dedup.Dedup.minHashSignatures(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan had $shuffles:\n$p")
+  }
 }
