@@ -204,11 +204,83 @@ object Similarity {
         |   sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
         |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |ORDER BY id_a, id_b""".stripMargin
-    // q63 (LSH ANN): bucket family is engine-internal — rows-only; recall
-    //   vs q61 brute force is asserted in ScalaTest.
+        |ORDER BY id_a, id_b""".stripMargin,
     // q64: decimal-exact centroid; DuckDB's DECIMAL(27,10) sum of floats
     //   rounds differently at the 10th decimal → verified in ScalaTest
     //   against a driver-side computation instead.
+    "q63_ann_lsh_topk" -> q63Oracle,
+    "q66_embedding_near_dups" -> q66Oracle
   )
+
+  /** Shared oracle scaffolding: hyperplane-coefficient CTEs + the bucket
+    * expression, with the deterministic coefficient matrix embedded as
+    * double literals (see [[q66Oracle]]). */
+  private def lshOracleCtes(dim: Int, bits: Int): (String, String, String) = {
+    def coefs(p: Int): String = (0 until dim).map { i =>
+      java.lang.Double.toString(
+        (org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashInt(p * 7919 + i, 42L) % 10007L).toDouble / 10007.0)
+    }.mkString("[", ", ", "]")
+    val ctes = (0 until bits).map(p =>
+      s"c$p AS (SELECT ${coefs(p)}::DOUBLE[] AS v)").mkString(",\n")
+    val bucket = (0 until bits).map(p =>
+      s"""(CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
+         |      i -> e.embedding[i]::DOUBLE * c$p.v[i]), 'sum') > 0
+         |    THEN ${1 << p} ELSE 0 END)""".stripMargin).mkString(" +\n    ")
+    (ctes, bucket, (0 until bits).map(p => s"c$p").mkString(", "))
+  }
+
+  private def cosSql(a: String, b: String, dim: Int): String =
+    s"""list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum') /
+       |    (sqrt(list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum')) *
+       |     sqrt(list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE), 'sum')))""".stripMargin
+
+  /** q63 oracle: bucket all vectors with the literal coefficient matrix,
+    * expand each query to its multiprobe set (own bucket + 1-bit flips),
+    * then rank candidates exactly as the Spark plan does. */
+  private def q63Oracle: String = {
+    val dim = 64; val bits = 4
+    val (ctes, bucket, tables) = lshOracleCtes(dim, bits)
+    val masks = (0L +: (0 until bits).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH $ctes,
+       |k AS (SELECT e.vec_id, e.embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings e, $tables),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket AS b0
+       |  FROM k WHERE vec_id < 8),
+       |probes AS (SELECT query_id, q_vec, xor(b0::BIGINT, t.m) AS bucket
+       |  FROM q, unnest($masks::BIGINT[]) AS t(m)),
+       |cand AS (SELECT p.query_id, k.vec_id AS neighbor_id,
+       |    ${cosSql("p.q_vec", "k.embedding", dim)} AS cos
+       |  FROM probes p JOIN k ON k.bucket::BIGINT = p.bucket
+       |    AND k.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q66 oracle: the hyperplane coefficients are a DETERMINISTIC constant
+    * matrix (xxhash64-derived at plan time), so they can be embedded as
+    * double literals and the bucket keys recomputed by DuckDB — products
+    * and sums fold index-ascending on both engines (the q61/q62-proven
+    * parity), so the sign bits match bit-for-bit. */
+  private def q66Oracle: String = {
+    val dim = 64
+    val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)
+    s"""WITH $ctes,
+       |k AS (SELECT e.vec_id, e.embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings e, $tables),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding", dim)} AS cos
+       |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
