@@ -94,6 +94,25 @@ class JdbcV2WriterSpec extends SparkSpec {
     assert(!schema.fields(0).nullable && schema.fields(1).nullable)
   }
 
+  test("failed task rolls back its transaction - no partial rows visible") {
+    exec("CREATE TABLE t_abort (id INT)")
+    val boom = org.apache.spark.sql.functions.udf((i: Int) =>
+      if (i == 150) throw new RuntimeException("boom") else i)
+    intercept[Exception] {
+      (1 to 200).toDF("id")
+        .coalesce(1)
+        .select(boom(org.apache.spark.sql.functions.col("id")).as("id"))
+        .write.format("graft-jdbc")
+        .option("url", url).option("dbtable", "t_abort")
+        .option("batchsize", "50")   // several batches execute before the failure
+        .mode(SaveMode.Append).save()
+    }
+    // rows 1-149 were executeBatch'd but never committed - rollback must
+    // leave the table empty (per-task transaction semantics)
+    val n = spark.read.jdbc(url, "t_abort", new java.util.Properties()).count()
+    assert(n == 0, s"expected rollback to leave 0 rows, found $n")
+  }
+
   test("missing required option fails with a clear message") {
     val e = intercept[Exception] {
       Seq(1).toDF("id").write.format("graft-jdbc")
