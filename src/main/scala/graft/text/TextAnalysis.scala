@@ -128,6 +128,37 @@ object TextAnalysis {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** Statistical fluency score — the perplexity-filter family without the
+    * transcendental: per document, the mean add-one-smoothed bigram
+    * probability `(c(w1,w2)+1)/(c(w1)+V)`, fixed-pointed via
+    * `floor(p·10⁹)` BEFORE summing so the aggregate is exact integer math
+    * (float sums have nondeterministic order; `ln`/`log2` differ by ulps
+    * across math libraries — floor of an IEEE division does not).
+    * Low-probability word sequences (gibberish, boilerplate soup) score
+    * near 0; predictable prose scores high. The LM is the corpus itself:
+    * two aggregation passes and two broadcast-joinable count tables. */
+  def bigramFluency(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tok = docs.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "tok")
+    val bg = tok.withColumn("next", lead(col("tok"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val uni = bg.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy("tok", "next").agg(count(lit(1)).as("c2"))
+    val vocab = tok.select(countDistinct(col("tok")).as("v"))
+    val scored = bg.join(bi, Seq("tok", "next")).join(uni, Seq("tok"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_fp",
+        floor((col("c2") + 1).cast("double") / (col("c1") + col("v")) * 1e9).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("sum_fp"))
+      .withColumn("fluency", col("sum_fp").cast("double") / col("n_bigrams") / 1e9)
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency"))
+  }
+
   val queries: Map[String, Q] = Map(
     // token counting: whitespace + BPE-ish regex segmentation
     "q40_token_count" -> { (s, d) =>
@@ -214,6 +245,13 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy("split")
+    },
+
+    // statistical LM fluency (perplexity-family quality signal, exact
+    // fixed-point math — see bigramFluency)
+    "q49_bigram_fluency" -> { (s, d) =>
+      bigramFluency(Tables(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
     },
 
     // corpus-level token stats per source (the "what's in my crawl" query)
@@ -333,6 +371,32 @@ object TextAnalysis {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM dedup WHERE rn = 1
         |GROUP BY split ORDER BY split""".stripMargin,
+    "q49_bigram_fluency" ->
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, s['pos'] AS pos, s['tok'] AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> {'pos': i, 'tok': toks[i]})) AS s FROM raw)),
+        |bg AS (SELECT doc_id, tok,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM tok),
+        |bg2 AS (SELECT doc_id, tok, next FROM bg WHERE next IS NOT NULL),
+        |uni AS (SELECT tok, count(*) AS c1 FROM bg2 GROUP BY tok),
+        |bi AS (SELECT tok, next, count(*) AS c2 FROM bg2 GROUP BY tok, next),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |scored AS (SELECT bg2.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(floor(CAST(bi.c2 + 1 AS DOUBLE) / (uni.c1 + v.v) * 1e9)
+        |      AS BIGINT)) AS BIGINT) AS sum_fp
+        |  FROM bg2
+        |  JOIN bi ON bi.tok = bg2.tok AND bi.next = bg2.next
+        |  JOIN uni ON uni.tok = bg2.tok, v
+        |  GROUP BY bg2.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, 0::BIGINT) AS n_bigrams,
+        |  CAST(s.sum_fp AS DOUBLE) / s.n_bigrams / 1e9 AS fluency
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q45_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

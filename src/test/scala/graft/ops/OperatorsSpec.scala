@@ -62,6 +62,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getBoolean(0))   // normalization collapses case+whitespace
     assert(!r.getBoolean(1))  // token order matters for the rolling hash
   }
+
+  test("bigram fluency: repetitive prose outscores unique-bigram soup") {
+    // "a b" × 20 makes every bigram maximally predictable; the second doc
+    // has 10 bigrams that each occur once
+    val docs = Seq(
+      (1L, Seq.fill(20)("a b").mkString(" ")),
+      (2L, (0 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluency(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val fluent = r(0).getDouble(2)
+    val soup = r(1).getDouble(2)
+    assert(fluent > soup, s"fluent=$fluent soup=$soup")
+    assert(r(2).getLong(1) == 0L && r(2).isNullAt(2))  // <2 tokens → no score
+  }
 }
 
 class DedupSpec extends SparkSpec {
