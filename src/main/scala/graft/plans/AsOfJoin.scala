@@ -91,10 +91,25 @@ object AsOfJoinStrategy extends SparkStrategy {
     }
 }
 
+/** Physical sort-merge as-of join.
+  *
+  * Skew note: all rows of one key land in one partition (inherent to any
+  * keyed merge join — same as SortMergeJoin). Unlike per-key buffering
+  * joins, the merge holds ONE right row regardless of key size, so a hot
+  * key costs wall-clock on its partition but never memory; AQE's skew
+  * handling cannot split it (the merge needs the key's full time range
+  * in order), so extremely hot keys should pre-split upstream by a time
+  * coarse bucket if needed. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute, strict: Boolean)
   extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -111,6 +126,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val strictLocal = strict
     val lOut = left.output
     val rOut = right.output
@@ -167,6 +184,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val m =
           if (matched != null && keyOrd.compare(matchedKey, lKey) == 0) matched
           else null
+        numOutputRows += 1
+        if (m != null) numMatched += 1
         resultProj(if (m == null) joiner(l, rightNull) else joiner(l, m))
       }
     }
