@@ -60,7 +60,13 @@ object CopyJob {
       noSwitch: Boolean = false,      // E6 --no-switch
       /** resume from durable staging after a crash between phases 1 and 2
         * (the reference's staging-triplet recovery, SURVEY §3.1). */
-      resumeFromStaging: Boolean = false) {
+      resumeFromStaging: Boolean = false,
+      /** tables processed concurrently WITHIN each phase (the phase
+        * barriers of H3 are preserved: all extracts complete before any
+        * load starts). The reference is strictly sequential; on a
+        * cluster, independent tables' Spark jobs pipeline through the
+        * scheduler and hide each other's stragglers. 1 = sequential. */
+      tableParallelism: Int = 1) {
     /** Config identity for watermark-state scoping (G3). */
     def hash: String = Watermark.configHash(this.toString)
   }
@@ -80,6 +86,27 @@ object CopyJob {
       case None =>
         val df = Tables(spark, cfg.sourceDir, from.name)
         from.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
+    }
+
+  /** Run `f` over tables with bounded concurrency; sequential when
+    * par ≤ 1. Failures propagate unwrapped so JobResult.Failed carries
+    * the real cause. Safe because per-table work touches disjoint
+    * staging/target dirs and Spark schedules concurrent jobs. */
+  private def parForeach[A](xs: Seq[A], par: Int)(f: A => Unit): Unit =
+    if (par <= 1 || xs.size <= 1) xs.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(par, xs.size))
+      try {
+        val futures = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = f(x)
+          })
+        }
+        futures.foreach { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
     }
 
   /** C7 truncate + C3 distributed batched INSERT, in one overwrite. */
@@ -132,12 +159,12 @@ object CopyJob {
           return Failed(s"empty source tables: ${empties.map(_.id).mkString(", ")}")
 
         // ---- PHASE 1: extract ALL tables to durable staging
-        cfg.tables.foreach { t =>
+        parForeach(cfg.tables, cfg.tableParallelism) { t =>
           Staging.stage(resolveSource(spark, cfg, t.from), stagingDir(cfg, t), t.autoTrim)
         }
 
         // ---- PHASE 2: load ALL tables (staging → snapshot)
-        cfg.tables.foreach { t =>
+        parForeach(cfg.tables, cfg.tableParallelism) { t =>
           val m = Staging.validate(spark, stagingDir(cfg, t))   // F3
           if (m.count > 0 || t.allowEmpty) {                    // B4 short-circuit
             val staged = Staging.read(spark, stagingDir(cfg, t))

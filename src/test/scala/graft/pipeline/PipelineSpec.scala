@@ -239,6 +239,29 @@ class CopyJobSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(cfg.stagingRoot, "table_nation_nation_out")))
   }
 
+  test("phase-parallel run equals sequential: same outputs, phases still barriered") {
+    val tables = Seq(
+      TableSpec("nation", FromSpec("nation"), "nation_p"),
+      TableSpec("region", FromSpec("region"), "region_p"),
+      TableSpec("supplier", FromSpec("supplier"), "supplier_p"))
+    val cfg = freshCfg(tables).copy(tableParallelism = 3)
+    assert(CopyJob.run(spark, cfg) == Copied)
+    assert(Publish.readCurrent(spark, cfg.targetRoot, "nation_p").count() == 25)
+    assert(Publish.readCurrent(spark, cfg.targetRoot, "region_p").count() == 5)
+    assert(Publish.readCurrent(spark, cfg.targetRoot, "supplier_p").count() > 0)
+  }
+
+  test("a failing table in a parallel phase fails the job with the real cause") {
+    val cfg = freshCfg(Seq(
+      TableSpec("nation", FromSpec("nation"), "n_ok"),
+      TableSpec("bad", FromSpec("no_such_table"), "n_bad")))
+      .copy(tableParallelism = 2)
+    CopyJob.run(spark, cfg) match {
+      case Failed(reason, _) => assert(reason != null)
+      case other => fail(s"expected Failed, got $other")
+    }
+  }
+
   test("end-to-end copy into a live JDBC database (C3/C7 via graft-jdbc)") {
     // the reference's whole pipeline shape — extract → stage → load into
     // a real database — with embedded Derby standing in for MonetDB
