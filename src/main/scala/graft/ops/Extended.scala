@@ -43,7 +43,7 @@ object Extended {
       .foldLeft(rTagged) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toSeq.map(col): _*))
     // right rows (_tag=1) sort BEFORE left rows at strictly earlier ts
     // only; at equal ts the left row (_tag=0) comes first, so last(...,
     // ignoreNulls) over the preceding frame sees strictly-earlier rights

@@ -34,7 +34,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     val l = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(salts)))
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

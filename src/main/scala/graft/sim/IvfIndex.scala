@@ -108,7 +108,7 @@ object IvfIndex {
       .persist()  // tiny (queries × nprobe); feeds the collect AND the join
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0))
-    val pruned = model.cells.filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val pruned = model.cells.filter(col("cell").isin(probedCells.toSeq.map(Int.box): _*))
     topKInProbedCells(pruned, probes, idCol, vecCol, k)
   }
 }
