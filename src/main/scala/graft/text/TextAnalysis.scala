@@ -254,6 +254,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // pattern scrubbing: URL/email detection + removal (the safety/
+    // cleaning pass every crawl pipeline runs before training) — counts
+    // and the post-strip length, RE2-compatible patterns only
+    "q56_pattern_scrub" -> { (s, d) =>
+      val url = "https?://[^\\s]+"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val t = col("text")
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(url), lit(0))).cast("int").as("n_urls"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("int").as("n_emails"),
+        length(regexp_replace(regexp_replace(t, url, ""), email, ""))
+          .cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
+    // repetition stats (Gopher-style quality rules): duplicate-token
+    // fraction and the most-frequent token's share of the document
+    "q57_repetition_stats" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      val stats = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_tok_count"))
+        .select(col("doc_id"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .as("dup_token_frac"),
+          (col("max_tok_count").cast("double") / col("n_tokens"))
+            .as("top_token_share"))
+      docs.select("doc_id").join(stats, Seq("doc_id"), "left_outer")
+        .orderBy("doc_id")
+    },
+
     // corpus-level token stats per source (the "what's in my crawl" query)
     "q45_corpus_stats" -> { (s, d) =>
       Tables(s, d, "documents")
@@ -396,6 +432,27 @@ object TextAnalysis {
         |  COALESCE(s.n_bigrams, 0::BIGINT) AS n_bigrams,
         |  CAST(s.sum_fp AS DOUBLE) / s.n_bigrams / 1e9 AS fluency
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q56_pattern_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(length(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')) AS BIGINT)
+        |    AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q57_repetition_stats" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+        |st AS (SELECT doc_id,
+        |    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_token_frac,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_share
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, st.dup_token_frac, st.top_token_share
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q45_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
