@@ -379,6 +379,31 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
 
+    // Pearson correlation via decimal-exact moment sums: built-in corr()
+    // accumulates doubles in partition order (nondeterministic at scale);
+    // exact decimal sums make the result reproducible bit-for-bit and
+    // oracle-checkable. Same one-pass, map-side-combinable shape.
+    "q58_exact_corr" -> { (s, d) =>
+      val x = col("l_quantity").cast(DecimalType(18, 6))
+      val y = col("l_extendedprice").cast(DecimalType(18, 6))
+      def dbl(c: Column) = c.cast("double")
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          // floor-quantized to 1e-9: the moment sums are exact decimals,
+          // but decimal→double conversion can differ in the last ulp
+          // across engines (double-rounding of int128-scaled values);
+          // quantizing keeps the compare exact without a tolerance
+          floor(((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (sqrt(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+             sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))) * 1e9))
+            .cast("long").as("corr_fp9"))
+        .orderBy("l_returnflag")
+    },
+
     // ordered string aggregation (listagg / string_agg)
     "q39_string_agg" -> { (s, d) =>
       Tables(s, d, "nation")
@@ -622,6 +647,21 @@ object Relational {
     "q39_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q58_exact_corr" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor(
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1e9) AS BIGINT) AS corr_fp9
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q38_ntile_percentrank" ->
       """SELECT c_nationkey, c_custkey, c_acctbal, quartile, pct_rank, cume
         |FROM (
