@@ -404,6 +404,20 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys match
+    // each other — the semantics dedup/merge keys need when absent values
+    // are legitimate join partners
+    "q59_null_safe_join" -> { (s, d) =>
+      val base = Tables(s, d, "events").filter(col("event_id") < 200)
+        .select(col("event_id"),
+          nullif(floor(col("value") * 10) % 10, lit(0)).cast("long").as("k"))
+      val a = base.select(col("event_id").as("id_a"), col("k"))
+      val b = base.select(col("event_id").as("id_b"), col("k").as("k_b"))
+      a.join(b, a("k") <=> b("k_b") && a("id_a") < b("id_b"))
+        .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
     // ordered string aggregation (listagg / string_agg)
     "q39_string_agg" -> { (s, d) =>
       Tables(s, d, "nation")
@@ -647,6 +661,14 @@ object Relational {
     "q39_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q59_null_safe_join" ->
+      """WITH base AS (SELECT event_id,
+        |    CAST(nullif(floor(value * 10) % 10, 0) AS BIGINT) AS k
+        |  FROM events WHERE event_id < 200)
+        |SELECT a.k, count(*) AS n_pairs
+        |FROM base a JOIN base b
+        |  ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+        |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin,
     "q58_exact_corr" ->
       """WITH m AS (SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
