@@ -20,4 +20,17 @@ object GraftBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   /** Analyzed plan of a DataFrame (for building composite plans). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Introspection of a SparkSessionExtensions instance (test support for
+    * the declarative `spark.sql.extensions` install path). */
+  def builtStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+  def registeredFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

@@ -74,6 +74,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sig.length == 8)
   }
 
+  test("declarative GraftExtensions injects strategies, rules, and functions") {
+    // the spark.sql.extensions install path, exercised without tearing
+    // down the shared test session: apply the extension class to a fresh
+    // SparkSessionExtensions and inspect what it registered
+    import org.apache.spark.sql.graft.GraftBridge
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftBridge.builtStrategies(ext, spark).contains(graft.plans.AsOfJoinStrategy))
+    assert(GraftBridge.builtOptimizerRules(ext, spark)
+      .contains(graft.plans.AsOfJoinFilterPushdown))
+    val reg = GraftBridge.registeredFunctions(ext,
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    Seq("vec_dot", "vec_lsh_key", "sig_match_frac", "minhash_agg").foreach { f =>
+      assert(reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)), f)
+    }
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables(spark, sf(), "embeddings").limit(5)
     val plan = emb.select(vec_dot(col("embedding"), col("embedding")))
