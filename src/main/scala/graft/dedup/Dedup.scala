@@ -82,10 +82,16 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), slice(col("signature"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-    val smallBuckets = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    // skew guard via aggregate + broadcast ANTI join, not a window: the
+    // count aggregates map-side down to distinct bucket ids (vs window's
+    // full shuffle+sort of every banded row), and the oversized-bucket
+    // set is tiny (usually empty) so the anti join broadcasts
+    val oversized = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val smallBuckets = banded.join(broadcast(oversized),
+      Seq("band_idx", "band_hash"), "left_anti")
     val a = smallBuckets.select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_a"), col("signature").as("sig_a"))
     val b = smallBuckets.select(col("band_idx"), col("band_hash"),
