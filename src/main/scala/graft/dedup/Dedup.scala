@@ -25,13 +25,15 @@ object Dedup {
 
   /** Exact dedup, deterministic survivor: keep the row with the smallest
     * `idCol` per fingerprint group (dropDuplicates keeps an arbitrary row,
-    * which is not oracle-checkable). One shuffle on the 128-bit hash. */
+    * which is not oracle-checkable). One hash-aggregate shuffle on the
+    * 128-bit fingerprint — min_by needs no per-group sort, unlike the
+    * equivalent row_number window, and combines map-side. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    val cols = df.columns.toSeq
     df.withColumn("fp", fingerprint(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy("fp")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(col("_row.*"), col("fp"))
   }
 
   /** Duplicate-group report: fingerprint → group size + surviving id. */
