@@ -75,12 +75,20 @@ object Dedup {
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
     * with the fraction of matching minhashes (the Jaccard estimate).
     *
+    * Plan shape (the part that matters at 100 TB): the band self-join
+    * carries ONLY `(band_idx, band_hash, id)` — never the numPerm×8-byte
+    * signature. A pair that collides in k bands is materialized k times by
+    * the join, so anything wider than an id through that shuffle is paid
+    * k-fold; the ids are deduplicated to unique `(id_a, id_b)` pairs FIRST,
+    * and only then is the signature joined back (once per side) to score
+    * each unique pair exactly once.
+    *
     * `maxBucket` caps degenerate buckets (boilerplate shingles at web
     * scale) — dropped buckets are the standard MinHashLSH skew guard. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame = {
     val banded = sigs.select(
-      col(idCol), col("signature"),
+      col(idCol),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), slice(col("signature"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
@@ -94,16 +102,21 @@ object Dedup {
       .select("band_idx", "band_hash")
     val smallBuckets = banded.join(broadcast(oversized),
       Seq("band_idx", "band_hash"), "left_anti")
-    val a = smallBuckets.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("signature").as("sig_a"))
-    val b = smallBuckets.select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("signature").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val a = smallBuckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = smallBuckets.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // one signature lookup per side, one score per unique pair; the two
+    // sig subtrees re-shuffle on id, which ReuseExchange shares with the
+    // signature aggregation's own exchange
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.sig_match_frac(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
-      .distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banding → candidate
@@ -111,10 +124,13 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerm: Int = 64, shingleN: Int = 3,
       bands: Int = 16, rows: Int = 4): DataFrame = {
-    // persist: the signature table is tiny relative to the corpus
-    // (id + numPerm longs) and feeds BOTH sides of the band self-join —
-    // without it the whole shingle+minhash pipeline runs twice
-    val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN).persist()
+    // deliberately persist-free: the signature subtree appears four times
+    // in the candidate plan (band self-join sides + two scoring lookups),
+    // but all four share the same exchanges — the band self-join reuses one
+    // banded shuffle, and the scoring lookups reuse the window/agg shuffle
+    // on the doc id — so the corpus is scanned and tokenized once, and no
+    // cached blocks outlive the query (a long-lived session leaks nothing)
+    val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN)
     lshCandidatePairs(sigs, idCol, bands, rows)
       .filter(col("est_jaccard") >= threshold)
   }
@@ -152,18 +168,19 @@ object Dedup {
     * fold evaluates interpreted lambdas 64× per row — fine for ad-hoc
     * expressions, wrong for a corpus pass). Docs with no tokens get
     * fingerprint 0, matching the fold's seed. */
+  /** SimHash as a table: explode tokens → ONE native vote aggregate
+    * ([[graft.functions.SimHashAgg]]: int[60] buffer, map-side partials)
+    * → finished fingerprint as a plain column. Same result as [[simHash]]
+    * but with a constant-size generated-code footprint — the composed
+    * 60-sum + 60-term-assembly form spent more time in plan compilation
+    * than in data. Docs with no tokens get fingerprint 0, matching the
+    * fold's seed. */
   def simHashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", graft.text.TextAnalysis.h60(col("tok")))
-    val votes = (0 until simHashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$b")
-    }
-    val fp = (0 until simHashBits)
-      .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val computed = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fp.as("simhash"))
+    val computed = tok.groupBy(col(idCol))
+      .agg(graft.functions.SimHashFunctions.simhash_agg(col("h"), simHashBits).as("simhash"))
     // keep token-less docs (fingerprint 0), matching the fold semantics
     docs.select(col(idCol)).join(computed, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
@@ -177,9 +194,19 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
-    // persist: fingerprints are 16 bytes/doc and feed both sides of
-    // the block self-join — avoids recomputing the corpus pass
-    val fps = simHashTable(docs, textCol, idCol).persist()
+    // Same plan discipline as [[lshCandidatePairs]] with one difference:
+    // a SimHash fingerprint is a single long — the same width as the id —
+    // so carrying it through the block self-join costs the shuffle nothing
+    // (unlike q53's numPerm×8-byte signatures, which are joined back
+    // post-distinct instead). Pairs are still deduplicated BEFORE the
+    // hamming verify: a pair sharing q quarters is materialized q times by
+    // the join, and the distinct collapses those copies while hamming +
+    // the threshold filter run once per unique pair. Persist-free — no
+    // cached blocks outlive the query.
+    // quarter keys derive from the fingerprint attribute with four small
+    // shift/mask expressions — cheap for CollapseProject to inline, since
+    // the fingerprint itself is one aggregate output column, not a tree
+    val fps = simHashTable(docs, textCol, idCol)
     val blocked = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
@@ -190,8 +217,9 @@ object Dedup {
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("block_idx", "block_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -60,6 +60,14 @@ object GraftExtensions {
         MinHashAgg(children.head,
           intLit(children(1), "minhash_agg", "numPerm"))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash_agg takes (hash, bits)")
+        SimHashAgg(children.head,
+          intLit(children(1), "simhash_agg", "bits"))
+          .toAggregateExpression()
       })
   )
 

@@ -30,10 +30,8 @@ object Extended {
     val lTagged = left
       .withColumn("_is_left", lit(1))
       .withColumn("_tag", lit(0))
-    val rTagged = payloadCols.foldLeft(
-      right.select((keys :+ tsCol).map(col) ++ payloadCols.map(c => col(c).as(s"_p_$c")): _*)) {
-        (d, _) => d
-      }
+    val rTagged = right
+      .select((keys :+ tsCol).map(col) ++ payloadCols.map(c => col(c).as(s"_p_$c")): _*)
       .withColumn("_is_left", lit(0))
       .withColumn("_tag", lit(1))
     val lAligned = payloadCols.foldLeft(lTagged) { (d, c) =>

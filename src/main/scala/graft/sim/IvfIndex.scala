@@ -104,11 +104,17 @@ object IvfIndex {
   def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val model = load(spark, path)
-    val probes = probesFor(model, queries, idCol, vecCol, nprobe)
-      .persist()  // tiny (queries × nprobe); feeds the collect AND the join
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0))
-    val pruned = model.cells.filter(col("cell").isin(probedCells.toSeq.map(Int.box): _*))
+    val probesPlan = probesFor(model, queries, idCol, vecCol, nprobe)
+    // materialize the probe set driver-side ONCE — it is bounded by
+    // |queries| × nprobe (the probe side is broadcast anyway, so queries
+    // are small by contract) and feeds both the static IN filter and the
+    // broadcast join input; a local list avoids the persist-without-
+    // unpersist leak a cached two-consumer plan would carry
+    val probeRows = probesPlan.collect()
+    val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val pruned = model.cells.filter(col("cell").isin(probedCells.map(Int.box): _*))
     topKInProbedCells(pruned, probes, idCol, vecCol, k)
   }
 }

@@ -12,44 +12,31 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     val d = "/root/testdata/sf0.1"
     val docs = Tables(spark, d, "documents")
-    t("warmup scan")(docs.select(xxhash64(col("text"))).count())
+    println("[scratch] docs rows: " + docs.count())
 
-    val lexicon = broadcast(
-      graft.text.TextAnalysis.stopwords.toSeq
-        .flatMap { case (l, ws) => ws.map(w => (l, w)) }.toDF("lang_cand", "tok"))
-    val exploded = docs.select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    t("explode only")(exploded.count())
-    val joined = exploded.join(lexicon, Seq("tok"))
-    t("explode+join")(joined.count())
-    val perLang = joined.groupBy(col("doc_id"), col("lang_cand"))
-      .agg(countDistinct(col("tok")).as("score"))
-    t("+countDistinct")(perLang.count())
-    val best = perLang.groupBy(col("doc_id"))
-      .agg(max(struct(col("score"), col("lang_cand"))).as("best"))
-    t("+argmax")(best.count())
-    t("full q44")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
-    t("full q44 again")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
+    // does exchange reuse fire on a trivial agg self-join?
+    val agg = docs.groupBy("doc_id").agg(sum(length(col("text"))).as("s"))
+    val j = agg.as("x").join(agg.as("y"), Seq("doc_id"))
+      .filter(col("x.s") === col("y.s"))
+    t("trivial self-join")(j.count())
+    val plan = j.queryExecution.executedPlan.toString
+    println("[scratch] trivial Reused: " + "Reused".r.findAllIn(plan).size +
+      "  Exchange: " + "Exchange".r.findAllIn(plan).size +
+      "  QueryStage: " + "QueryStage".r.findAllIn(plan).size)
 
-    val sigs = graft.dedup.Dedup.minHashSignatures(docs, "text", "doc_id")
-    t("minhash sigs")(sigs.count())
-    t("minhash sigs again")(sigs.count())
-    val sigsP = sigs.persist()
-    sigsP.count()
-    val pairs = graft.dedup.Dedup.lshCandidatePairs(sigsP, "doc_id")
-    t("lsh pairs (sigs cached)")(pairs.count())
-    t("lsh pairs again")(pairs.count())
-    sigsP.unpersist()
-    t("full q53")(graft.SparkEntry.queries("q53_minhash_lsh_pairs")(spark, d).count())
-    t("full q53 again")(graft.SparkEntry.queries("q53_minhash_lsh_pairs")(spark, d).count())
+    val nd = graft.dedup.Dedup.simHashNearDups(docs, "text", "doc_id")
+    t("near dups full")(nd.count())
+    val p2 = nd.queryExecution.executedPlan.toString
+    println("[scratch] nd Reused: " + "Reused".r.findAllIn(p2).size +
+      "  Exchange: " + "Exchange".r.findAllIn(p2).size)
     spark.stop()
   }
 }
