@@ -153,19 +153,25 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
-    // centroid per label (mean vector — the classic cluster summary)
+    // centroid per label (mean vector — the classic cluster summary).
+    // Cross-engine exactness via fixed-point quantization BEFORE the sum:
+    // floor(x·1e9) longs add exactly and order-independently in both
+    // engines, and the norm arithmetic downstream is the same IEEE double
+    // operation sequence on both sides — no float-sum-order or
+    // decimal-rounding divergence left to leak into the hash compare.
     "q64_label_centroid_norm" -> { (s, d) =>
-      // mean of each dimension, computed as decimal-exact sums / count
       val emb = Tables(s, d, "embeddings")
       val dims = 64
       val sums = (0 until dims).map(i =>
-        sum(element_at(col("embedding"), i + 1).cast("decimal(27,10)")).as(s"s_$i"))
+        sum(floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e9))
+          .cast("long")).as(s"s_$i"))
       emb.groupBy("label")
         .agg(count(lit(1)).as("n_vecs"), sums: _*)
         .select(col("label"), col("n_vecs"),
-          sqrt((0 until dims).map(i =>
-            pow((col(s"s_$i") / col("n_vecs")).cast("double"), 2)).reduce(_ + _))
-            .as("centroid_norm"))
+          sqrt((0 until dims).map { i =>
+            val m = col(s"s_$i").cast("double") / (col("n_vecs").cast("double") * lit(1e9))
+            m * m
+          }.reduce(_ + _)).as("centroid_norm"))
         .orderBy("label")
     }
   )
@@ -205,12 +211,30 @@ object Similarity {
         |    i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
-    // q64: decimal-exact centroid; DuckDB's DECIMAL(27,10) sum of floats
-    //   rounds differently at the 10th decimal → verified in ScalaTest
-    //   against a driver-side computation instead.
+    "q64_label_centroid_norm" -> q64Oracle,
     "q63_ann_lsh_topk" -> q63Oracle,
     "q66_embedding_near_dups" -> q66Oracle
   )
+
+  /** q64 oracle: mirrors the fixed-point centroid exactly — floor(x·1e9)
+    * BIGINT sums (order-independent), then the identical double divide /
+    * square / left-associated add chain. DuckDB SUM(BIGINT) is HUGEINT,
+    * hence the explicit casts back. */
+  private def q64Oracle: String = {
+    val dims = 64
+    val sums = (0 until dims).map(i =>
+      s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n    ")
+    val terms = (0 until dims).map(i =>
+      s"(CAST(s_$i AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e9)) * " +
+        s"(CAST(s_$i AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e9))")
+      .mkString(" +\n    ")
+    s"""WITH s AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    $sums
+       |  FROM embeddings GROUP BY label)
+       |SELECT label, n_vecs, sqrt($terms) AS centroid_norm
+       |FROM s ORDER BY label""".stripMargin
+  }
 
   /** Shared oracle scaffolding: hyperplane-coefficient CTEs + the bucket
     * expression, with the deterministic coefficient matrix embedded as
