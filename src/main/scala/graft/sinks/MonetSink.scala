@@ -123,6 +123,62 @@ object MonetSink {
   def chooseLoadMethod(configured: Option[LoadMethod], freshTable: Boolean): LoadMethod =
     configured.getOrElse(if (freshTable) CopyIntoFromFile else BatchedInsert)
 
+  /** One CSV record in the reference's staging dialect
+    * (`CopyTool.java:692-728`): every non-null value double-quoted with
+    * `\` and `"` backslash-escaped, nulls as bare `\N`, comma separator.
+    * Built as a codegen'd Column so formatting runs distributed; only the
+    * finished lines ever reach the driver-side socket pump. */
+  def csvLine(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cells = df.schema.fields.map { f =>
+      val s = col(f.name).cast("string")
+      val escaped = regexp_replace(regexp_replace(s, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+      when(col(f.name).isNull, lit("\\N"))
+        .otherwise(concat(lit("\""), escaped, lit("\"")))
+    }
+    concat(cells.flatMap(c => Seq(lit(","), c)).drop(1): _*)
+  }
+
+  /** C2 execution: stream the DataFrame through one MAPI socket as
+    * `COPY INTO ... FROM STDIN`. CSV formatting is distributed; the
+    * driver pumps finished lines into the block stream (constant memory —
+    * `toLocalIterator` holds one partition at a time). One socket by
+    * design: LOCKED-mode COPY serializes on the server anyway, and the
+    * parallel many-connection path is the DSv2 JDBC writer (C3); this is
+    * the DB-bound bulk channel, where MonetDB itself is the bottleneck. */
+  def copyViaStdin(df: DataFrame, host: String, port: Int, user: String,
+      password: String, database: String, schema: String, table: String,
+      records: Option[Long] = None, locked: Boolean = true): Long = {
+    val sql = copyIntoSql(schema, table, records, source = None, locked = locked)
+    val lines = df.select(csvLine(df).as("line"))
+      .toLocalIterator()
+    val client = MapiClient.connect(host, port, user, password, database)
+    try client.copyIntoStdin(sql, new Iterator[String] {
+      override def hasNext: Boolean = lines.hasNext
+      override def next(): String = lines.next().getString(0)
+    })
+    finally client.close()
+  }
+
+  /** C4 runtime cascade (`CopyTool.java:829-866`): unless the configured
+    * method is INSERT, try COPY-from-file; on failure fall through to
+    * COPY-from-STDIN; on failure fall through to batched INSERTs; if
+    * everything failed, raise. Returns the method that succeeded. The
+    * attempts are passed as thunks so the policy is unit-testable without
+    * a live server and reusable across JDBC/MAPI transports. */
+  def loadWithCascade(configured: Option[LoadMethod],
+      copyFile: () => Unit, copyStdin: () => Unit, insert: () => Unit): LoadMethod = {
+    def attempt(m: LoadMethod, f: () => Unit): Option[LoadMethod] =
+      try { f(); Some(m) } catch { case scala.util.control.NonFatal(_) => None }
+    val viaCopy =
+      if (configured.contains(BatchedInsert)) None
+      else attempt(CopyIntoFromFile, copyFile)
+        .orElse(attempt(CopyIntoFromStdin, copyStdin))
+    viaCopy.orElse(attempt(BatchedInsert, insert)).getOrElse(
+      throw new IllegalStateException(
+        "unable to load data: COPY INTO (file), COPY INTO (stdin) and batched INSERT all failed"))
+  }
+
   /** C3 batched-INSERT path via Spark's JDBC writer; `batchsize` is the
     * reference's `batch.size` (default 10000, `CopyToolConfig.java:44`). */
   def writeJdbc(df: DataFrame, url: String, schema: String, table: String,

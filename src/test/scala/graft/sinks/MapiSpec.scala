@@ -1,0 +1,209 @@
+package graft.sinks
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.SparkSpec
+
+/** A loopback fake speaking just enough MAPI v9 to exercise the client:
+  * challenge, digest check, redirect, COPY INTO FROM STDIN capture. */
+final class FakeMonetServer(user: String, password: String,
+    redirectsFirst: Boolean = false) {
+  val salt = "testsalt1234"
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+
+  @volatile var receivedCopySql: String = _
+  @volatile var receivedRows: Seq[String] = Nil
+  @volatile var authedDigest: String = _
+  private val done = new CountDownLatch(1)
+
+  private def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+  private def sha512(s: String) =
+    hex(MessageDigest.getInstance("SHA-512").digest(s.getBytes(UTF_8)))
+
+  private val expectedDigest = sha512(sha512(password) + salt)
+
+  private val thread = new Thread(() => {
+    val sock = server.accept()
+    try {
+      val s = new MapiBlockStream(sock.getInputStream, sock.getOutputStream)
+      def challengeAndAuth(): Boolean = {
+        s.writeMessage(s"$salt:mserver:9:RIPEMD160,SHA512,SHA256,SHA1:LIT:SHA512:".getBytes(UTF_8))
+        val resp = s.readMessage()
+        val parts = resp.split(":", -1)
+        authedDigest = parts(2)
+        parts(1) == user && parts(2) == s"{SHA512}$expectedDigest"
+      }
+      if (redirectsFirst) {
+        challengeAndAuth() // first round: answer with a merovingian redirect
+        s.writeMessage("^mapi:merovingian://proxy?database=demo".getBytes(UTF_8))
+      }
+      val ok = challengeAndAuth()
+      if (!ok) {
+        s.writeMessage("!InvalidCredentialsException:checkLogin".getBytes(UTF_8))
+      } else {
+        s.writeMessage(Array.emptyByteArray) // prompt: authenticated
+
+        // one statement message
+        val msg = s.readMessage()
+        require(msg.startsWith("s"), s"expected statement marker, got '${msg.take(20)}'")
+        val lines = msg.drop(1).split("\n", -1).toSeq
+        receivedCopySql = lines.head
+        if (receivedCopySql.contains("FROM STDIN")) {
+          // CSV records follow in the same message, closed by an empty line
+          receivedRows = lines.tail.takeWhile(_.nonEmpty)
+          s.writeMessage(s"&2 ${receivedRows.size} -1\n".getBytes(UTF_8))
+        } else {
+          s.writeMessage("&2 0 -1\n".getBytes(UTF_8))
+        }
+      }
+    } finally {
+      sock.close(); server.close(); done.countDown()
+    }
+  })
+  thread.setDaemon(true)
+  thread.start()
+
+  def awaitDone(): Unit = done.await(10, TimeUnit.SECONDS)
+}
+
+class MapiSpec extends SparkSpec {
+
+  // -------------------------------------------------------------- framing
+
+  test("block framing round-trips messages larger than one block") {
+    val payload = ("x" * 20000) + "tail"
+    val buf = new ByteArrayOutputStream()
+    new MapiBlockStream(new ByteArrayInputStream(Array.emptyByteArray), buf)
+      .writeMessage(payload.getBytes(UTF_8))
+    val bytes = buf.toByteArray
+    // 20004 bytes → blocks of 8190, 8190, 3624; headers are 2-byte LE
+    val h0 = (bytes(0) & 0xFF) | ((bytes(1) & 0xFF) << 8)
+    assert(h0 == (8190 << 1), "first block: full, not last")
+    val read = new MapiBlockStream(new ByteArrayInputStream(bytes),
+      new ByteArrayOutputStream()).readMessage()
+    assert(read == payload)
+  }
+
+  test("streamed writes chunk identically to one-shot writes") {
+    val chunks = Seq("abc", "d" * 9000, "", "ef\n", "g" * 8187)
+    val oneShot = new ByteArrayOutputStream()
+    new MapiBlockStream(new ByteArrayInputStream(Array.emptyByteArray), oneShot)
+      .writeMessage(chunks.mkString.getBytes(UTF_8))
+    val streamed = new ByteArrayOutputStream()
+    new MapiBlockStream(new ByteArrayInputStream(Array.emptyByteArray), streamed)
+      .writeMessageStream(chunks.iterator.map(_.getBytes(UTF_8)))
+    assert(java.util.Arrays.equals(oneShot.toByteArray, streamed.toByteArray))
+  }
+
+  test("empty message is a single last-flagged zero-length block") {
+    val buf = new ByteArrayOutputStream()
+    new MapiBlockStream(new ByteArrayInputStream(Array.emptyByteArray), buf)
+      .writeMessage(Array.emptyByteArray)
+    assert(buf.toByteArray.toSeq == Seq[Byte](1, 0))
+  }
+
+  // ----------------------------------------------------------------- auth
+
+  test("challenge parse + v9 login response digest") {
+    val ch = MapiAuth.parseChallenge(
+      "s9Lp2:merovingian:9:RIPEMD160,SHA512,SHA256:LIT:SHA512:")
+    assert(ch.salt == "s9Lp2" && ch.version == 9 &&
+      ch.passwordAlgo == "SHA512" && ch.hashes.contains("SHA256"))
+    val resp = MapiAuth.loginResponse(ch, "monetdb", "monetdb", "demo")
+    // digest = SHA512(hex(SHA512(password)) ++ salt), chosen algo SHA512
+    val inner = MessageDigest.getInstance("SHA-512")
+      .digest("monetdb".getBytes(UTF_8)).map(b => f"$b%02x").mkString
+    val outer = MessageDigest.getInstance("SHA-512")
+      .digest((inner + "s9Lp2").getBytes(UTF_8)).map(b => f"$b%02x").mkString
+    assert(resp == s"LIT:monetdb:{SHA512}$outer:sql:demo:")
+  }
+
+  test("unsupported protocol version is rejected") {
+    val ch = MapiAuth.parseChallenge("salt:be:8:MD5:LIT:SHA512:")
+    intercept[IllegalArgumentException] {
+      MapiAuth.loginResponse(ch, "u", "p", "db")
+    }
+  }
+
+  // ------------------------------------------------- live loopback session
+
+  test("C2 end-to-end: DataFrame streamed as COPY INTO FROM STDIN") {
+    val srv = new FakeMonetServer("monetdb", "secret")
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 5).toDF("id")
+      .withColumn("name",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n\"q\\"), col("id")))
+      .withColumn("maybe",
+        org.apache.spark.sql.functions.when(col("id") % 2 === 0, col("id")))
+    val affected = MonetSink.copyViaStdin(df, "127.0.0.1", srv.port,
+      "monetdb", "secret", "demo", "sys", "target", records = Some(5))
+    srv.awaitDone()
+    assert(affected == 5)
+    assert(srv.receivedCopySql ==
+      """COPY 5 RECORDS INTO "sys"."target" FROM STDIN USING DELIMITERS ',','\n','"' NULL AS '\\N' LOCKED;""")
+    assert(srv.receivedRows.size == 5)
+    // reference CSV dialect: quoted values, \-escaped specials, bare \N null
+    assert(srv.receivedRows.head == """"0","n\"q\\0","0"""")
+    assert(srv.receivedRows(1) == """"1","n\"q\\1",\N""")
+  }
+
+  test("authentication failure surfaces the server error") {
+    val srv = new FakeMonetServer("monetdb", "secret")
+    val e = intercept[MapiProtocolException] {
+      MapiClient.connect("127.0.0.1", srv.port, "monetdb", "WRONG", "demo")
+    }
+    assert(e.getMessage.contains("InvalidCredentials"))
+  }
+
+  test("merovingian redirect re-authenticates on the same socket") {
+    val srv = new FakeMonetServer("monetdb", "secret", redirectsFirst = true)
+    val client = MapiClient.connect("127.0.0.1", srv.port, "monetdb", "secret", "demo")
+    client.query("SELECT 1")
+    client.close()
+    srv.awaitDone()
+    assert(srv.receivedCopySql == "SELECT 1;")
+  }
+
+  // -------------------------------------------------------------- cascade
+
+  test("C4 cascade falls file -> stdin -> insert and reports the winner") {
+    import MonetSink._
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    def step(name: String, fail: Boolean): () => Unit = () => {
+      order += name
+      if (fail) throw new RuntimeException(s"$name failed")
+    }
+    // all succeed → file wins, nothing else attempted
+    assert(loadWithCascade(None, step("file", false), step("stdin", false),
+      step("insert", false)) == CopyIntoFromFile)
+    assert(order.toSeq == Seq("file"))
+    order.clear()
+    // file fails → stdin wins
+    assert(loadWithCascade(None, step("file", true), step("stdin", false),
+      step("insert", false)) == CopyIntoFromStdin)
+    assert(order.toSeq == Seq("file", "stdin"))
+    order.clear()
+    // file + stdin fail → insert wins
+    assert(loadWithCascade(None, step("file", true), step("stdin", true),
+      step("insert", false)) == BatchedInsert)
+    assert(order.toSeq == Seq("file", "stdin", "insert"))
+    order.clear()
+    // configured INSERT skips the COPY attempts entirely (reference
+    // CopyTool.java:833: copyMethod == INSERT bypasses both COPY paths)
+    assert(loadWithCascade(Some(BatchedInsert), step("file", false),
+      step("stdin", false), step("insert", false)) == BatchedInsert)
+    assert(order.toSeq == Seq("insert"))
+    order.clear()
+    // everything fails → exception
+    intercept[IllegalStateException] {
+      loadWithCascade(None, step("file", true), step("stdin", true),
+        step("insert", true))
+    }
+  }
+}
