@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** H5 failure alerting: the reference e-mails job failures through
+  * javax.mail (`EmailUtil.java:28-110`, config keys
+  * `CONFIG_KEYS.java:10-17`). This is the equivalent reference
+  * implementation for the [[CopyJob.runWithAlert]] hook — a minimal
+  * driver-side SMTP (RFC 5321) client with optional AUTH LOGIN,
+  * loopback-testable without a mail server.
+  *
+  * Policy parity with the reference:
+  *  - `mail.enabled` false/absent → silently skip ("error mails
+  *    disabled");
+  *  - missing `mail.server`/`mail.port` → skip with a warning;
+  *  - empty subject → default "Error in MSSQL2MonetDB job";
+  *  - AUTH only when both username and password are non-blank;
+  *  - comma-separated `mail.to` recipient list.
+  */
+object EmailAlert {
+
+  final case class MailConfig(
+      enabled: Boolean,
+      server: Option[String], port: Option[Int],
+      from: String, to: Seq[String],
+      subject: Option[String],
+      username: Option[String], password: Option[String])
+
+  val DefaultSubject = "Error in MSSQL2MonetDB job"
+
+  /** Parse the reference's `mail.*` property surface
+    * (`CONFIG_KEYS.java:10-17`). */
+  def fromProps(props: Map[String, String]): MailConfig = {
+    def nonBlank(k: String) = props.get(k).map(_.trim).filter(_.nonEmpty)
+    MailConfig(
+      enabled = props.get("mail.enabled").exists(v =>
+        v.equalsIgnoreCase("true") || v.equalsIgnoreCase("yes")),
+      server = nonBlank("mail.server"),
+      port = nonBlank("mail.port").flatMap(_.toIntOption),
+      from = nonBlank("mail.from").getOrElse(""),
+      to = nonBlank("mail.to").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      subject = nonBlank("mail.subject"),
+      username = nonBlank("mail.username"),
+      password = nonBlank("mail.password"))
+  }
+
+  sealed trait SendResult
+  case object Sent extends SendResult
+  final case class Skipped(reason: String) extends SendResult
+
+  /** Send `message` per the config's policy. `connect` is injectable so
+    * specs can point at a loopback fake. Protocol errors throw (the
+    * reference wraps MessagingException in RuntimeException). */
+  def sendMail(cfg: MailConfig, message: String,
+      subject: Option[String] = None,
+      connect: (String, Int) => Socket = new Socket(_, _)): SendResult = {
+    if (!cfg.enabled) return Skipped("error mails disabled")
+    (cfg.server, cfg.port) match {
+      case (Some(server), Some(port)) =>
+        val socket = connect(server, port)
+        try {
+          smtpSession(socket, cfg,
+            subject.orElse(cfg.subject).filter(_.nonEmpty).getOrElse(DefaultSubject),
+            message)
+          Sent
+        } finally socket.close()
+      case _ => Skipped("no e-mail properties set")
+    }
+  }
+
+  /** Alert hook for [[CopyJob.runWithAlert]]: failure reason + stack
+    * trace as the body, mirroring `EmailUtil.sendMail(Exception, ...)`. */
+  def alertHook(cfg: MailConfig,
+      connect: (String, Int) => Socket = new Socket(_, _)): CopyJob.Failed => Unit =
+    f => {
+      val trace = f.cause.map { e =>
+        val sw = new java.io.StringWriter()
+        e.printStackTrace(new java.io.PrintWriter(sw))
+        sw.toString
+      }.getOrElse("")
+      sendMail(cfg, s"${f.reason}\n\n$trace", connect = connect)
+      ()
+    }
+
+  private def smtpSession(socket: Socket, cfg: MailConfig, subject: String,
+      body: String): Unit = {
+    val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
+    val out = socket.getOutputStream
+
+    def send(line: String): Unit = {
+      out.write((line + "\r\n").getBytes(UTF_8)); out.flush()
+    }
+    /** Read one (possibly multi-line `250-...`) reply; fail outside 2xx/3xx. */
+    def expect(what: String): String = {
+      var line = in.readLine()
+      if (line == null) throw new java.io.IOException(s"SMTP: connection closed during $what")
+      val code = line.take(3)
+      while (line.length > 3 && line.charAt(3) == '-') line = in.readLine()
+      if (code.isEmpty || (code.charAt(0) != '2' && code.charAt(0) != '3'))
+        throw new java.io.IOException(s"SMTP: unexpected reply to $what: $line")
+      line
+    }
+
+    expect("greeting")
+    send("EHLO graft"); expect("EHLO")
+    (cfg.username, cfg.password) match {
+      case (Some(u), Some(p)) =>
+        send("AUTH LOGIN"); expect("AUTH LOGIN")
+        send(Base64.getEncoder.encodeToString(u.getBytes(UTF_8))); expect("username")
+        send(Base64.getEncoder.encodeToString(p.getBytes(UTF_8))); expect("password")
+      case _ => ()
+    }
+    send(s"MAIL FROM:<${cfg.from}>"); expect("MAIL FROM")
+    cfg.to.foreach { rcpt => send(s"RCPT TO:<$rcpt>"); expect("RCPT TO") }
+    send("DATA"); expect("DATA")
+    writeData(out, cfg, subject, body)
+    expect("message body")
+    send("QUIT") // reply optional; don't block on it
+  }
+
+  private def writeData(out: OutputStream, cfg: MailConfig, subject: String,
+      body: String): Unit = {
+    val headers = Seq(
+      s"From: ${cfg.from}",
+      s"To: ${cfg.to.mkString(", ")}",
+      s"Subject: $subject",
+      "MIME-Version: 1.0",
+      "Content-Type: text/plain; charset=utf-8")
+    // RFC 5321 §4.5.2 dot-stuffing, CRLF line endings, terminating "."
+    val stuffed = body.linesIterator
+      .map(l => if (l.startsWith(".")) "." + l else l)
+    val msg = (headers ++ Seq("") ++ stuffed).mkString("", "\r\n", "\r\n.\r\n")
+    out.write(msg.getBytes(UTF_8)); out.flush()
+  }
+}

@@ -58,7 +58,22 @@ object PropertiesConfig {
         }
       }.toMap
 
-  def parse(text: String, env: Map[String, String] = sys.env): Parsed = {
+  /** Reads a SQL query file the way the reference does
+    * (`CopyToolConfig.java:775-798`): missing file, directory, or IO error
+    * logs a reason and yields no query (the table then fails normal
+    * validation and is skipped). Injectable for tests. */
+  def readQueryFile(path: String): Either[String, String] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Left(s"query file '$path' does not exist")
+    else if (f.isDirectory) Left(s"query file '$path' is a directory")
+    else
+      try Right(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: java.io.IOException => Left(s"query file '$path' unreadable: ${e.getMessage}") }
+  }
+
+  def parse(text: String, env: Map[String, String] = sys.env,
+      readFile: String => Either[String, String] = readQueryFile): Parsed = {
     val props = parseProperties(text, env)
     var warnings = Vector.empty[String]
 
@@ -105,21 +120,35 @@ object PropertiesConfig {
       def get(p: String) = props.get(s"table.$id.$p")
       def flag(p: String, dflt: Boolean) =
         get(p).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
-      val from = get("from")
-      val fromQuery = get("from.query")
+      // `from.table` is an alias for bare `from` (CopyToolConfig.java:848-850)
+      val from = get("from").orElse(get("from.table"))
+      // inline query wins; otherwise `from.queryfile` reads SQL text from
+      // disk (CopyToolConfig.java:775-798,860) — unreadable file logs a
+      // warning and leaves the query unset, so normal validation drops the
+      // table, matching the reference's null-out behavior
+      def fileOr(inlineKey: String, fileKey: String): Option[String] =
+        get(inlineKey).orElse(get(fileKey).flatMap { path =>
+          readFile(path) match {
+            case Right(sql) => Some(sql)
+            case Left(reason) =>
+              warnings :+= s"table '$id': unable to read $fileKey — $reason"; None
+          }
+        })
+      val fromQuery = fileOr("from.query", "from.queryfile")
+      val fromCountQuery = fileOr("from.countquery", "from.countqueryfile")
       val to = get("to").orElse(from)
       val sourceId = get("source").getOrElse(DefaultSourceId)
       // validation mirrors CopyToolConfig: drop invalid tables with a reason
       if (from.isEmpty && fromQuery.isEmpty) {
         warnings :+= s"table '$id' has neither from nor from.query — skipped"; None
-      } else if (fromQuery.nonEmpty && get("from.countquery").isEmpty) {
+      } else if (fromQuery.nonEmpty && fromCountQuery.isEmpty) {
         warnings :+= s"table '$id' has from.query without from.countquery — skipped"; None
       } else if (to.isEmpty) {
         warnings :+= s"table '$id' has no target name — skipped"; None
       } else if (!sources.contains(sourceId)) {
         warnings :+= s"table '$id' references unknown source '$sourceId' — skipped"; None
       } else Some(id -> TableDef(
-        id, sourceId, from, get("from.columns"), fromQuery, get("from.countquery"),
+        id, sourceId, from, get("from.columns"), fromQuery, fromCountQuery,
         to.get, get("schema").getOrElse("sys"),
         flag("create", dflt = true), flag("truncate", dflt = false),
         flag("drop", dflt = true),
@@ -144,8 +173,9 @@ object PropertiesConfig {
 
   /** Strict variant: zero valid tables is a configuration error (the
     * reference aborts, `CopyToolConfig.java:359-399`). */
-  def parseOrFail(text: String, env: Map[String, String] = sys.env): Parsed = {
-    val p = parse(text, env)
+  def parseOrFail(text: String, env: Map[String, String] = sys.env,
+      readFile: String => Either[String, String] = readQueryFile): Parsed = {
+    val p = parse(text, env, readFile)
     if (p.tables.isEmpty)
       throw new IllegalArgumentException(
         "no valid tables configured: " + p.warnings.mkString("; "))

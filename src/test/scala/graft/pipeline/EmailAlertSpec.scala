@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H5: SMTP alert mailer vs a loopback fake server (no javax.mail, no
+  * network). Mirrors `EmailUtil.java:28-110` policy decisions. */
+class EmailAlertSpec extends AnyFunSuite {
+  import EmailAlert._
+
+  /** One-connection fake SMTP server; records the full client dialogue. */
+  private final class FakeSmtp(failRcpt: Boolean = false) {
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var lines: Vector[String] = Vector.empty
+    val thread = new Thread(() => {
+      val s = server.accept()
+      val in = new BufferedReader(new InputStreamReader(s.getInputStream, UTF_8))
+      val out = s.getOutputStream
+      def reply(r: String): Unit = { out.write((r + "\r\n").getBytes(UTF_8)); out.flush() }
+      reply("220 fake ESMTP")
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        lines :+= line
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 OK queued") }
+        } else line.takeWhile(_ != ' ') match {
+          case "EHLO" => reply("250-fake"); reply("250 AUTH LOGIN")
+          case "AUTH" => reply("334 VXNlcm5hbWU6")
+          case "DATA" => inData = true; reply("354 go ahead")
+          case "QUIT" => reply("221 bye"); s.close()
+          case "MAIL" => reply("250 OK")
+          case "RCPT" => if (failRcpt) reply("550 no such user") else reply("250 OK")
+          case _      => reply("250 OK") // auth payloads etc.
+        }
+        line = if (s.isClosed) null else in.readLine()
+      }
+    })
+    thread.setDaemon(true); thread.start()
+    def port: Int = server.getLocalPort
+    def connect: (String, Int) => Socket = (_, _) =>
+      new Socket(java.net.InetAddress.getLoopbackAddress, port)
+  }
+
+  private def baseProps(port: Int) = Map(
+    "mail.enabled" -> "true",
+    "mail.server" -> "127.0.0.1",
+    "mail.port" -> port.toString,
+    "mail.from" -> "job@example.org",
+    "mail.to" -> "ops@example.org, oncall@example.org",
+    "mail.subject" -> "job failed")
+
+  test("full dialogue: EHLO, MAIL, both RCPTs, headers, dot-stuffed body") {
+    val srv = new FakeSmtp()
+    val cfg = fromProps(baseProps(srv.port))
+    val r = sendMail(cfg, "line1\n.starts with dot", connect = srv.connect)
+    srv.thread.join(5000)
+    assert(r == Sent)
+    val d = srv.lines
+    assert(d.exists(_.startsWith("EHLO")))
+    assert(d.contains("MAIL FROM:<job@example.org>"))
+    assert(d.contains("RCPT TO:<ops@example.org>"))
+    assert(d.contains("RCPT TO:<oncall@example.org>"))
+    assert(d.contains("Subject: job failed"))
+    assert(d.contains("To: ops@example.org, oncall@example.org"))
+    assert(d.contains("..starts with dot")) // RFC 5321 dot-stuffing
+    assert(!d.contains(".starts with dot"))
+    assert(d.contains("."))
+  }
+
+  test("AUTH LOGIN sent only when username+password configured") {
+    val srv = new FakeSmtp()
+    val cfg = fromProps(baseProps(srv.port) ++
+      Map("mail.username" -> "u", "mail.password" -> "p"))
+    assert(sendMail(cfg, "m", connect = srv.connect) == Sent)
+    srv.thread.join(5000)
+    assert(srv.lines.contains("AUTH LOGIN"))
+    assert(srv.lines.contains(Base64.getEncoder.encodeToString("u".getBytes(UTF_8))))
+
+    val srv2 = new FakeSmtp()
+    val cfg2 = fromProps(baseProps(srv2.port)) // no credentials
+    assert(sendMail(cfg2, "m", connect = srv2.connect) == Sent)
+    srv2.thread.join(5000)
+    assert(!srv2.lines.exists(_.startsWith("AUTH")))
+  }
+
+  test("policy: disabled → skip; missing server/port → skip with warning") {
+    assert(sendMail(fromProps(Map.empty), "m",
+      connect = (_, _) => fail("must not connect")) == Skipped("error mails disabled"))
+    assert(sendMail(fromProps(Map("mail.enabled" -> "true")), "m",
+      connect = (_, _) => fail("must not connect")) == Skipped("no e-mail properties set"))
+    // "yes" counts as enabled, like the reference's getBooleanProperty
+    assert(fromProps(Map("mail.enabled" -> "yes")).enabled)
+  }
+
+  test("default subject when none configured (EmailUtil.java:55-56)") {
+    val srv = new FakeSmtp()
+    val cfg = fromProps(baseProps(srv.port) - "mail.subject")
+    assert(sendMail(cfg, "m", connect = srv.connect) == Sent)
+    srv.thread.join(5000)
+    assert(srv.lines.contains(s"Subject: ${EmailAlert.DefaultSubject}"))
+  }
+
+  test("server rejection (550 RCPT) raises, like MessagingException") {
+    val srv = new FakeSmtp(failRcpt = true)
+    val cfg = fromProps(baseProps(srv.port))
+    val e = intercept[java.io.IOException](sendMail(cfg, "m", connect = srv.connect))
+    assert(e.getMessage.contains("550"))
+  }
+
+  test("alertHook formats reason + stack trace into the body") {
+    val srv = new FakeSmtp()
+    val cfg = fromProps(baseProps(srv.port))
+    val boom = new RuntimeException("boom")
+    EmailAlert.alertHook(cfg, srv.connect)(CopyJob.Failed("load failed", Some(boom)))
+    srv.thread.join(5000)
+    assert(srv.lines.contains("load failed"))
+    assert(srv.lines.exists(_.contains("java.lang.RuntimeException: boom")))
+  }
+}

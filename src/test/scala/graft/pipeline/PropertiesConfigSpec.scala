@@ -91,6 +91,66 @@ class PropertiesConfigSpec extends AnyFunSuite {
       "SELECT a, b FROM t WHERE x > 1")
   }
 
+  test("from.queryfile / from.countqueryfile read SQL text from disk (A4)") {
+    val files = Map(
+      "/cfg/q.sql" -> "SELECT a, b FROM t WHERE x > 1",
+      "/cfg/count.sql" -> "SELECT count(*) FROM t WHERE x > 1")
+    val reader: String => Either[String, String] =
+      p => files.get(p).toRight(s"query file '$p' does not exist")
+    val p = PropertiesConfig.parseOrFail(
+      """postgresql.src.server = s
+        |postgresql.src.database = d
+        |table.q.source = src
+        |table.q.from.queryfile = /cfg/q.sql
+        |table.q.from.countqueryfile = /cfg/count.sql
+        |table.q.to = q_out
+        |""".stripMargin, env = Map.empty, readFile = reader)
+    val t = p.tables("q")
+    assert(t.fromQuery.contains("SELECT a, b FROM t WHERE x > 1"))
+    assert(t.fromCountQuery.contains("SELECT count(*) FROM t WHERE x > 1"))
+    assert(p.warnings.isEmpty)
+  }
+
+  test("missing query file logs a warning and drops the table (ref null-out)") {
+    val reader: String => Either[String, String] =
+      p => Left(s"query file '$p' does not exist")
+    val p = PropertiesConfig.parse(
+      """mssql.server = s
+        |mssql.database = d
+        |table.q.from.queryfile = /missing.sql
+        |table.q.from.countquery = SELECT 1
+        |table.q.to = q_out
+        |""".stripMargin, env = Map.empty, readFile = reader)
+    assert(p.tables.isEmpty)
+    assert(p.warnings.exists(w => w.contains("from.queryfile") && w.contains("/missing.sql")))
+    // table then fails ordinary validation, same as the reference's null query
+    assert(p.warnings.exists(_.contains("neither from nor from.query")))
+  }
+
+  test("inline from.query wins over from.queryfile; from.table aliases from") {
+    val reader: String => Either[String, String] = _ => Right("FROM FILE")
+    val p = PropertiesConfig.parse(
+      """mssql.server = s
+        |mssql.database = d
+        |table.q.from.query = INLINE
+        |table.q.from.queryfile = /f.sql
+        |table.q.from.countquery = SELECT 1
+        |table.q.to = q_out
+        |table.t2.from.table = aliased
+        |""".stripMargin, env = Map.empty, readFile = reader)
+    assert(p.tables("q").fromQuery.contains("INLINE"))
+    assert(p.tables("t2").from.contains("aliased") && p.tables("t2").to == "aliased")
+  }
+
+  test("readQueryFile real-filesystem behaviors: missing, directory, ok") {
+    assert(PropertiesConfig.readQueryFile("/no/such/file.sql").isLeft)
+    val dir = java.nio.file.Files.createTempDirectory("graftqf")
+    assert(PropertiesConfig.readQueryFile(dir.toString).swap.exists(_.contains("directory")))
+    val f = dir.resolve("q.sql")
+    java.nio.file.Files.write(f, "SELECT 42".getBytes("UTF-8"))
+    assert(PropertiesConfig.readQueryFile(f.toString) == Right("SELECT 42"))
+  }
+
   test("default source id for bare mssql.* keys") {
     val p = PropertiesConfig.parse(
       """mssql.server = s
