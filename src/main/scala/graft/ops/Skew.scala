@@ -40,6 +40,57 @@ object Skew {
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Hot-key pre-split for the as-of join: the remedy named at
+    * `plans/AsOfJoin.scala` — a keyed merge join puts all rows of one
+    * key on one partition, and AQE cannot split it (the merge needs the
+    * key's full time range in order). Splitting by a coarse time bucket
+    * restores parallelism with identical results:
+    *
+    *  1. both sides get `_asof_bucket = floorDiv(ts, bucketWidth)`;
+    *  2. for every left bucket, the latest right row from any EARLIER
+    *     bucket is replicated in as a carry (computed on per-bucket
+    *     compacted data — one row per key×bucket — so the extra join is
+    *     over fractions of the input);
+    *  3. the native as-of join runs on the composite key
+    *     `(keys, _asof_bucket)` — a hot key now occupies
+    *     timeRange/bucketWidth independent composite keys.
+    *
+    * Carry rows have `ts < bucketStart ≤ leftTs`, so they satisfy both
+    * strict and non-strict semantics unchanged; within-bucket rows are
+    * handled by the operator itself. `tsCol` must be numeric (cast
+    * timestamps to epoch first). */
+  def asofPreSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, bucketWidth: Long, strict: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // floor division that stays in long arithmetic (negative-safe)
+    def bucket(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val l2 = left.withColumn("_asof_bucket", bucket(col(tsCol)))
+    val r2 = right.withColumn("_asof_bucket", bucket(col(tsCol)))
+
+    val rRow = struct(right.columns.map(col).toSeq: _*)
+    val perBucketLatest = r2
+      .groupBy((keys :+ "_asof_bucket").map(col): _*)
+      .agg(max_by(rRow, col(tsCol)).as("_row"), max(col(tsCol)).as("_max_ts"))
+      .select(keys.map(c => col(c).as(s"_r_$c")) ++
+        Seq(col("_asof_bucket").as("_r_bucket"), col("_row"), col("_max_ts")): _*)
+    val leftBuckets = l2.select((keys :+ "_asof_bucket").map(col): _*).distinct()
+    // carry for left bucket b = latest right row from any bucket < b;
+    // both inputs are already one row per key×bucket
+    val carries = leftBuckets
+      .join(perBucketLatest,
+        keys.map(k => col(k) === col(s"_r_$k")).reduce(_ && _) &&
+          col("_r_bucket") < col("_asof_bucket"))
+      .groupBy((keys :+ "_asof_bucket").map(col): _*)
+      .agg(max_by(col("_row"), col("_max_ts")).as("_row"))
+      .select(col("_asof_bucket") +:
+        right.columns.toSeq.map(c => col(s"_row.$c").as(c)): _*)
+
+    val rAug = r2.unionByName(carries.select(r2.columns.toSeq.map(col): _*))
+    Extended.asofJoinNative(l2, rAug, keys :+ "_asof_bucket", tsCol, strict)
+      .drop("_asof_bucket")
+  }
+
   /** Hot-key report: the keys whose row counts exceed `threshold` — the
     * monitoring half of skew handling (decide salting data-driven, not
     * by guesswork). */

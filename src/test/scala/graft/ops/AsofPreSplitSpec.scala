@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hot-key pre-split for the as-of join (Skew.asofPreSplit): identical
+  * output to the unsplit native operator, with the hot key actually
+  * spread across multiple shuffle partitions. */
+class AsofPreSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one pathologically hot key ("hot": 4000 left rows, 2000 right rows
+  // over t=0..40000) + normal keys + a key with no right rows + left
+  // rows before any right row (null matches) + time gaps (empty buckets)
+  private lazy val leftDf = (
+    (0 until 4000).map(i => ("hot", i.toLong * 10, s"L$i")) ++
+    (0 until 50).map(i => ("cold", 20000L + i * 7, s"C$i")) ++
+    (0 until 50).map(i => ("orphan", i.toLong * 100, s"O$i"))
+  ).toDF("k", "t", "lv")
+
+  private lazy val rightDf = (
+    (0 until 2000).map(i => ("hot", i.toLong * 20 + 1, s"R$i")) ++
+    // cold side clustered early, leaving later buckets empty (carry path)
+    (0 until 5).map(i => ("cold", 100L + i, s"CR$i"))
+  ).toDF("k", "t", "rv")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "t", "lv", "rv").orderBy("k", "t", "lv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+
+  test("pre-split output == unsplit native as-of output (strict and <=)") {
+    for (strict <- Seq(true, false)) {
+      val plain = Extended.asofJoinNative(leftDf, rightDf, Seq("k"), "t", strict)
+      val split = Skew.asofPreSplit(leftDf, rightDf, Seq("k"), "t",
+        bucketWidth = 5000L, strict = strict)
+      assert(canon(split) == canon(plain), s"strict=$strict")
+    }
+  }
+
+  test("carry rows cross empty buckets: cold key matches from bucket 0") {
+    val split = Skew.asofPreSplit(leftDf, rightDf, Seq("k"), "t", 1000L)
+    // all cold left rows are at t>=20000, every bucket since t=105 is
+    // empty on the right — each must still see the latest early row CR4
+    val cold = split.filter($"k" === "cold").select("rv").distinct().collect()
+    assert(cold.map(_.getString(0)).toSeq == Seq("CR4"))
+    // orphan key (no right rows at all) survives with null payload
+    assert(split.filter($"k" === "orphan" && $"rv".isNotNull).isEmpty)
+  }
+
+  test("hot key spreads across shuffle partitions; unsplit concentrates it") {
+    // AQE coalesces this tiny fixture to one partition, which would mask
+    // the placement difference under test
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spreadAssertions()
+    finally spark.conf.set(key, prev)
+  }
+
+  private def spreadAssertions(): Unit = {
+    def spread(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter($"k" === "hot")
+        .withColumn("p", spark_partition_id())
+        .select("p").distinct().count()
+    val unsplitSpread = spread(
+      Extended.asofJoinNative(leftDf, rightDf, Seq("k"), "t"))
+    val splitSpread = spread(
+      Skew.asofPreSplit(leftDf, rightDf, Seq("k"), "t", 5000L))
+    assert(unsplitSpread == 1L) // keyed merge: whole key on one partition
+    assert(splitSpread > 1L)    // 8 buckets → multiple composite keys
+  }
+}
