@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)
   }
 }
 

@@ -12,31 +12,26 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val docs = Tables(spark, d, "documents")
-    println("[scratch] docs rows: " + docs.count())
 
-    // does exchange reuse fire on a trivial agg self-join?
-    val agg = docs.groupBy("doc_id").agg(sum(length(col("text"))).as("s"))
-    val j = agg.as("x").join(agg.as("y"), Seq("doc_id"))
-      .filter(col("x.s") === col("y.s"))
-    t("trivial self-join")(j.count())
-    val plan = j.queryExecution.executedPlan.toString
-    println("[scratch] trivial Reused: " + "Reused".r.findAllIn(plan).size +
-      "  Exchange: " + "Exchange".r.findAllIn(plan).size +
-      "  QueryStage: " + "QueryStage".r.findAllIn(plan).size)
-
-    val nd = graft.dedup.Dedup.simHashNearDups(docs, "text", "doc_id")
-    t("near dups full")(nd.count())
-    val p2 = nd.queryExecution.executedPlan.toString
-    println("[scratch] nd Reused: " + "Reused".r.findAllIn(p2).size +
-      "  Exchange: " + "Exchange".r.findAllIn(p2).size)
+    // hot-query breakdown: run each twice — first-run minus second-run
+    // is plan/codegen overhead, the second run is the data-bound cost
+    for (q <- Seq("q44_lang_id", "q53_minhash_lsh_pairs", "q65_ann_ivf_topk",
+        "q52_ngram_jaccard")) {
+      val fn = graft.SparkEntry.queries(q)
+      t(s"$q run1")(fn(spark, d).count())
+      spark.catalog.clearCache()
+      t(s"$q run2")(fn(spark, d).count())
+      spark.catalog.clearCache()
+      System.gc()
+    }
     spark.stop()
   }
 }
