@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stopword-overlap language ID over a token array, one pass.
+  *
+  * Semantically identical to the composed form
+  * (`array_max` over per-language `size(array_intersect(tokens, words))`
+  * structs, 'und' when no overlap — see
+  * `graft.text.TextAnalysis.langIdExpr`), including the tie-break
+  * (equal scores pick the lexicographically largest language, because
+  * languages are scanned in ascending order with `>=`). The win is
+  * compile cost, not algorithmic: the composed tree inlines five
+  * 10-string literal arrays into the generated source — a large class
+  * that janino takes seconds to compile per novel plan — while here the
+  * lexicon rides `ctx.addReferenceObj`, the generated source is tiny and
+  * constant, and evaluation builds one token hash set per row instead of
+  * five intersection scans.
+  *
+  * `langs` must be sorted ascending; `words(i)` are the stopwords of
+  * `langs(i)` (duplicates-free, so hit count == intersection size).
+  */
+case class LangIdBest(child: Expression, langs: Array[String],
+    words: Array[Array[String]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id_best"
+
+  @transient private lazy val wordsUtf8: Array[Array[UTF8String]] =
+    words.map(_.map(UTF8String.fromString))
+  @transient private lazy val langsUtf8: Array[UTF8String] =
+    langs.map(UTF8String.fromString)
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[UTF8String](toks.numElements() * 2)
+    var i = 0
+    while (i < toks.numElements()) {
+      if (!toks.isNullAt(i)) seen.add(toks.getUTF8String(i))
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < langsUtf8.length) {
+      var score = 0
+      val ws = wordsUtf8(l)
+      var w = 0
+      while (w < ws.length) { if (seen.contains(ws(w))) score += 1; w += 1 }
+      if (score >= bestScore && score > 0) { bestScore = score; best = l }
+      l += 1
+    }
+    if (best < 0) und else langsUtf8(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ws = ctx.addReferenceObj("words", wordsUtf8,
+        "org.apache.spark.unsafe.types.UTF8String[][]")
+      val ls = ctx.addReferenceObj("langs", langsUtf8,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val undRef = ctx.addReferenceObj("und", und,
+        "org.apache.spark.unsafe.types.UTF8String")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i"); val l = ctx.freshName("l")
+      val w = ctx.freshName("w"); val score = ctx.freshName("score")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      s"""
+         |java.util.HashSet<org.apache.spark.unsafe.types.UTF8String> $seen =
+         |  new java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>($v.numElements() * 2);
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if (!$v.isNullAt($i)) $seen.add($v.getUTF8String($i));
+         |}
+         |int $best = -1;
+         |int $bestScore = 0;
+         |for (int $l = 0; $l < $ls.length; $l++) {
+         |  int $score = 0;
+         |  org.apache.spark.unsafe.types.UTF8String[] lw = $ws[$l];
+         |  for (int $w = 0; $w < lw.length; $w++) {
+         |    if ($seen.contains(lw[$w])) $score++;
+         |  }
+         |  if ($score >= $bestScore && $score > 0) { $bestScore = $score; $best = $l; }
+         |}
+         |${ev.value} = ($best < 0) ? $undRef : $ls[$best];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdBest =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Stopword-overlap language ID over a token array column. */
+  def lang_id_best(tokens: Column, langs: Seq[(String, Seq[String])]): Column = {
+    val sorted = langs.sortBy(_._1)
+    GraftBridge.toColumn(LangIdBest(GraftBridge.toExpression(tokens),
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
+  }
+}

@@ -194,6 +194,79 @@ case class SigMatchFrac(left: Expression, right: Expression)
       newRight: Expression): SigMatchFrac = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment (argmin of `|c|² − 2v·c`) with the
+  * centroid matrix carried as a codegen REFERENCE OBJECT, not inline
+  * literals. The composed argmin (`array_min` over `nlist` structs of
+  * `lit(|c|²) − 2·vec_dot(v, typedLit(c))`) inlines each |c|² as a source
+  * literal, so every Lloyd iteration's new centroids produce NEW
+  * generated source → a fresh janino compile per iteration. Here the
+  * matrix rides `ctx.addReferenceObj`, the source is identical for every
+  * centroid set, and the whole training loop compiles ONCE (and hits the
+  * codegen cache across builds). Ties break to the lowest cell index. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var best = 0
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      val n = math.min(c.length, x.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * c(i); i += 1 }
+      val dist = norms(j) - 2.0 * dot
+      if (dist < bestDist) { bestDist = dist; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cf = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val nm = ctx.addReferenceObj("norms", norms, "double[]")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
+      s"""
+         |int $best = 0;
+         |double $bestDist = Double.MAX_VALUE;
+         |for (int $j = 0; $j < $cf.length; $j++) {
+         |  double[] c = $cf[$j];
+         |  int $n = java.lang.Math.min(c.length, $v.numElements());
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.getFloat($i)) * c[$i];
+         |  }
+         |  double $dist = $nm[$j] - 2.0 * $dot;
+         |  if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def expr(c: Column): Expression = GraftBridge.toExpression(c)
   private def column(e: Expression): Column = GraftBridge.toColumn(e)
@@ -216,4 +289,8 @@ object VectorFunctions {
   /** Fraction of agreeing positions in two minhash signatures. */
   def sig_match_frac(a: Column, b: Column): Column =
     column(SigMatchFrac(expr(a), expr(b)))
+
+  /** Nearest-centroid index (argmin of `|c|² − 2v·c`, ties → lowest). */
+  def nearest_cell(v: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCell(expr(v), centroids))
 }

@@ -1,8 +1,6 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.vec_dot
@@ -25,29 +23,59 @@ object IvfIndex {
 
   final case class Model(cells: DataFrame, centroids: DataFrame, nlist: Int)
 
+  /** Nearest-centroid assignment as a native codegen'd expression
+    * ([[graft.functions.NearestCell]]): the centroid matrix rides the
+    * generated code's reference array, so every Lloyd iteration (new
+    * centroid values, same source) reuses ONE compiled class instead of
+    * paying a janino compile per iteration. */
+  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorFunctions.nearest_cell(vec, centroids)
+
   /** Train the quantizer and assign every corpus vector to its cell.
+    *
+    * Lloyd's algorithm expressed declaratively — no ML pipeline: each
+    * iteration is ONE map-side-combining aggregation (`groupBy(cell)`
+    * over per-dimension sums) against the codegen'd [[assignExpr]];
+    * centroids live driver-side (nlist × dim doubles, KiB). The ML
+    * KMeans it replaces spends multiple jobs + an RDD cache per
+    * iteration on instrumentation a coarse quantizer doesn't need.
+    *
     * `maxIter` is deliberately low: a coarse ANN quantizer needs balanced
     * cells, not converged clusters — extra iterations buy recall nothing
-    * measurable and cost a full corpus pass each. */
+    * measurable and cost a full corpus pass each. Init is the `nlist`
+    * lowest-`xxhash64(id, seed)` vectors — deterministic random sampling
+    * (FAISS trains IVF from a sample the same way). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feats = corpus.withColumn("features",
-      array_to_vector(col(vecCol)))
-    // random init, not k-means||: the parallel init alone is ~5 extra
-    // corpus passes, and a coarse ANN quantizer needs balanced cells, not
-    // an optimal clustering (FAISS trains IVF the same way)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(feats)
-    val cells = model.transform(feats)
-      .select(col(idCol), col(vecCol), col("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(vecCol)).orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(nlist).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s_$i"))
+    for (_ <- 0 until maxIter) {
+      val stats = corpus
+        .withColumn("cell", assignExpr(col(vecCol), centroids))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      // empty cells keep their previous centroid
+      stats.foreach { r =>
+        val j = r.getAs[Int]("cell")
+        val n = r.getAs[Long]("n").toDouble
+        centroids(j) = Array.tabulate(dim)(i => r.getAs[Double](s"s_$i") / n)
+      }
+    }
+    val cells = corpus
+      .select(col(idCol), col(vecCol),
+        assignExpr(col(vecCol), centroids).as("cell"))
+    val centroidDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
       .toDF("cell", "centroid")
-    Model(cells, centroids, nlist)
+    Model(cells, centroidDf, nlist)
   }
 
   /** Per-query probe set: the `nprobe` nearest centroids by exact

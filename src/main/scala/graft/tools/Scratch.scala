@@ -20,18 +20,40 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
+    val docs = Tables(spark, d, "documents")
 
-    // hot-query breakdown: run each twice — first-run minus second-run
-    // is plan/codegen overhead, the second run is the data-bound cost
-    for (q <- Seq("q44_lang_id", "q53_minhash_lsh_pairs", "q65_ann_ivf_topk",
-        "q52_ngram_jaccard")) {
-      val fn = graft.SparkEntry.queries(q)
-      t(s"$q run1")(fn(spark, d).count())
-      spark.catalog.clearCache()
-      t(s"$q run2")(fn(spark, d).count())
-      spark.catalog.clearCache()
-      System.gc()
-    }
+    // warmup (same as Bench)
+    t("warmup")(docs.select(xxhash64(col("text"))).count())
+
+    // q44 phase breakdown — agg consumers so column pruning can't skip
+    // the probed expression (count() alone prunes everything)
+    t("scan text len")(docs.agg(sum(length(col("text")))).head())
+    t("tokens split")(docs.agg(sum(size(graft.text.TextAnalysis.tokens(lower(col("text")))))).head())
+    t("langIdExpr eval")(docs.agg(sum(length(graft.text.TextAnalysis.langIdExpr(col("text"))))).head())
+    t("langIdExpr eval2")(docs.agg(sum(length(graft.text.TextAnalysis.langIdExpr(col("text"))))).head())
+    t("q44 full")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
+    t("q44 again")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
+
+    // q53 phases
+    val q53 = graft.SparkEntry.queries("q53_minhash_lsh_pairs")
+    t("q53 full")(q53(spark, d).count())
+    t("q53 again")(q53(spark, d).count())
+
+    // q65 phases
+    val emb = Tables(spark, d, "embeddings")
+    t("ivf init sample")(emb.select(col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(42L))).limit(8).collect())
+    t("ivf one agg")(emb.groupBy((pmod(col("vec_id"), lit(8))).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        (0 until 64).map(i => sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s_$i")): _*)
+      .collect())
+    t("ivf build")(graft.sim.IvfIndex.build(
+      emb, "vec_id", "embedding", nlist = 8).cells.count())
+    t("ivf build2")(graft.sim.IvfIndex.build(
+      emb, "vec_id", "embedding", nlist = 8).cells.count())
+    val q65 = graft.SparkEntry.queries("q65_ann_ivf_topk")
+    t("q65 full")(q65(spark, d).count())
+    t("q65 again")(q65(spark, d).count())
     spark.stop()
   }
 }

@@ -42,6 +42,25 @@ class TextAnalysisSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), s"for ${r}"))
   }
 
+  test("native langIdExpr matches the composed array_intersect form") {
+    val docs = Tables(spark, sf(), "documents")
+    val both = docs.select(
+      TextAnalysis.langIdExpr(col("text")).as("native"),
+      TextAnalysis.langIdExprComposed(col("text")).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // including the tie/no-evidence corners
+    val corners = Seq(
+      "the el", // en-vs-es tie at score 1 → lexicographically larger wins
+      "",       // no tokens → und
+      "zzz")    // tokens but no stopword → und
+      .toDF("text")
+      .select(TextAnalysis.langIdExpr(col("text")).as("native"),
+        TextAnalysis.langIdExprComposed(col("text")).as("composed"))
+      .collect()
+    corners.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("langIdTable matches the expression form on the corpus") {
     val docs = Tables(spark, sf(), "documents")
     val viaExpr = docs.select(col("doc_id"),
