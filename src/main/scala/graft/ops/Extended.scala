@@ -135,6 +135,24 @@ object Extended {
         .orderBy("user_id", "ts", "event_id")
     },
 
+    // as-of join through the hot-key pre-split (Skew.asofPreSplit):
+    // identical semantics to q80, but the merge runs on composite
+    // (user, day-bucket) keys with carry rows — the skew remedy proven
+    // against the same DuckDB ASOF oracle. Times ride as epoch micros
+    // (the pre-split needs a numeric axis; micros is the storage
+    // resolution of the rebuilt ts, so `<` is unchanged).
+    "q96_asof_presplit" -> { (s, d) =>
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
+      val r = e.select(col("user_id"), col("t"),
+        col("event_id").as("prev_event_id"), col("value").as("prev_value"))
+      Skew.asofPreSplit(e, r, keys = Seq("user_id"), tsCol = "t",
+        bucketWidth = 86400L * 1000000L, strict = true)
+        .select("event_id", "user_id", "t", "value", "prev_event_id", "prev_value")
+        .orderBy("user_id", "t", "event_id")
+    },
+
     // deterministic hash sampling (stable across engines)
     "q81_hash_sample" -> { (s, d) =>
       hashSample(Tables(s, d, "documents"), "text", 4)
@@ -298,6 +316,13 @@ object Extended {
         |FROM events e
         |ASOF LEFT JOIN events e2 ON e.user_id = e2.user_id AND e2.ts < e.ts
         |ORDER BY e.user_id, ts, e.event_id""".stripMargin,
+    "q96_asof_presplit" ->
+      """SELECT e.event_id, e.user_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS t, e.value,
+        |  e2.event_id AS prev_event_id, e2.value AS prev_value
+        |FROM events e
+        |ASOF LEFT JOIN events e2 ON e.user_id = e2.user_id AND e2.ts < e.ts
+        |ORDER BY e.user_id, t, e.event_id""".stripMargin,
     "q81_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(text), 32, 1) < '4' ORDER BY doc_id""".stripMargin,

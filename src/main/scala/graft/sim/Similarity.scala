@@ -153,6 +153,28 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
+    // the CosineJoinRewrite optimizer rule, exercised through the gate:
+    // the query is written as the NAIVE cross join + cosine threshold;
+    // the session confs arm the rewrite, which turns it into the LSH
+    // equi join. The oracle is the BUCKETED answer — if the rule failed
+    // to fire, the exact plan would return a superset and the hash
+    // compare would fail, so a green q67 proves the plan surgery ran.
+    // (The confs stay set on the session; no other query builds the
+    // canonical cosine-threshold theta join the rule matches.)
+    "q67_cosine_rewrite" -> { (s, d) =>
+      graft.plans.CosineJoinRewrite.ensureRegistered(s)
+      s.conf.set(graft.plans.CosineJoinRewrite.BitsConf, "2")
+      s.conf.set(graft.plans.CosineJoinRewrite.DimConf, "64")
+      val emb = Tables(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b") &&
+          cosine(col("vec_a"), col("vec_b")) >= lit(0.2))
+        .select(col("id_a"), col("id_b"),
+          cosine(col("vec_a"), col("vec_b")).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
     // centroid per label (mean vector — the classic cluster summary).
     // Cross-engine exactness via fixed-point quantization BEFORE the sum:
     // floor(x·1e9) longs add exactly and order-independently in both
@@ -213,7 +235,10 @@ object Similarity {
         |ORDER BY id_a, id_b""".stripMargin,
     "q64_label_centroid_norm" -> q64Oracle,
     "q63_ann_lsh_topk" -> q63Oracle,
-    "q66_embedding_near_dups" -> q66Oracle
+    "q66_embedding_near_dups" -> q66Oracle,
+    // q67 must produce exactly the LSH-bucketed answer (see the query's
+    // comment: a green hash proves the optimizer rewrite fired)
+    "q67_cosine_rewrite" -> q66Oracle
   )
 
   /** q64 oracle: mirrors the fixed-point centroid exactly — floor(x·1e9)

@@ -170,6 +170,27 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // per-document salient terms — tf-idf ranking with a deterministic
+    // integer idf surrogate: score = tf·1e6 div df. Monotone in (tf, 1/df)
+    // exactly like tf·idf for ranking within a document (the corpus-size
+    // factor is constant per doc), but exact integer math in both
+    // engines — ln()-based idf differs in the last ulp across libm
+    // implementations and can flip a rank at a tie boundary.
+    "q97_tfidf_topterms" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("score", expr("tf * 1000000L div df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
+    },
+
     // token counting: whitespace + BPE-ish regex segmentation
     "q40_token_count" -> { (s, d) =>
       Tables(s, d, "documents").select(
@@ -319,6 +340,24 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q40_token_count" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
