@@ -46,8 +46,11 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Per-doc MinHash signature: `numPerm` independent min-hashes over the
-    * distinct word-shingle set. Hash family: xxhash64 seeded by the
-    * permutation index (deterministic across runs/partitions). */
+    * word-shingle stream. Hash family: the 60-bit cross-engine shingle
+    * hash ([[graft.text.TextAnalysis.h60]]) fed through the affine
+    * permutations `(a_i·h + b_i) mod 2^61−1` — every value is replayable
+    * by DuckDB (HUGEINT arithmetic, same (a_i, b_i) literals), which is
+    * what makes q53 a full hash-compare rather than rows-only. */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
     // Shingle via posexplode + window leads instead of an interpreted
@@ -55,21 +58,23 @@ object Dedup {
     // the window's hash-partitioning on the doc id is REUSED by the
     // min-aggregation below (one shuffle total). Duplicate shingles are
     // harmless under min(), so no distinct pass is needed. The
-    // variable-length shingle is hashed once; each permutation re-hashes
+    // variable-length shingle is hashed once; each permutation re-mixes
     // the fixed 8-byte value (numPerm× fewer string traversals).
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val tok = docs.select(col(idCol), posexplode(tokens(col(textCol))))
       .withColumnRenamed("col", "tok")
     val leads = (1 until shingleN).map(i => lead(col("tok"), i).over(w))
     val sh = tok
-      .withColumn("h", xxhash64((col("tok") +: leads): _*))
+      .withColumn("h", graft.text.TextAnalysis.h60(
+        concat_ws(" ", (col("tok") +: leads): _*)))
       .withColumn("last", leads.last)
       .filter(col("last").isNotNull)
     // one native aggregate (primitive long[numPerm] buffer, map-side
-    // partial agg) instead of numPerm separate min(xxhash64) columns —
+    // partial agg) instead of numPerm separate min() columns —
     // identical values, 64× narrower agg schema, no wide codegen
     sh.groupBy(col(idCol))
-      .agg(graft.functions.MinHashFunctions.minhash_agg(col("h"), numPerm).as("signature"))
+      .agg(graft.functions.MinHashFunctions
+        .minhash_agg(col("h"), numPerm, affine = true).as("signature"))
   }
 
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
@@ -273,8 +278,13 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
-    // MinHash signatures + LSH banding candidate pairs (rows-only: hash
-    // family is engine-internal)
+    // MinHash signatures + LSH banding candidate pairs. Fully
+    // hash-checked: the shingle hash is the cross-engine h60 and the
+    // permutations are affine mod 2^61−1 with plan-time constants, so
+    // DuckDB recomputes the exact signatures; band collisions are slice
+    // EQUALITY, so the oracle needs no banding hash at all (it emits a
+    // pair iff some band's 4 signature positions agree, bucket-cap
+    // included).
     "q53_minhash_lsh_pairs" -> { (s, d) =>
       minHashNearDups(Tables(s, d, "documents"), "text", "doc_id",
         threshold = 0.3)
@@ -317,7 +327,69 @@ object Dedup {
        |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
   }
 
+  /** q53 oracle: replay the whole MinHash-LSH pipeline in DuckDB.
+    *
+    *  - shingle hash: `'0x' || substr(md5(shingle), 1, 15)` = h60;
+    *  - signature: 64 `min((a_i·h + b_i) % (2^61−1))` aggregates with the
+    *    SAME (a_i, b_i) constants the Spark aggregate derives
+    *    ([[graft.functions.MinHashAgg.affineParams]]) — HUGEINT keeps the
+    *    products exact;
+    *  - banding: a pair is a candidate iff the 4 signature positions of
+    *    some band all agree (bucket-hash equality ⟺ slice equality), and
+    *    the band's bucket has ≤ maxBucket members (the skew guard);
+    *  - score: matching-position fraction, threshold 0.3.
+    */
+  private def q53Oracle: String = {
+    val numPerm = 64; val bands = 16; val rows = 4
+    val maxBucket = 1000; val threshold = "0.3"
+    val params = graft.functions.MinHashAgg.affineParams(numPerm)
+    val P = graft.functions.MinHashAgg.P
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((${a}::HUGEINT * h + $b) % $P) AS BIGINT) AS p_$i"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until bands).map { j =>
+      val ks = (0 until rows).map(r => s"p_${j * rows + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, $ks FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchTerms = (0 until numPerm)
+      .map(i => s"(CASE WHEN a.p_$i = b.p_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bandkeys AS (
+       |  $bandKeys),
+       |buckets AS (
+       |  SELECT band_idx, k0, k1, k2, k3, count(*) AS bucket_n
+       |  FROM bandkeys GROUP BY ALL),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandkeys x
+       |  JOIN bandkeys y USING (band_idx, k0, k1, k2, k3)
+       |  JOIN buckets g USING (band_idx, k0, k1, k2, k3)
+       |  WHERE x.doc_id < y.doc_id AND g.bucket_n <= $maxBucket),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ($matchTerms) / 64.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.id_a
+       |  JOIN sig b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q53_minhash_lsh_pairs" -> q53Oracle,
     "q50_exact_dup_groups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
@@ -356,7 +428,5 @@ object Dedup {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
-    // q53: the MinHash permutation family (seeded xxhash64 chain) is
-    // engine-internal — rows-only; property-tested in ScalaTest.
   )
 }

@@ -30,6 +30,7 @@ import org.apache.spark.sql.types._
 case class MinHashAgg(
     child: Expression,
     numPerm: Int,
+    affine: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
@@ -42,18 +43,35 @@ case class MinHashAgg(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numPerm)(Long.MaxValue)
 
+  @transient private lazy val params: Array[(Long, Long)] =
+    MinHashAgg.affineParams(numPerm)
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      // xxhash64(h, i) with Spark's seed chain: seed 42 → hashLong(h) →
-      // hashInt(i) — identical values to the composed min(xxhash64(h, lit(i)))
-      val base = XXH64.hashLong(h, 42L)
-      var i = 0
-      while (i < numPerm) {
-        val hi = XXH64.hashInt(i, base)
-        if (hi < buffer(i)) buffer(i) = hi
-        i += 1
+      if (affine) {
+        // (a_i·h + b_i) mod 2^61−1 — the classic universal-hash family,
+        // REPLAYABLE BY THE ORACLE: DuckDB computes the identical values
+        // in HUGEINT arithmetic from the same (a_i, b_i) literals
+        // (Dedup.q53 oracle). Requires 0 ≤ h < 2^60 (the h60 token hash).
+        var i = 0
+        while (i < numPerm) {
+          val (a, b) = params(i)
+          val hi = MinHashAgg.affinePerm(a, b, h)
+          if (hi < buffer(i)) buffer(i) = hi
+          i += 1
+        }
+      } else {
+        // xxhash64(h, i) with Spark's seed chain: seed 42 → hashLong(h) →
+        // hashInt(i) — identical values to the composed min(xxhash64(h, lit(i)))
+        val base = XXH64.hashLong(h, 42L)
+        var i = 0
+        while (i < numPerm) {
+          val hi = XXH64.hashInt(i, base)
+          if (hi < buffer(i)) buffer(i) = hi
+          i += 1
+        }
       }
     }
     buffer
@@ -91,11 +109,48 @@ case class MinHashAgg(
     copy(child = newChildren.head)
 }
 
+object MinHashAgg {
+  /** Mersenne prime 2^61 − 1 — the modulus of the affine family. */
+  val P: Long = (1L << 61) - 1
+
+  /** Deterministic affine-permutation parameters: a_i ∈ [1, P),
+    * b_i ∈ [0, P), derived from XXH64 so every executor (and the oracle
+    * generator) sees the same family without a stored model. */
+  def affineParams(numPerm: Int): Array[(Long, Long)] =
+    Array.tabulate(numPerm) { i =>
+      val a = java.lang.Long.remainderUnsigned(XXH64.hashInt(2 * i, 7L), P - 1) + 1
+      val b = java.lang.Long.remainderUnsigned(XXH64.hashInt(2 * i + 1, 7L), P)
+      (a, b)
+    }
+
+  /** `(a·h) mod P` without 128-bit types: P is Mersenne (2^61 ≡ 1 mod P),
+    * so the 128-bit product `hi·2^64 + lo` reduces to
+    * `8·hi + (lo >>> 61) + (lo & P)` — all terms < 2^62, one fold + one
+    * conditional subtract finishes the reduction. Exactness is
+    * property-tested against BigInteger (MinHashAggSpec). Requires
+    * 0 ≤ a < P and 0 ≤ h < 2^63 (signed-positive). */
+  @inline def mulModP(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & P)
+    r = (r >>> 61) + (r & P)
+    if (r >= P) r - P else r
+  }
+
+  /** `(a·h + b) mod P`. */
+  @inline def affinePerm(a: Long, b: Long, h: Long): Long = {
+    val r = mulModP(a, h) + b
+    if (r >= P) r - P else r
+  }
+}
+
 object MinHashFunctions {
   /** Aggregate a column of 64-bit shingle hashes into a `numPerm`-long
-    * MinHash signature (`array<bigint>`). */
-  def minhash_agg(shingleHash: Column, numPerm: Int): Column =
+    * MinHash signature (`array<bigint>`). `affine = true` selects the
+    * oracle-replayable `(a·h + b) mod 2^61−1` permutation family. */
+  def minhash_agg(shingleHash: Column, numPerm: Int,
+      affine: Boolean = false): Column =
     GraftBridge.toColumn(
-      MinHashAgg(GraftBridge.toExpression(shingleHash), numPerm)
+      MinHashAgg(GraftBridge.toExpression(shingleHash), numPerm, affine)
         .toAggregateExpression())
 }
