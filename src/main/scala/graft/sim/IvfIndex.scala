@@ -54,8 +54,14 @@ object IvfIndex {
       .select(col(vecCol)).orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // fixed-point coordinate sums (the q64 trick): floor(x·1e9) longs add
+    // exactly and order-independently, so the trained centroids are
+    // IDENTICAL under any partitioning/merge order — a double sum would
+    // drift with aggregation order on a real cluster and make the "index"
+    // a nondeterministic function of task scheduling
     val sums = (0 until dim).map(i =>
-      sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s_$i"))
+      sum(floor(element_at(col(vecCol), i + 1).cast("double") * lit(1e9))
+        .cast("long")).as(s"s_$i"))
     for (_ <- 0 until maxIter) {
       val stats = corpus
         .withColumn("cell", assignExpr(col(vecCol), centroids))
@@ -66,7 +72,7 @@ object IvfIndex {
       stats.foreach { r =>
         val j = r.getAs[Int]("cell")
         val n = r.getAs[Long]("n").toDouble
-        centroids(j) = Array.tabulate(dim)(i => r.getAs[Double](s"s_$i") / n)
+        centroids(j) = Array.tabulate(dim)(i => r.getAs[Long](s"s_$i") / n / 1e9)
       }
     }
     val cells = corpus
