@@ -43,15 +43,20 @@ object IvfIndex {
     * `maxIter` is deliberately low: a coarse ANN quantizer needs balanced
     * cells, not converged clusters — extra iterations buy recall nothing
     * measurable and cost a full corpus pass each. Init is the `nlist`
-    * lowest-`xxhash64(id, seed)` vectors — deterministic random sampling
-    * (FAISS trains IVF from a sample the same way). */
+    * lowest-`h60(id:seed)` vectors — deterministic random sampling (FAISS
+    * trains IVF from a sample the same way), and, because h60 is the
+    * md5-derived cross-engine hash and every later step is fixed-point
+    * or bit-stable IEEE arithmetic, the ENTIRE training loop is
+    * replayable by the DuckDB oracle (q65 is a full hash compare). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val initHash = graft.text.TextAnalysis.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
     var centroids: Array[Array[Double]] = corpus
-      .select(col(vecCol)).orderBy(xxhash64(col(idCol), lit(seed)))
+      .select(col(vecCol)).orderBy(initHash, col(idCol))
       .limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // fixed-point coordinate sums (the q64 trick): floor(x·1e9) longs add

@@ -134,8 +134,12 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
-    // IVF ANN: KMeans coarse quantizer + nprobe cell scan (rows-only:
-    // quantizer cells are model-internal; recall vs brute is spec-tested)
+    // IVF ANN: Lloyd coarse quantizer + nprobe cell scan. FULLY
+    // hash-checked: the quantizer's init is the cross-engine h60 sample,
+    // its centroid updates are fixed-point long sums, and every distance
+    // is a bit-stable IEEE fold — so the DuckDB oracle REPLAYS THE WHOLE
+    // TRAINING LOOP (three unrolled Lloyd iterations as CTEs) and then
+    // the probe/scan, reproducing the identical top-k.
     "q65_ann_ivf_topk" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
@@ -235,6 +239,7 @@ object Similarity {
         |ORDER BY id_a, id_b""".stripMargin,
     "q64_label_centroid_norm" -> q64Oracle,
     "q63_ann_lsh_topk" -> q63Oracle,
+    "q65_ann_ivf_topk" -> q65Oracle,
     "q66_embedding_near_dups" -> q66Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
@@ -311,6 +316,95 @@ object Similarity {
        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
        |  FROM cand)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q65 oracle: replay IVF end to end in DuckDB — init sample, three
+    * unrolled Lloyd iterations, final assignment, float-rounded
+    * centroids, probe ranking, top-k scan.
+    *
+    * Every arithmetic step mirrors the Spark side bit for bit:
+    *  - init: the `nlist` lowest `h60(id:seed)` vectors, row_number order;
+    *  - assignment distance `|c|² − 2v·c` with double centroids, both
+    *    folds index-ascending (`NearestCell`'s loops ≡ list_aggregate);
+    *    ties → lowest cell (row_number tie-break);
+    *  - centroid update: `floor(x·1e9)` BIGINT sums (exact,
+    *    order-independent), then the same long→double divide chain;
+    *    empty cells keep the previous centroid (LEFT JOIN + CASE);
+    *  - the served model rounds centroids to FLOAT (`Model.centroids`),
+    *    so probe distances cast through REAL exactly like `vec_dot` on
+    *    the float arrays;
+    *  - top-k: cosine rank within probed cells, same tie-break.
+    */
+  private def q65Oracle: String = {
+    val nlist = 8; val maxIter = 3; val dim = 64
+    val k = 3; val nprobe = 3; val seed = 42L
+    val up = dim + 1
+    // index-ascending double fold of v·c (v float column, c double list)
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    val sums = (0 until dim).map(i =>
+      s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n      ")
+    val centroidList = (0 until dim).map(i =>
+      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
+    // one Lloyd iteration: assign with c_{k-1}, re-sum, keep previous on empty
+    def iteration(kIt: Int): String =
+      s"""a_$kIt AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+         |                 c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
+         |s_$kIt AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |      $sums
+         |  FROM a_$kIt GROUP BY cell),
+         |c_$kIt AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE [$centroidList] END AS c
+         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
+    val iterations = (1 to maxIter).map(iteration).mkString(",\n")
+    s"""WITH c_0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
+       |$iterations,
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c_$maxIter c) WHERE rn = 1),
+       |cf AS (
+       |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_$maxIter),
+       |probes AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_vec, f.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
+       |                 f.cell ASC) AS pr
+       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 8) WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("p.q_vec", "a.embedding", dim)} AS cos
+       |  FROM probes p JOIN cells a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
 
