@@ -229,6 +229,37 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Eval-set decontamination
+  // ---------------------------------------------------------------------
+
+  /** Training/eval cross-contamination check (the GPT-3/Pile-style
+    * n-gram decontamination pass): flag every corpus document sharing at
+    * least one word `n`-gram with the eval set.
+    *
+    * Scale shape: eval sets are small against a 100 TB corpus, so the
+    * distinct eval-gram hash set BROADCASTS; the corpus side is one
+    * explode + map-side h60 hash + broadcast-hash join — the only
+    * shuffle is the final per-doc hit count. Grams are compared through
+    * the 60-bit cross-engine hash, so the result is oracle-checkable. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+
+        explode(array_distinct(wordShingles(col(textCol), n))).as("g")): _*)
+    val evalGrams = broadcast(
+      grams(evalDocs).select(graft.text.TextAnalysis.h60(col("g")).as("gh"))
+        .distinct())
+    val hits = grams(docs, col(idCol))
+      .select(col(idCol), graft.text.TextAnalysis.h60(col("g")).as("gh"))
+      .join(evalGrams, Seq("gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_eval_ngram_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
 
@@ -289,6 +320,19 @@ object Dedup {
       minHashNearDups(Tables(s, d, "documents"), "text", "doc_id",
         threshold = 0.3)
         .orderBy("id_a", "id_b")
+    },
+
+    // eval-set decontamination: flag corpus docs sharing an 8-gram with
+    // a (deterministically sampled) eval set — the classic pre-training
+    // hygiene pass. The eval sample overlaps the corpus by construction,
+    // so the flags exercise both outcomes.
+    "q98_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val eval = docs.filter(substring(md5(col("text")), 32, 1) < "2")
+      decontaminate(docs, eval, "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_eval_ngram_hits"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id")
     },
 
     // SimHash fingerprints (60-bit cross-engine hash; oracle-checked)
@@ -390,6 +434,34 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q53_minhash_lsh_pairs" -> q53Oracle,
+    "q98_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE substr(md5(text), 32, 1) < '2'),
+        |evg AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS g
+        |    FROM ev WHERE len(t) >= 8)),
+        |dg AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT DISTINCT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 6),
+        |        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 8)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM dg JOIN evg USING (gh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_ngram_hits,
+        |  CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q50_exact_dup_groups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies

@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.filter(col("doc_id") === 100000L).isEmpty)
   }
 
+  test("decontaminate flags n-gram overlap with the eval set only") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),       // shares the eval 8-gram window
+      (2L, "one two three four five six seven eight nine"), // disjoint
+      (3L, "short doc"),                  // < n tokens → never flagged
+      (4L, "x a b c d e f g h y")         // contains eval 8-gram a..h inside
+    ).toDF("doc_id", "text")
+    val eval = Seq((99L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, eval, "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, true),   // one matching 8-gram (a..h)
+      (2L, 0L, false),
+      (3L, 0L, false),
+      (4L, 1L, true)))
+  }
+
   test("minhash LSH finds exact + near dup pair, estimates high jaccard") {
     val pairs = Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
