@@ -92,6 +92,24 @@ object Extended {
       lit(java.lang.Integer.toHexString(sixteenths)))
   }
 
+  /** Stratified deterministic sampling — the data-mixing knob: each
+    * group keeps its own fraction (in sixteenths of the md5 hash space,
+    * like [[hashSample]]), so a corpus can be re-weighted per source or
+    * language without randomness. Groups absent from `rates` keep
+    * everything. Content-hash-stable: adding documents never flips an
+    * existing document's keep/drop decision. */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Int]): Column = {
+    require(rates.values.forall(r => r >= 0 && r <= 16), "rates are sixteenths")
+    val h = substring(md5(col(keyCol).cast("string")), 32, 1)
+    // 'g' sorts above every hex digit → keep-all default
+    val threshold = rates.foldLeft(lit("g")) { case (acc, (g, r)) =>
+      when(col(groupCol) === g,
+        lit(java.lang.Integer.toHexString(r))).otherwise(acc)
+    }
+    h < threshold
+  }
+
   /** Deterministic train/val/test split by content hash: 12/2/2
     * sixteenths. Adding documents never moves an existing one between
     * splits. */
@@ -157,6 +175,17 @@ object Extended {
     "q81_hash_sample" -> { (s, d) =>
       hashSample(Tables(s, d, "documents"), "text", 4)
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // stratified re-weighting: downsample the dominant language (en 4/16)
+    // and zh (8/16), keep the rest — the per-group mixing knob, plus the
+    // resulting mixture profile
+    "q100_stratified_sample" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs.filter(stratifiedSample(docs, "text", "lang",
+          Map("en" -> 4, "zh" -> 8)))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     },
 
     // train/val/test split profile
@@ -326,6 +355,12 @@ object Extended {
     "q81_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(text), 32, 1) < '4' ORDER BY doc_id""".stripMargin,
+    "q100_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE substr(md5(text), 32, 1) <
+        |  (CASE WHEN lang = 'en' THEN '4' WHEN lang = 'zh' THEN '8'
+        |        ELSE 'g' END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q82_train_val_test" ->
       """SELECT CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
         |            WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'

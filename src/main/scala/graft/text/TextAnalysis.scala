@@ -169,7 +169,34 @@ object TextAnalysis {
         col("fluency"))
   }
 
+  /** Token-budget corpus selection (the "fill N tokens with the best
+    * data" pass of every pre-training mix): per group, rank documents by
+    * a quality key and keep them while the running token total stays
+    * within the budget. The ranking key must be exact (integers, not
+    * float scores) for the cut line to be deterministic; the window is
+    * ROWS-framed over a total order so the running sum is too. One
+    * shuffle (the per-group window). */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, rankKey: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(rankKey.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   val queries: Map[String, Q] = Map(
+    // token-budget selection: per source, the longest documents (exact
+    // integer n_chars key) until 700 running tokens (cuts roughly half the docs per source at sf0.01)
+    "q99_token_budget" -> { (s, d) =>
+      tokenBudgetSelect(Tables(s, d, "documents"), "text", "doc_id",
+        "source", col("n_chars"), budgetTokens = 700L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    },
+
     // per-document salient terms — tf-idf ranking with a deterministic
     // integer idf surrogate: score = tf·1e6 div df. Monotone in (tf, 1/df)
     // exactly like tf·idf for ranking within a document (the corpus-size
@@ -340,6 +367,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 700
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
     "q97_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id,
