@@ -59,7 +59,12 @@ object Bench {
     // failed queries still contribute a time but are named explicitly —
     // a silent catch would report a clean-looking run on a broken query
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // regression tripwire (BASELINE.md): no single query may cost >10s at
+    // sf0.1 — the q53 class of plan bug, flagged in the output instead of
+    // buried in 80 per-query numbers
+    val slow = results.filter(_._2 > 10.0).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
