@@ -125,14 +125,18 @@ object MinHashAgg {
 
   /** `(a·h) mod P` without 128-bit types: P is Mersenne (2^61 ≡ 1 mod P),
     * so the 128-bit product `hi·2^64 + lo` reduces to
-    * `8·hi + (lo >>> 61) + (lo & P)` — all terms < 2^62, one fold + one
-    * conditional subtract finishes the reduction. Exactness is
-    * property-tested against BigInteger (MinHashAggSpec). Requires
-    * 0 ≤ a < P and 0 ≤ h < 2^63 (signed-positive). */
+    * `8·hi + (lo >>> 61) + (lo & P)`. For a < P and h < 2^63 the first
+    * term `8·hi` alone can reach ~2^63, so it is folded once BEFORE the
+    * `(lo & P)` add — every intermediate then stays well under 2^62 and
+    * the whole signed-positive domain 0 ≤ h < 2^63 is exact (not just
+    * h < 2^61). Exactness is property-tested against BigInteger across
+    * the full domain (MinHashAggSpec). Requires 0 ≤ a < P, 0 ≤ h. */
   @inline def mulModP(a: Long, h: Long): Long = {
     val hi = Math.multiplyHigh(a, h)
     val lo = a * h
-    var r = ((hi << 3) | (lo >>> 61)) + (lo & P)
+    var q = (hi << 3) | (lo >>> 61) // = floor(a·h / 2^61), up to ~2^63
+    q = (q >>> 61) + (q & P) // fold before adding: keeps the sum < 2^62
+    var r = q + (lo & P)
     r = (r >>> 61) + (r & P)
     if (r >= P) r - P else r
   }

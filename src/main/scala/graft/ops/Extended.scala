@@ -89,8 +89,15 @@ object Extended {
   def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
     require(sixteenths >= 0 && sixteenths <= 16)
     df.filter(substring(md5(col(keyCol).cast("string")), 32, 1) <
-      lit(java.lang.Integer.toHexString(sixteenths)))
+      lit(hexThreshold(sixteenths)))
   }
+
+  /** Keep-threshold for one md5 hex digit: rate 16 must keep everything,
+    * but `toHexString(16)` is the two-char "10", and a single hex digit
+    * compared to "10" keeps only '0'/'1' — so 16 maps to 'g', which sorts
+    * above every hex digit. */
+  private def hexThreshold(sixteenths: Int): String =
+    if (sixteenths >= 16) "g" else java.lang.Integer.toHexString(sixteenths)
 
   /** Stratified deterministic sampling — the data-mixing knob: each
     * group keeps its own fraction (in sixteenths of the md5 hash space,
@@ -104,8 +111,7 @@ object Extended {
     val h = substring(md5(col(keyCol).cast("string")), 32, 1)
     // 'g' sorts above every hex digit → keep-all default
     val threshold = rates.foldLeft(lit("g")) { case (acc, (g, r)) =>
-      when(col(groupCol) === g,
-        lit(java.lang.Integer.toHexString(r))).otherwise(acc)
+      when(col(groupCol) === g, lit(hexThreshold(r))).otherwise(acc)
     }
     h < threshold
   }

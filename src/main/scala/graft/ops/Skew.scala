@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftBridge
 
 /** Skew-mitigation utilities (the 100 TB story's hot-key defenses).
   *
@@ -62,9 +63,14 @@ object Skew {
   def asofPreSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, bucketWidth: Long, strict: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    // floor division that stays in long arithmetic (negative-safe)
-    def bucket(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    // floor division that stays in long arithmetic (negative-safe):
+    // Spark's `/` is double division, exact only under 2^53 — IntegralDivide
+    // keeps extreme long timestamps (epoch-nanos) bucketing exactly
+    def bucket(c: Column): Column = GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftBridge.toExpression(c - pmod(c, lit(bucketWidth))),
+        GraftBridge.toExpression(lit(bucketWidth)),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
     val l2 = left.withColumn("_asof_bucket", bucket(col(tsCol)))
     val r2 = right.withColumn("_asof_bucket", bucket(col(tsCol)))
 

@@ -98,7 +98,13 @@ object EmailAlert {
       var line = in.readLine()
       if (line == null) throw new java.io.IOException(s"SMTP: connection closed during $what")
       val code = line.take(3)
-      while (line.length > 3 && line.charAt(3) == '-') line = in.readLine()
+      while (line.length > 3 && line.charAt(3) == '-') {
+        line = in.readLine()
+        // server closing mid `250-` continuation is the same failure as
+        // closing before the first line — not an NPE
+        if (line == null)
+          throw new java.io.IOException(s"SMTP: connection closed during $what")
+      }
       if (code.isEmpty || (code.charAt(0) != '2' && code.charAt(0) != '3'))
         throw new java.io.IOException(s"SMTP: unexpected reply to $what: $line")
       line

@@ -159,17 +159,21 @@ object Similarity {
 
     // the CosineJoinRewrite optimizer rule, exercised through the gate:
     // the query is written as the NAIVE cross join + cosine threshold;
-    // the session confs arm the rewrite, which turns it into the LSH
+    // session confs arm the rewrite, which turns it into the LSH
     // equi join. The oracle is the BUCKETED answer — if the rule failed
     // to fire, the exact plan would return a superset and the hash
     // compare would fail, so a green q67 proves the plan surgery ran.
-    // (The confs stay set on the session; no other query builds the
-    // canonical cosine-threshold theta join the rule matches.)
+    // The rule reads the confs at OPTIMIZATION time (i.e. lazily, when
+    // the caller executes the plan), so they can't be unset here — the
+    // plan is built on a CHILD session (own SessionState, conf, and
+    // extraOptimizations) instead, leaving the shared session's
+    // optimizer untouched for every other query.
     "q67_cosine_rewrite" -> { (s, d) =>
-      graft.plans.CosineJoinRewrite.ensureRegistered(s)
-      s.conf.set(graft.plans.CosineJoinRewrite.BitsConf, "2")
-      s.conf.set(graft.plans.CosineJoinRewrite.DimConf, "64")
-      val emb = Tables(s, d, "embeddings")
+      val s2 = s.newSession()
+      graft.plans.CosineJoinRewrite.ensureRegistered(s2)
+      s2.conf.set(graft.plans.CosineJoinRewrite.BitsConf, "2")
+      s2.conf.set(graft.plans.CosineJoinRewrite.DimConf, "64")
+      val emb = Tables(s2, d, "embeddings")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
       a.join(b, col("id_a") < col("id_b") &&

@@ -14,14 +14,22 @@ class MinHashAggSpec extends AnyFunSuite {
 
   test("mulModP equals BigInteger multiplication mod 2^61-1") {
     val rnd = new scala.util.Random(7)
-    val edge = Seq(0L, 1L, 2L, P - 1, P - 2, (1L << 60) - 1, (1L << 60))
-    val as = edge ++ Seq.fill(2000)(math.abs(rnd.nextLong()) % P)
-    val hs = edge ++ Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 60))
-    as.zip(hs).foreach { case (a, h) =>
-      val expect = BigInteger.valueOf(a).multiply(BigInteger.valueOf(h))
-        .mod(bigP).longValueExact()
-      assert(mulModP(a, h) == expect, s"a=$a h=$h")
-    }
+    // h ranges over the FULL signed-positive domain [0, 2^63) — the
+    // worst case (a near P, h near 2^63) used to wrap negative before
+    // the pre-add fold; edges pin both boundaries
+    val edge = Seq(0L, 1L, 2L, P - 1, P - 2, (1L << 60) - 1, (1L << 60),
+      Long.MaxValue, Long.MaxValue - 1)
+    val as = edge.map(_ % P) ++ Seq.fill(4000)(math.abs(rnd.nextLong()) % P)
+    val hs = edge ++ Seq.fill(4000)(rnd.nextLong() & Long.MaxValue)
+    for (a <- as.takeRight(64) ++ as.take(edge.length); h <- hs.take(edge.length))
+      assertMul(a, h)
+    as.zip(hs).foreach { case (a, h) => assertMul(a, h) }
+  }
+
+  private def assertMul(a: Long, h: Long): Unit = {
+    val expect = BigInteger.valueOf(a).multiply(BigInteger.valueOf(h))
+      .mod(bigP).longValueExact()
+    assert(mulModP(a, h) == expect, s"a=$a h=$h")
   }
 
   test("affinePerm equals BigInteger (a*h + b) mod P") {

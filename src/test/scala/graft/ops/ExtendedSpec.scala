@@ -39,6 +39,18 @@ class ExtendedSpec extends SparkSpec {
     assert(a.subsetOf(bigger))
   }
 
+  test("sample rate 16 keeps everything (the toHexString(16)=\"10\" trap)") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val n = docs.count()
+    assert(Extended.hashSample(docs, "text", 16).count() == n)
+    // a group rated 16 keeps all its rows, exactly like an absent group
+    val lang = docs.select("lang").distinct().limit(1)
+      .collect().head.getString(0)
+    val kept = docs.filter(
+      Extended.stratifiedSample(docs, "text", "lang", Map(lang -> 16)))
+    assert(kept.count() == n)
+  }
+
   test("split covers all rows exactly once with stable assignment") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
       .withColumn("split", Extended.splitColumn(col("text")))

@@ -223,6 +223,18 @@ class SimilaritySpec extends SparkSpec {
     assert(k1.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       k2.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("q67 cosine rewrite does not arm the rule on the shared session") {
+    import graft.plans.CosineJoinRewrite
+    val df = Similarity.queries("q67_cosine_rewrite")(spark, sf())
+    assert(df.count() > 0) // rewrite fired on its own (child) session
+    // the SHARED session's confs must stay unset (the rule no-ops without
+    // them, even if registered by another test) — a later theta join with
+    // a cosine-threshold conjunct here must get the EXACT plan, not the
+    // silently approximate LSH subset
+    assert(spark.conf.getOption(CosineJoinRewrite.BitsConf).isEmpty)
+    assert(spark.conf.getOption(CosineJoinRewrite.DimConf).isEmpty)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
