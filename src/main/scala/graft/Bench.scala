@@ -42,7 +42,13 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
+      // consume through the noop DSv2 sink, not count(): under a count
+      // Catalyst prunes every column the row count doesn't need —
+      // projections, computed columns, and final sorts vanish from the
+      // measured plan. The noop write evaluates every output column and
+      // discards the rows, which is the honest per-operator cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside operator pipelines so queries are
       // timed in isolation (no cross-query memory pressure); the GC nudge
@@ -64,7 +70,10 @@ object Bench {
     // buried in 80 per-query numbers
     val slow = results.filter(_._2 > 10.0).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir"}""")
+    // per-query map FIRST, summary fields LAST: the driver archives only
+    // the tail of stdout, and a leading "value" on a >2000-char line was
+    // truncated away in every prior round (BENCH_r*.json "parsed": null)
+    println(s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir","metric":"total","unit":"sec","n":${results.size},"value":$total}""")
     spark.stop()
   }
 }

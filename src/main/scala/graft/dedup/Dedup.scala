@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.text.TextAnalysis.{tokens, wordShingles, fingerprint}
+import graft.text.TextAnalysis.{tokens, distinctWordShingles, fingerprint}
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -53,25 +53,21 @@ object Dedup {
     * what makes q53 a full hash-compare rather than rows-only. */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
-    // Shingle via posexplode + window leads instead of an interpreted
-    // array-transform lambda: everything stays in whole-stage codegen, and
-    // the window's hash-partitioning on the doc id is REUSED by the
-    // min-aggregation below (one shuffle total). Duplicate shingles are
-    // harmless under min(), so no distinct pass is needed. The
+    // Shingle via the native one-pass distinct-n-gram expression — a
+    // NARROW map stage (no interpreted array-transform lambda, and no
+    // posexplode + lead-window, whose per-doc sort was a whole extra
+    // shuffle just to form shingles). MinHash is insensitive to shingle
+    // multiplicity, so the distinct set is the exact same signature. The
     // variable-length shingle is hashed once; each permutation re-mixes
     // the fixed 8-byte value (numPerm× fewer string traversals).
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = docs.select(col(idCol), posexplode(tokens(col(textCol))))
-      .withColumnRenamed("col", "tok")
-    val leads = (1 until shingleN).map(i => lead(col("tok"), i).over(w))
-    val sh = tok
-      .withColumn("h", graft.text.TextAnalysis.h60(
-        concat_ws(" ", (col("tok") +: leads): _*)))
-      .withColumn("last", leads.last)
-      .filter(col("last").isNotNull)
+    val sh = docs.select(col(idCol),
+      explode(distinctWordShingles(col(textCol), shingleN)).as("g"))
+      .select(col(idCol), graft.text.TextAnalysis.h60(col("g")).as("h"))
     // one native aggregate (primitive long[numPerm] buffer, map-side
     // partial agg) instead of numPerm separate min() columns —
-    // identical values, 64× narrower agg schema, no wide codegen
+    // identical values, 64× narrower agg schema, no wide codegen; the
+    // ONLY shuffle of the signature pass carries (doc_id, 64×long)
+    // partials, never shingle strings
     sh.groupBy(col(idCol))
       .agg(graft.functions.MinHashFunctions
         .minhash_agg(col("h"), numPerm, affine = true).as("signature"))
@@ -245,7 +241,7 @@ object Dedup {
       idCol: String, n: Int = 8): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =
       df.select((cols :+
-        explode(array_distinct(wordShingles(col(textCol), n))).as("g")): _*)
+        explode(distinctWordShingles(col(textCol), n)).as("g")): _*)
     val evalGrams = broadcast(
       grams(evalDocs).select(graft.text.TextAnalysis.h60(col("g")).as("gh"))
         .distinct())
@@ -270,7 +266,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("shingle"))
+      explode(distinctWordShingles(col(textCol), shingleN)).as("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
     val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))

@@ -104,6 +104,78 @@ case class LangIdBest(child: Expression, langs: Array[String],
     copy(child = newChild)
 }
 
+/** Distinct word n-grams over a token array, one pass.
+  *
+  * Semantically identical to the composed form
+  * `array_distinct(transform(sequence(0, size(w)-n), i ->
+  * concat_ws(" ", slice(w, i+1, n))))` — same shingle strings, same
+  * first-occurrence order — but the composed form evaluates an
+  * INTERPRETED lambda per shingle (higher-order functions never enter
+  * codegen) and materializes the full pre-distinct array. Here the
+  * sliding window and the dedup hash set run in one JVM pass per row,
+  * inside whole-stage codegen. Feeds q43's shingle stats and the
+  * MinHash/Jaccard shingling front of `graft.dedup.Dedup` — the single
+  * hottest per-token loop of a corpus-scale dedup pass.
+  */
+case class DistinctWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    DistinctWordNgrams.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      // n is inlined, but the generated source is identical for every
+      // plan with the same width — the janino cache still hits
+      s"${ev.value} = graft.functions.DistinctWordNgrams.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctWordNgrams =
+    copy(child = newChild)
+}
+
+object DistinctWordNgrams {
+  private val space = UTF8String.fromString(" ")
+
+  /** One sliding-window pass; insertion-ordered dedup (matches
+    * `array_distinct`'s first-occurrence order). Null tokens are skipped
+    * inside a window exactly like `concat_ws`. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val count = total - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0).asInstanceOf[Array[Any]])
+    val arr = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val window = new Array[UTF8String](n)
+    var s = 0
+    while (s < count) {
+      System.arraycopy(arr, s, window, 0, n)
+      seen.add(UTF8String.concatWs(space, window: _*))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[UTF8String](seen.size())).asInstanceOf[Array[Any]])
+  }
+}
+
 object TextFunctions {
   /** Stopword-overlap language ID over a token array column. */
   def lang_id_best(tokens: Column, langs: Seq[(String, Seq[String])]): Column = {
@@ -111,4 +183,8 @@ object TextFunctions {
     GraftBridge.toColumn(LangIdBest(GraftBridge.toExpression(tokens),
       sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
   }
+
+  /** Distinct word n-grams (shingles) of a token-array column. */
+  def distinct_word_ngrams(tokens: Column, n: Int): Column =
+    GraftBridge.toColumn(DistinctWordNgrams(GraftBridge.toExpression(tokens), n))
 }

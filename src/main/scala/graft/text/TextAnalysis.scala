@@ -24,13 +24,22 @@ object TextAnalysis {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
-  /** Word n-gram shingles (for near-dup detection). */
+  /** Word n-gram shingles (for near-dup detection). Interpreted-lambda
+    * form; corpus passes should use [[distinctWordShingles]] (native,
+    * codegen'd) — kept as the composed reference semantics that
+    * TextAnalysisSpec proves the native expression equal to. */
   def wordShingles(c: Column, n: Int): Column = {
     val w = tokens(c)
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
   }
+
+  /** Distinct word n-gram shingles — the native one-pass twin of
+    * `array_distinct(wordShingles(c, n))` (same strings, same
+    * first-occurrence order), fully inside whole-stage codegen. */
+  def distinctWordShingles(c: Column, n: Int): Column =
+    graft.functions.TextFunctions.distinct_word_ngrams(tokens(c), n)
 
   /** Stable document fingerprint: md5 of whitespace-normalized text.
     * (The rolling-hash variant is [[rollingFingerprint]].) */
@@ -252,13 +261,18 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // shingling statistics (basis of MinHash / Jaccard dedup)
+    // shingling statistics (basis of MinHash / Jaccard dedup).
+    // n_shingles needs no array at all (it's max(n_tokens-2, 0)); the
+    // distinct count runs the native one-pass expression — the composed
+    // transform/array_distinct form evaluated interpreted lambdas per
+    // shingle and was 50× slower at sf0.1
     "q43_shingle_stats" -> { (s, d) =>
-      val sh = wordShingles(col("text"), 3)
+      val nToks = size(tokens(col("text")))
       Tables(s, d, "documents").select(
         col("doc_id"),
-        size(sh).cast("int").as("n_shingles"),
-        size(array_distinct(sh)).cast("int").as("n_distinct_shingles"))
+        greatest(nToks - lit(2), lit(0)).cast("int").as("n_shingles"),
+        size(distinctWordShingles(col("text"), 3)).cast("int")
+          .as("n_distinct_shingles"))
         .orderBy("doc_id")
     },
 

@@ -24,6 +24,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getSeq[String](2) == Seq.empty)
   }
 
+  test("native distinctWordShingles == array_distinct(wordShingles)") {
+    // crafted edges: repeats (dedup order), exactly-n tokens, shorter
+    // than n, empty, and repeated-token shingles
+    val crafted = Seq("a b c d a b c", "x y z", "x y", "", "a a a a",
+      "one two three two three one two three").toDF("text")
+    val docs = Tables(spark, sf("sf0.01"), "documents").select("text")
+    for (df <- Seq(crafted, docs); n <- Seq(2, 3, 5)) {
+      val mismatches = df.select(
+        TextAnalysis.distinctWordShingles(col("text"), n).as("native"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), n)).as("composed"))
+        .filter(not(col("native") === col("composed")))
+        .collect()
+      assert(mismatches.isEmpty, s"n=$n mismatches: ${mismatches.take(3).toSeq}")
+    }
+  }
+
   test("bpe-ish tokenizer splits letter/digit/punct runs") {
     val got = Seq("abc de-f12,g").toDF("text")
       .select(TextAnalysis.bpeishTokens(col("text"))).head().getSeq[String](0)
