@@ -48,7 +48,10 @@ object Bench {
       // measured plan. The noop write evaluates every output column and
       // discards the rows, which is the honest per-operator cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => failed += name }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches persisted inside operator pipelines so queries are
       // timed in isolation (no cross-query memory pressure); the GC nudge

@@ -282,6 +282,113 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // Connected components — pair list → dedup clusters
+  // ---------------------------------------------------------------------
+
+  /** Connected components over a near-dup pair list: the step every real
+    * dedup pipeline runs AFTER pair generation — duplicates are
+    * transitive in practice (A≈B, B≈C ⇒ drop two of three), so pairs
+    * must become clusters with one surviving representative.
+    *
+    * Min-label propagation to a fixpoint: every vertex repeatedly takes
+    * the minimum label among itself and its neighbors. Rounds needed =
+    * component diameter, and near-dup clusters are small and dense
+    * (diameter ≲ 5 even at web scale — this is NOT a social graph), so
+    * the plain propagation beats the O(log n)-round large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce")
+    * in both simplicity and constant factors here. Scale shape: each
+    * round is one shuffle-join plus one min-aggregate over (long, long)
+    * rows — edge payloads are two ids, never documents — and each
+    * generation is checkpointed (see the in-body note on lineage
+    * blowup). Convergence is detected by the label sum: labels only ever
+    * decrease, so an unchanged sum is exactly the fixpoint (one scalar
+    * per round to the driver, nothing else).
+    *
+    * Output: `(id, component, cluster_size, keep)` for every id in the
+    * pair list — `component` is the cluster's minimum id, `keep` marks
+    * the representative. Ids in no pair are trivially their own
+    * singleton and are not emitted (join back to the corpus for the
+    * keep-filter form). Deterministic for any input order.
+    *
+    * The returned plan reads the final converged generation's
+    * checkpoint; intermediate generations' blocks are released by the
+    * ContextCleaner once unreferenced. */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Each generation is CHECKPOINTED, not just persisted: persist caches
+    // data but leaves the logical plan intact, so generation k's plan
+    // would nest generation k-1's plus the whole pair-producing subtree
+    // at every `edges` reference — ~2× plan nodes per round, and the
+    // driver dies in analysis long before the executors break a sweat
+    // (the classic iterative-algorithm lineage blowup). checkpoint()
+    // replaces the plan with a materialized leaf; reliable checkpointing
+    // when the session has a checkpoint dir (production clusters —
+    // survives executor loss), local otherwise.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // decimal(38,0) sum: a long sum would overflow (ANSI: throw) at
+    // billions of large ids — exactly the scale this operator targets
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+
+    // symmetrize via explode(array(fwd, rev)) — ONE pass over the pair
+    // list (a union of forward + reversed would reference the whole
+    // pair-producing pipeline, e.g. the simhash blocking joins, twice)
+    val edges = materialize(
+      pairs.select(explode(array(
+        struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
+        struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst"))))
+        .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct())
+    var labels = materialize(
+      edges.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src").as("id"), least(col("src"), col("_mn")).as("label")))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // one-hop neighbor min... (materialized: the pointer jump below
+      // self-joins it, and a leaf plan sidesteps the reused-attribute
+      // ambiguity a derived self-join plan would hit)
+      val hop = materialize(
+        edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"))
+          .union(labels.select(col("id"), col("label")))
+          .groupBy("id").agg(min("label").as("label")))
+      // ...then ONE POINTER JUMP: label(v) ← label(label(v)). A label
+      // is always itself a vertex id of the same component, so the
+      // self-join resolves one level of indirection, and because it
+      // reads the already-updated hop table the distance-to-root shrinks
+      // geometrically ACROSS rounds — a diameter-D chain converges in
+      // O(log D) rounds instead of D (one-hop-only needed 13 rounds at
+      // sf0.1, with the jump 9). Exactly one jump: it joins the hop
+      // LEAF, which is unambiguous and constant-depth; stacking further
+      // lazy jumps self-joins derived plans — attribute-dedup territory
+      // with exploding optimization cost. `next` needs no checkpoint of
+      // its own.
+      val next = hop.join(
+        hop.select(col("id").as("label"), col("label").as("_ll")), Seq("label"))
+        .select(col("id"), least(col("label"), col("_ll")).as("label"))
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[connectedComponents] maxIter=$maxIter reached " +
+        "before fixpoint — labels are a valid refinement but may be unmerged")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label").as("component"), col("cluster_size"),
+        (col("id") === col("label")).as("keep"))
+  }
+
+  // ---------------------------------------------------------------------
   // Queries + oracles
   // ---------------------------------------------------------------------
 
@@ -344,6 +451,17 @@ object Dedup {
       simHashNearDups(Tables(s, d, "documents"), "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    // near-dup pairs → transitive dedup clusters (min-label propagation
+    // to fixpoint); the oracle replays the closure with a recursive CTE
+    "q101_dedup_clusters" -> { (s, d) =>
+      val pairs = simHashNearDups(Tables(s, d, "documents"), "text",
+        "doc_id", maxHamming = 2)
+      connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -430,6 +548,32 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q53_minhash_lsh_pairs" -> q53Oracle,
+    // transitive closure over the q55 pair list via recursive CTE, then
+    // per-vertex min reachable id = the component label
+    "q101_dedup_clusters" ->
+      s"""WITH RECURSIVE $simHashOracleCore,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT l.doc_id, l.component, s.cluster_size,
+         |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM lbl l JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin,
     "q98_decontaminate" ->
       """WITH ev AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t

@@ -125,6 +125,31 @@ class DedupSpec extends SparkSpec {
     base.unionAll(Seq((100000L, src), (100001L, nearDup)).toDF("doc_id", "text"))
   }
 
+  test("connectedComponents: chains, disjoint clusters, singleton exclusion") {
+    // a 6-vertex PATH (3-7-2-9-4-8, needs several propagation rounds to
+    // carry the min to the far end), one triangle with a redundant edge,
+    // and an isolated pair
+    val pairs = Seq(
+      (3L, 7L), (7L, 2L), (2L, 9L), (9L, 4L), (4L, 8L), // path, min=2
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle, min=20
+      (50L, 40L) // pair, min=40
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    val byId = got.map(t => t._1 -> t).toMap
+    // every path vertex labels to 2, cluster size 6
+    Seq(2L, 3L, 4L, 7L, 8L, 9L).foreach { v =>
+      assert(byId(v)._2 == 2L && byId(v)._3 == 6L, s"v=$v got ${byId(v)}")
+    }
+    Seq(20L, 21L, 22L).foreach(v => assert(byId(v)._2 == 20L && byId(v)._3 == 3L))
+    Seq(40L, 50L).foreach(v => assert(byId(v)._2 == 40L && byId(v)._3 == 2L))
+    // keep marks exactly the per-cluster minimum
+    assert(got.filter(_._4).map(_._1).toSeq == Seq(2L, 20L, 40L))
+    // only vertices that appear in pairs are emitted
+    assert(got.length == 11)
+  }
+
   test("exact dedup finds the injected exact duplicate, keeps min id") {
     val groups = Dedup.dupGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
