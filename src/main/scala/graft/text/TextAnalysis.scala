@@ -69,6 +69,36 @@ object TextAnalysis {
         .bitwiseXOR(h60(t)))
   }
 
+  /** Sliding-window document chunking — the RAG / pretraining-shard
+    * step that splits long documents into fixed-size overlapping token
+    * windows. Chunk i covers tokens `[i·step, i·step + chunkTokens)`
+    * with `step = chunkTokens − overlapTokens`; the chunk count
+    * `max(1, ceil((n − overlap) / step))` covers every token, the last
+    * chunk may run short. Entirely codegen'd narrow ops (`sequence` +
+    * `explode` + `slice`), no shuffle at all — the chunker is a pure map
+    * stage that scales with input bytes, and the output order is
+    * (doc, chunk_idx)-deterministic. `chunk_fp` is the md5 of the chunk
+    * text (compact + oracle-comparable); select `chunk_text` off the
+    * same plan when the payload is wanted. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    val step = chunkTokens - overlapTokens
+    require(chunkTokens > 0 && overlapTokens >= 0 && step > 0,
+      "need 0 <= overlap < chunkTokens")
+    val start = col("chunk_idx") * lit(step)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(lit(1), ceil((col("_n") - lit(overlapTokens)).cast("double") /
+          lit(step.toDouble)).cast("int")) - 1)))
+      .select(col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        start.cast("int").as("start_token"),
+        least(lit(chunkTokens), col("_n") - start).cast("int").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), start + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   private val punctClass = "[.!?,;:]"
 
   /** Per-document quality metrics (length / punct / stopword ratios). */
@@ -276,6 +306,17 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // sliding-window chunking (chunk=64 tokens, overlap=8): the chunk
+    // fingerprint keeps the compare compact; chunk_text rides the same
+    // plan when a consumer wants the payload
+    "q102_chunk_documents" -> { (s, d) =>
+      chunkDocuments(Tables(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // language ID (stopword-overlap heuristic) + corpus language profile.
     // Uses the pure-expression form ([[langIdExpr]]): per-row codegen'd
     // array_intersect argmax, ONE tiny shuffle (the final 25-row agg) —
@@ -445,6 +486,22 @@ object TextAnalysis {
         |    list_transform(range(1, len(toks) - 1),
         |      i -> array_to_string(toks[i:i+2], ' ')))) END AS INTEGER) AS n_distinct_shingles
         |FROM w ORDER BY doc_id""".stripMargin,
+    // q102: same chunk grid (chunk=64, overlap=8 → step=56); DuckDB list
+    // slices are 1-based inclusive and clamp past the end, exactly like
+    // Spark's slice with a too-long length
+    "q102_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        GREATEST(1, CAST(ceil((len(toks) - 8) / 56.0) AS INTEGER)) AS nc
+        |      FROM t),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id,
+        |  CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(i * 56 AS INTEGER) AS start_token,
+        |  CAST(LEAST(64, n - i * 56) AS INTEGER) AS n_chunk_tokens,
+        |  md5(array_to_string(toks[(i * 56 + 1):(i * 56 + 64)], ' ')) AS chunk_fp
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // q44: the stopword-overlap argmax, mirrored relationally — the
     // lexicon literals and the (score DESC, lang DESC) tie-break match
     // Spark's max(struct(score, lang_cand)) lexicographic max exactly

@@ -40,6 +40,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: coverage, overlap, short-doc and boundary edges") {
+    // 10 tokens, chunk=4, overlap=1 (step=3) → ceil(9/3)=3 chunks
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), // shorter than one chunk
+      (3L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 = exactly 0,3 starts
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4)))
+    assert(d1(0)._5 == "t1 t2 t3 t4" && d1(1)._5 == "t4 t5 t6 t7" &&
+      d1(2)._5 == "t7 t8 t9 t10")
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._5.split(" ").takeRight(1).toSeq == d1(1)._5.split(" ").take(1).toSeq)
+    // short doc: one short chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 2, "a b")))
+    // n=7: chunks [0,4),[3,7) — full coverage, no phantom third chunk
+    assert(got.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq == Seq((0, 4), (3, 4)))
+    // empty text tokenizes to [""] → a single 1-token chunk (same as DuckDB)
+    assert(got.filter(_._1 == 4L).map(x => (x._2, x._4)).toSeq == Seq((0, 1)))
+  }
+
   test("bpe-ish tokenizer splits letter/digit/punct runs") {
     val got = Seq("abc de-f12,g").toDF("text")
       .select(TextAnalysis.bpeishTokens(col("text"))).head().getSeq[String](0)
