@@ -267,6 +267,107 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Max |xᵢ| of a float vector — the symmetric-quantization range scan.
+  * One pass, stays FloatType (so the `max_abs / 127` scale divides the
+  * same float both engines see). Empty/all-null arrays → 0f. */
+case class VectorMaxAbs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "vec_max_abs"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    var m = 0f
+    var i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) { val a = Math.abs(x.getFloat(i)); if (a > m) m = a }
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val a = ctx.freshName("a")
+      s"""
+         |float $m = 0f;
+         |for (int $i = 0; $i < $v.numElements(); $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    float $a = java.lang.Math.abs($v.getFloat($i));
+         |    if ($a > $m) $m = $a;
+         |  }
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorMaxAbs =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of a float vector given a double scale:
+  * `qᵢ = clamp(floor(xᵢ / scale + 0.5), −127, 127)` — floor(+0.5), NOT
+  * round(): Spark rounds HALF_UP, DuckDB half-away-from-zero, and the
+  * floor form is the identical IEEE operation sequence in both engines
+  * (which is what makes the quantized bytes oracle-replayable).
+  * `scale ≤ 0` → all zeros (the all-zero-vector guard). One codegen'd
+  * pass; replaces an interpreted per-element `transform` lambda on what
+  * is, at embedding-corpus scale, a full-table rewrite. */
+case class VectorQuantizeInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, double), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "vec_quantize_i8"
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    VectorQuantizeInt8.compute(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = graft.functions.VectorQuantizeInt8.compute($v, $s);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorQuantizeInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorQuantizeInt8 {
+  def compute(x: ArrayData, scale: Double): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    if (scale > 0) {
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val q = Math.floor(x.getFloat(i) / scale + 0.5)
+          out(i) = Math.max(-127.0, Math.min(127.0, q)).toByte
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   private def expr(c: Column): Expression = GraftBridge.toExpression(c)
   private def column(e: Expression): Column = GraftBridge.toColumn(e)
@@ -293,4 +394,11 @@ object VectorFunctions {
   /** Nearest-centroid index (argmin of `|c|² − 2v·c`, ties → lowest). */
   def nearest_cell(v: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCell(expr(v), centroids))
+
+  /** Max |xᵢ| (float) — the symmetric-quantization range. */
+  def vec_max_abs(v: Column): Column = column(VectorMaxAbs(expr(v)))
+
+  /** Symmetric int8 quantization at the given double scale. */
+  def vec_quantize_i8(v: Column, scale: Column): Column =
+    column(VectorQuantizeInt8(expr(v), expr(scale)))
 }

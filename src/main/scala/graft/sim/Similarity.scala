@@ -99,7 +99,30 @@ object Similarity {
       .distinct()
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    * compression step of an embedding corpus. `scale = max|xᵢ| / 127`,
+    * `qᵢ = floor(xᵢ/scale + 0.5)` clamped to ±127 (floor-form rounding:
+    * identical IEEE ops in Spark and DuckDB, so the bytes are
+    * oracle-replayable — `round()` half-mode differs between engines).
+    * Two codegen'd one-pass expressions, no shuffle: a pure map-stage
+    * full-table rewrite, exactly what a 100 TB embedding store needs. */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_max_abs, vec_quantize_i8}
+    df.select(col(idCol), col(vecCol),
+        (vec_max_abs(col(vecCol)).cast("double") / lit(127.0)).as("scale"))
+      .select(col(idCol), col("scale"),
+        vec_quantize_i8(col(vecCol), col("scale")).as("q"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // int8 quantization: scale + md5 of the quantized byte string
+    "q103_quantize_embeddings" -> { (s, d) =>
+      quantizeEmbeddings(Tables(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws(",", col("q").cast("array<string>"))).as("quant_fp"))
+        .orderBy("vec_id")
+    },
+
     // vector norms (sanity-checkable scalar math over array columns)
     "q60_embedding_norms" -> { (s, d) =>
       Tables(s, d, "embeddings")
@@ -207,6 +230,19 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // q103: float max-abs (kept FLOAT until the one double cast, like the
+    // Spark expression), floor-form rounding, clamp, byte-string md5
+    "q103_quantize_embeddings" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(list_transform(embedding, x ->
+        |    CAST(CAST(CASE WHEN scale > 0
+        |      THEN GREATEST(-127, LEAST(127, floor(x / scale + 0.5)))
+        |      ELSE 0 END AS TINYINT) AS VARCHAR)), ',')) AS quant_fp
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q60_embedding_norms" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
         |  sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),

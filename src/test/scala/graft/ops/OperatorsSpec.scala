@@ -290,6 +290,35 @@ class SimilaritySpec extends SparkSpec {
       k2.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("int8 quantization: dequant error <= scale/2, range used, zeros safe") {
+    import graft.functions.VectorFunctions.{vec_max_abs, vec_quantize_i8}
+    import spark.implicits._
+    val rows = Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"), col("q"), col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Byte](2)
+      val x = r.getSeq[Float](3)
+      assert(q.length == x.length)
+      // reconstruction error of symmetric quantization is at most half a
+      // quantization step
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: x=$xi q=$qi scale=$scale")
+      }
+      // the max-|x| element must land on ±127 (the full range is used)
+      assert(q.map(v => math.abs(v.toInt)).max == 127)
+    }
+    // all-zero vector → scale 0, all-zero bytes, no division blowup
+    val z = Seq((1L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+      .select(vec_quantize_i8(col("embedding"),
+        vec_max_abs(col("embedding")).cast("double") / lit(127.0)).as("q"))
+      .head().getSeq[Byte](0)
+    assert(z.forall(_ == 0))
+  }
+
   test("q67 cosine rewrite does not arm the rule on the shared session") {
     import graft.plans.CosineJoinRewrite
     val df = Similarity.queries("q67_cosine_rewrite")(spark, sf())
