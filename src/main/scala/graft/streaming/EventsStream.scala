@@ -111,6 +111,52 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class UserStats(user_id: Long, n_events: Long,
+      total_value: Double, last_event_id: Long)
+
+  /** Per-user running totals via `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to flatMapGroupsWithState:
+    * named state variables, composable Value/List/Map state, timers,
+    * RocksDB-backed). Each micro-batch folds its rows into a
+    * `ValueState[UserStats]` and emits the updated running row, so the
+    * sink always holds the latest per-user totals (Update mode).
+    *
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...RocksDBStateStoreProvider`) — transformWithState does not run
+    * on the default HDFS-backed store. Rows are folded in event_id
+    * order inside each batch, so the running values are deterministic
+    * for a deterministic batch sequence. */
+  class RunningUserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      var s = if (state.exists()) state.get()
+        else UserStats(key, 0L, 0.0, -1L)
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        s = UserStats(key, s.n_events + 1, s.total_value + e.value,
+          math.max(s.last_event_id, e.event_id))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** Running per-user stats stream (see [[RunningUserStatsProcessor]]). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.dedup.Dedup.exactDedup]]: fingerprint the payload
     * (whitespace-normalized md5, same family as the batch path) and drop

@@ -127,4 +127,42 @@ class EventsStreamSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 3L))
   }
+
+  test("transformWithState running user stats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    // transformWithState runs only on the RocksDB store; scope the
+    // provider to this test and restore afterwards
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val stats = EventsStream.runningUserStats(mem.toDS())
+      val q = stats.writeStream.format("memory").queryName("user_stats")
+        .outputMode("update").start()
+      // values are binary fractions → double sums are exact in any order
+      mem.addData(
+        ev(1, "2024-01-01 00:00:00", 1, v = 1.5),
+        ev(2, "2024-01-01 00:01:00", 1, v = 2.25),
+        ev(3, "2024-01-01 00:02:00", 2, v = 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 00:03:00", 1, v = 0.25))
+      q.processAllAvailable()
+      q.stop()
+      // update-mode memory sink keeps every emitted row: user 1 appears
+      // once per batch with RUNNING totals, user 2 once
+      val out = spark.table("user_stats")
+        .select("user_id", "n_events", "total_value", "last_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val u1 = out.filter(_._1 == 1L).sortBy(_._2)
+      assert(u1.toSeq == Seq((1L, 2L, 3.75, 2L), (1L, 3L, 4.0, 4L)))
+      assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 4.0, 3L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
+  }
 }
