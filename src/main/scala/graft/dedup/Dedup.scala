@@ -255,6 +255,34 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Decontamination with a bloom pre-filter: identical results to
+    * [[decontaminate]], different scale shape. There the distinct
+    * eval-gram hash set is broadcast whole; here the corpus side is
+    * first pruned by a ~MB bloom of the eval grams
+    * ([[graft.ops.Extended.bloomSemiJoin]]), so when the eval set is too
+    * large to broadcast comfortably (a full benchmark suite × n-gram
+    * explosion), the exact join only ever sees the tiny bloom-surviving
+    * fraction of the corpus grams. Exactness is preserved by the
+    * confirming join — the oracle is the same SQL as the broadcast
+    * form's. */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, n: Int = 8, expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+
+        explode(distinctWordShingles(col(textCol), n)).as("g")): _*)
+        .withColumn("gh", graft.text.TextAnalysis.h60(col("g")))
+    val evalGrams = grams(evalDocs).select("gh").distinct()
+    val hits = graft.ops.Extended.bloomSemiJoin(
+      grams(docs, col(idCol)).select(col(idCol), col("gh")), "gh",
+      evalGrams, "gh", expectedGrams, fpp)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_eval_ngram_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // ---------------------------------------------------------------------
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
@@ -438,6 +466,20 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // decontamination through the bloom-pruned semi join (6-grams, a
+    // smaller eval sample): the bloom admits false positives only, the
+    // confirming join removes them — so the oracle is the same exact SQL
+    // as q98's, and a green hash proves the pruned plan loses nothing
+    "q104_bloom_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val eval = docs.filter(substring(md5(col("text")), 32, 1) < "1")
+      decontaminateBloom(docs, eval, "text", "doc_id", n = 6,
+        expectedGrams = 100000L, fpp = 0.01)
+        .select(col("doc_id"), col("n_eval_ngram_hits"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // SimHash fingerprints (60-bit cross-engine hash; oracle-checked)
     "q54_simhash" -> { (s, d) =>
       simHashTable(Tables(s, d, "documents"), "text", "doc_id")
@@ -593,6 +635,36 @@ object Dedup {
         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |          FROM documents)
         |    WHERE len(t) >= 8)),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM dg JOIN evg USING (gh) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_eval_ngram_hits,
+        |  CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q104: the bloom-pruned plan must produce EXACTLY the broadcast
+    // plan's answer (6-grams, eval sample < '1') — same SQL family as q98
+    "q104_bloom_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE substr(md5(text), 32, 1) < '1'),
+        |evg AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 4),
+        |      i -> array_to_string(t[i:i+5], ' '))) AS g
+        |    FROM ev WHERE len(t) >= 6)),
+        |dg AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT DISTINCT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 4),
+        |        i -> array_to_string(t[i:i+5], ' '))) AS g
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents)
+        |    WHERE len(t) >= 6)),
         |hits AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
         |  FROM dg JOIN evg USING (gh) GROUP BY doc_id)

@@ -83,6 +83,26 @@ object Extended {
     joined.select(keep.map(a => GraftBridge.toColumn(a)).toSeq: _*)
   }
 
+  /** Bloom-pruned exact semi join on a bigint key — the explicit form of
+    * the runtime filter AQE sometimes injects, under user control.
+    *
+    * The keys side aggregates into a bloom filter (a distributed
+    * `treeAggregate`; only the ~MB sketch reaches the driver), which
+    * then prunes the large side BEFORE its shuffle — at 100 TB the
+    * filter drops ~all non-matching rows at the scan for two hash
+    * computations each, so the exact semi join that follows shuffles
+    * only the survivors (true matches + the `fpp` fraction of false
+    * positives). Final semantics are EXACT: the bloom admits false
+    * positives, never false negatives, and the confirming join removes
+    * the former. */
+  def bloomSemiJoin(large: DataFrame, keyCol: String, keys: DataFrame,
+      keysKeyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keysKeyCol, expectedItems, fpp)
+    large
+      .filter(graft.functions.SketchFunctions.bloom_might_contain_long(col(keyCol), bf))
+      .join(keys.select(col(keysKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+  }
+
   /** Deterministic hash sample: keep rows whose md5's last hex digit is
     * below `sixteenths`/16 — stable across runs, engines, and partitions
     * (the property `df.sample` cannot give). */

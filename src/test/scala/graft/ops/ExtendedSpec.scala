@@ -39,6 +39,23 @@ class ExtendedSpec extends SparkSpec {
     assert(a.subsetOf(bigger))
   }
 
+  test("bloomSemiJoin equals the exact semi join (false positives confirmed away)") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val large = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.h60(col("text")).as("k"))
+    val keys = docs.filter(col("doc_id") % 7 === 0)
+      .select(graft.text.TextAnalysis.h60(col("text")).as("kk"))
+    val exact = large.join(keys.select(col("kk").as("k")).distinct(),
+      Seq("k"), "left_semi").select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny filter + high fpp → false positives are likely, and the
+    // confirming join must still remove every one of them
+    val pruned = Extended.bloomSemiJoin(large, "k", keys, "kk",
+      expectedItems = 100L, fpp = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("sample rate 16 keeps everything (the toHexString(16)=\"10\" trap)") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
     val n = docs.count()
