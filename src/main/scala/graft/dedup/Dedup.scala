@@ -255,6 +255,44 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Sentence-level exact dedup (C4-style boilerplate removal): across
+    * the WHOLE corpus, only the first occurrence of each distinct
+    * sentence survives — repeated navigation chrome, disclaimers, and
+    * licence blocks vanish even when their host documents differ — and
+    * each document is reassembled from its surviving sentences in
+    * original order.
+    *
+    * "First occurrence" is the minimum of the encoded key
+    * `doc_id·10⁶ + pos` (deterministic, order-independent; positions
+    * are bounded far below 10⁶). Scale shape: sentences are compared
+    * through their md5 fingerprint, the global-first aggregation is one
+    * map-side-combining shuffle on the fingerprint, the keep-join is on
+    * `(fingerprint, encoded key)`, and reassembly is one per-document
+    * aggregation — sentence text never rides a shuffle wider than its
+    * own document. Sentence split is `'. '` (RE2-safe in both engines;
+    * rejoining with the same separator is normalization-faithful). */
+  def sentenceDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sen = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\. ")))
+      .withColumnRenamed("col", "s")
+      .withColumn("fp", md5(col("s")))
+      .withColumn("ek", col(idCol) * lit(1000000L) + col("pos"))
+    val firsts = sen.groupBy("fp").agg(min("ek").as("min_ek"))
+    val kept = sen.join(firsts,
+      sen("fp") === firsts("fp") && sen("ek") === firsts("min_ek"))
+      .select(sen(idCol), col("pos"), col("s"))
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ", transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s"))).as("clean_text"))
+    docs.select(col(idCol),
+        size(split(trim(col(textCol)), "\\. ")).cast("long").as("n_sentences"))
+      .join(reassembled, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_sentences"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Decontamination with a bloom pre-filter: identical results to
     * [[decontaminate]], different scale shape. There the distinct
     * eval-gram hash set is broadcast whole; here the corpus side is
@@ -480,6 +518,17 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // corpus-wide sentence dedup: global first occurrence survives,
+    // documents reassembled in order
+    "q105_sentence_dedup" -> { (s, d) =>
+      sentenceDedup(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"),
+          col("n_sentences").cast("int").as("n_sentences"),
+          col("n_kept").cast("int").as("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // SimHash fingerprints (60-bit cross-engine hash; oracle-checked)
     "q54_simhash" -> { (s, d) =>
       simHashTable(Tables(s, d, "documents"), "text", "doc_id")
@@ -644,6 +693,32 @@ object Dedup {
         |    AS contaminated
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q105: global-first sentence survivorship replayed relationally.
+    // DuckDB's pos is 1-based vs Spark's 0-based posexplode — a uniform
+    // +1 on every encoded key, so the per-fingerprint argmin picks the
+    // identical occurrence
+    "q105_sentence_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS parts
+        |  FROM documents),
+        |occ AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos
+        |        FROM base),
+        |sen AS (SELECT doc_id, pos, parts[CAST(pos AS INTEGER)] AS s,
+        |               doc_id * 1000000 + pos AS ek
+        |        FROM occ),
+        |firsts AS (SELECT md5(s) AS fp, min(ek) AS min_ek
+        |           FROM sen GROUP BY md5(s)),
+        |kept AS (SELECT o.doc_id, o.pos, o.s
+        |         FROM sen o JOIN firsts f ON md5(o.s) = f.fp AND o.ek = f.min_ek),
+        |re AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |              string_agg(s, '. ' ORDER BY pos) AS clean_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(b.parts) AS INTEGER) AS n_sentences,
+        |  CAST(COALESCE(r.n_kept, 0) AS INTEGER) AS n_kept,
+        |  md5(COALESCE(r.clean_text, '')) AS clean_fp
+        |FROM base b LEFT JOIN re r ON r.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // q104: the bloom-pruned plan must produce EXACTLY the broadcast
     // plan's answer (6-grams, eval sample < '1') — same SQL family as q98
     "q104_bloom_decontaminate" ->

@@ -175,6 +175,25 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 11)
   }
 
+  test("sentenceDedup: cross-doc boilerplate removed, order kept, within-doc dups") {
+    val corpus = Seq(
+      (1L, "unique one. SHARED FOOTER. unique two"),
+      (2L, "other text. SHARED FOOTER. more text"),
+      (3L, "alpha. alpha. beta"), // within-doc duplicate sentence
+      (4L, "SHARED FOOTER")) // doc that is ONLY boilerplate
+      .toDF("doc_id", "text")
+    val got = Dedup.sentenceDedup(corpus, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 3L, 3L, "unique one. SHARED FOOTER. unique two")))
+    // doc 2 loses the footer (doc 1 got there first), order preserved
+    assert(got(1) == ((2L, 3L, 2L, "other text. more text")))
+    // within-doc duplicate: first occurrence survives
+    assert(got(2) == ((3L, 3L, 2L, "alpha. beta")))
+    // a document of pure boilerplate collapses to empty, not a lost row
+    assert(got(3) == ((4L, 1L, 0L, "")))
+  }
+
   test("exact dedup finds the injected exact duplicate, keeps min id") {
     val groups = Dedup.dupGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
