@@ -264,23 +264,24 @@ object Dedup {
     *
     * "First occurrence" is the minimum of the encoded key
     * `doc_id·10⁶ + pos` (deterministic, order-independent; positions
-    * are bounded far below 10⁶). Scale shape: sentences are compared
-    * through their md5 fingerprint, the global-first aggregation is one
-    * map-side-combining shuffle on the fingerprint, the keep-join is on
-    * `(fingerprint, encoded key)`, and reassembly is one per-document
-    * aggregation — sentence text never rides a shuffle wider than its
-    * own document. Sentence split is `'. '` (RE2-safe in both engines;
-    * rejoining with the same separator is normalization-faithful). */
+    * are bounded far below 10⁶), selected with a window-min over the
+    * fingerprint partition — ONE pass over the exploded sentences (a
+    * groupBy+self-join form would evaluate the explode twice and shuffle
+    * sentence text through both the aggregation and the join). Sentence
+    * text crosses exactly two shuffles: the fingerprint partition and
+    * the per-document reassembly, each bounded by its own row. Sentence
+    * split is `'. '` (RE2-safe in both engines; rejoining with the same
+    * separator is normalization-faithful). */
   def sentenceDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sen = docs.select(col(idCol),
       posexplode(split(trim(col(textCol)), "\\. ")))
       .withColumnRenamed("col", "s")
-      .withColumn("fp", md5(col("s")))
       .withColumn("ek", col(idCol) * lit(1000000L) + col("pos"))
-    val firsts = sen.groupBy("fp").agg(min("ek").as("min_ek"))
-    val kept = sen.join(firsts,
-      sen("fp") === firsts("fp") && sen("ek") === firsts("min_ek"))
-      .select(sen(idCol), col("pos"), col("s"))
+    val kept = sen
+      .withColumn("min_ek",
+        min(col("ek")).over(Window.partitionBy(md5(col("s")))))
+      .filter(col("ek") === col("min_ek"))
+      .select(col(idCol), col("pos"), col("s"))
     val reassembled = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(". ", transform(array_sort(collect_list(struct(col("pos"), col("s")))),
