@@ -262,36 +262,36 @@ object Dedup {
     * each document is reassembled from its surviving sentences in
     * original order.
     *
-    * "First occurrence" is the minimum of the encoded key
-    * `doc_id·10⁶ + pos` (deterministic, order-independent; positions
-    * are bounded far below 10⁶), selected with a window-min over the
-    * fingerprint partition — ONE pass over the exploded sentences (a
-    * groupBy+self-join form would evaluate the explode twice and shuffle
-    * sentence text through both the aggregation and the join). Sentence
-    * text crosses exactly two shuffles: the fingerprint partition and
-    * the per-document reassembly, each bounded by its own row. Sentence
-    * split is `'. '` (RE2-safe in both engines; rejoining with the same
-    * separator is normalization-faithful). */
+    * "First occurrence" is `row_number() = 1` over the fingerprint
+    * partition ordered by `(doc_id, pos)` — exact for ANY id/position
+    * magnitudes (an encoded `doc_id·K + pos` key would silently collide
+    * or overflow past its bounds), on the window shuffle the selection
+    * needs anyway. One pass over the exploded sentences end-to-end: the
+    * survivor flag and the reassembly are a single window + a single
+    * conditional per-document aggregation (no self-join, no second scan
+    * of the corpus for the sentence count — it rides the explode).
+    * Sentence text crosses exactly two shuffles: the fingerprint
+    * partition and the per-document reassembly, each bounded by its own
+    * row. Sentence split is `'. '` (RE2-safe in both engines; rejoining
+    * with the same separator is normalization-faithful). */
   def sentenceDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sen = docs.select(col(idCol),
-      posexplode(split(trim(col(textCol)), "\\. ")))
+    val sen = docs
+      .where(col(textCol).isNotNull) // null text: no sentences, no row
+      .select(col(idCol), split(trim(col(textCol)), "\\. ").as("_parts"))
+      .select(col(idCol), size(col("_parts")).as("n_sentences"),
+        posexplode(col("_parts")))
       .withColumnRenamed("col", "s")
-      .withColumn("ek", col(idCol) * lit(1000000L) + col("pos"))
-    val kept = sen
-      .withColumn("min_ek",
-        min(col("ek")).over(Window.partitionBy(md5(col("s")))))
-      .filter(col("ek") === col("min_ek"))
-      .select(col(idCol), col("pos"), col("s"))
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(". ", transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+    val flagged = sen.withColumn("rn",
+      row_number().over(Window.partitionBy(md5(col("s")))
+        .orderBy(col(idCol), col("pos"))))
+    flagged.groupBy(col(idCol))
+      .agg(first(col("n_sentences")).as("n_sentences"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("s"))))),
           x => x.getField("s"))).as("clean_text"))
-    docs.select(col(idCol),
-        size(split(trim(col(textCol)), "\\. ")).cast("long").as("n_sentences"))
-      .join(reassembled, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_sentences"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col(idCol), col("n_sentences").cast("long").as("n_sentences"),
+        col("n_kept"), col("clean_text"))
   }
 
   /** Decontamination with a bloom pre-filter: identical results to
@@ -418,28 +418,31 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // one-hop neighbor min... (materialized: the pointer jump below
-      // self-joins it, and a leaf plan sidesteps the reused-attribute
-      // ambiguity a derived self-join plan would hit)
-      val hop = materialize(
-        edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), col("label"))
-          .union(labels.select(col("id"), col("label")))
-          .groupBy("id").agg(min("label").as("label")))
-      // ...then ONE POINTER JUMP: label(v) ← label(label(v)). A label
-      // is always itself a vertex id of the same component, so the
-      // self-join resolves one level of indirection, and because it
-      // reads the already-updated hop table the distance-to-root shrinks
-      // geometrically ACROSS rounds — a diameter-D chain converges in
-      // O(log D) rounds instead of D (one-hop-only needed 13 rounds at
-      // sf0.1, with the jump 9). Exactly one jump: it joins the hop
-      // LEAF, which is unambiguous and constant-depth; stacking further
-      // lazy jumps self-joins derived plans — attribute-dedup territory
-      // with exploding optimization cost. `next` needs no checkpoint of
-      // its own.
-      val next = hop.join(
-        hop.select(col("id").as("label"), col("label").as("_ll")), Seq("label"))
+      // POINTER JUMP first: label(v) ← label(label(v)). A label is
+      // always itself a vertex id of the same component, so the
+      // self-join resolves one level of indirection, and because every
+      // round jumps into the freshly-updated table the distance-to-root
+      // shrinks geometrically ACROSS rounds — a diameter-D chain
+      // converges in O(log D) rounds instead of D (one-hop-only needed
+      // 13 rounds at sf0.1, with the jump 9). The jump self-joins
+      // `labels`, which is ALWAYS a checkpoint leaf — unambiguous and
+      // constant-depth (stacking lazy jumps self-joins derived plans:
+      // attribute-dedup territory with exploding optimization cost,
+      // observed).
+      val jumped = labels.join(
+        labels.select(col("id").as("label"), col("label").as("_ll")), Seq("label"))
         .select(col("id"), least(col("label"), col("_ll")).as("label"))
+      // ...then the neighbor-min, folded with the jump into ONE
+      // materialized generation per round — `jumped` is referenced
+      // twice (join + union branch, two cheap label⋈label evaluations
+      // inside the same action), and every consumer of the round's
+      // result (the convergence sum, the next round, the final output)
+      // reads the leaf instead of re-running joins
+      val next = materialize(
+        edges.join(jumped, edges("dst") === jumped("id"))
+          .select(edges("src").as("id"), col("label"))
+          .union(jumped.select(col("id"), col("label")))
+          .groupBy("id").agg(min("label").as("label")))
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -701,7 +704,7 @@ object Dedup {
     "q105_sentence_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS parts
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |occ AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos
         |        FROM base),
         |sen AS (SELECT doc_id, pos, parts[CAST(pos AS INTEGER)] AS s,

@@ -97,10 +97,17 @@ object Extended {
     * the former. */
   def bloomSemiJoin(large: DataFrame, keyCol: String, keys: DataFrame,
       keysKeyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = keys.stat.bloomFilter(keysKeyCol, expectedItems, fpp)
+    // materialize the distinct keys ONCE: the bloom build is an eager
+    // aggregation and the confirming join would otherwise re-run the
+    // whole keys pipeline (e.g. eval-set shingling) a second time
+    val k = keys.select(col(keysKeyCol).as(keyCol)).distinct()
+    val kMat =
+      if (keys.sparkSession.sparkContext.getCheckpointDir.isDefined) k.checkpoint()
+      else k.localCheckpoint()
+    val bf = kMat.stat.bloomFilter(keyCol, expectedItems, fpp)
     large
       .filter(graft.functions.SketchFunctions.bloom_might_contain_long(col(keyCol), bf))
-      .join(keys.select(col(keysKeyCol).as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .join(kMat, Seq(keyCol), "left_semi")
   }
 
   /** Deterministic hash sample: keep rows whose md5's last hex digit is

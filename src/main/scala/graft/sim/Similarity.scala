@@ -105,7 +105,13 @@ object Similarity {
     * identical IEEE ops in Spark and DuckDB, so the bytes are
     * oracle-replayable — `round()` half-mode differs between engines).
     * Two codegen'd one-pass expressions, no shuffle: a pure map-stage
-    * full-table rewrite, exactly what a 100 TB embedding store needs. */
+    * full-table rewrite, exactly what a 100 TB embedding store needs.
+    *
+    * Contract: vectors must be dense and finite — a null element
+    * quantizes to byte 0 here but is DROPPED by DuckDB's
+    * `array_to_string`, and NaN errors in a DuckDB TINYINT cast, so
+    * sparse/NaN inputs break the oracle parity (and are meaningless to
+    * quantize anyway). */
   def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.{vec_max_abs, vec_quantize_i8}
     df.select(col(idCol), col(vecCol),

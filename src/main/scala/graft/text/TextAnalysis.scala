@@ -86,7 +86,11 @@ object TextAnalysis {
     require(chunkTokens > 0 && overlapTokens >= 0 && step > 0,
       "need 0 <= overlap < chunkTokens")
     val start = col("chunk_idx") * lit(step)
+    // null text emits NO chunks (greatest(1, null)=1 would fabricate a
+    // phantom 64-token chunk of nothing; DuckDB's range(0, NULL) emits
+    // none)
     docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .withColumn("chunk_idx", explode(sequence(lit(0),
@@ -300,7 +304,10 @@ object TextAnalysis {
       val nToks = size(tokens(col("text")))
       Tables(s, d, "documents").select(
         col("doc_id"),
-        greatest(nToks - lit(2), lit(0)).cast("int").as("n_shingles"),
+        // when() keeps null text null (greatest skips nulls and would
+        // turn it into 0, diverging from the oracle's CASE)
+        when(col("text").isNotNull, greatest(nToks - lit(2), lit(0)))
+          .cast("int").as("n_shingles"),
         size(distinctWordShingles(col("text"), 3)).cast("int")
           .as("n_distinct_shingles"))
         .orderBy("doc_id")
