@@ -71,4 +71,38 @@ class PlanSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected 1 shuffle, plan had $shuffles:\n$p")
   }
+
+  test("chunkDocuments: pure map stage, zero shuffles") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val p = graft.text.TextAnalysis.chunkDocuments(docs, "doc_id", "text", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("quantizeEmbeddings: pure map stage, zero shuffles") {
+    val emb = graft.sources.Tables(spark, sf(), "embeddings")
+    val p = graft.sim.Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bloomSemiJoin: the bloom probe sits on the scan, before any shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val large = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.h60(col("text")).as("k"))
+    val keys = docs.filter(col("doc_id") % 5 === 0)
+      .select(graft.text.TextAnalysis.h60(col("text")).as("kk"))
+    val p = Extended.bloomSemiJoin(large, "k", keys, "kk", 1000L)
+      .queryExecution.executedPlan.toString
+    val i = p.indexOf("bloom_might_contain_long")
+    assert(i >= 0, p)
+    // the probe's subtree down to its parquet scan must contain no
+    // Exchange — pruning happens BEFORE the large side's shuffle
+    val rest = p.substring(i)
+    val scanIdx = rest.indexOf("Scan parquet")
+    assert(scanIdx >= 0, p)
+    assert(!rest.substring(0, scanIdx).contains("Exchange"),
+      "bloom probe must sit directly on the scan:\n" + p)
+  }
 }
