@@ -294,6 +294,54 @@ object Dedup {
         col("n_kept"), col("clean_text"))
   }
 
+  /** Surgical decontamination: instead of flagging whole documents
+    * ([[decontaminate]]), excise only the SENTENCES that share a word
+    * n-gram with the eval set and reassemble the rest — the form that
+    * actually ships, since dropping a whole crawl page for one quoted
+    * benchmark question wastes the page.
+    *
+    * Scale shape: sentence→gram explosion carries only `(doc_id, pos,
+    * gh)` (8-byte hashes, never sentence text); the overlap probe is a
+    * broadcast semi join against the distinct eval-gram hashes; the
+    * contaminated `(doc_id, pos)` set — small, contamination is the
+    * exception — broadcasts into a left-anti join back onto the
+    * sentence stream, so sentence text crosses exactly one shuffle (the
+    * per-document reassembly). Sentences shorter than `n` tokens carry
+    * no gram and are always clean. */
+  def scrubEvalSentences(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val sen = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), split(trim(col(textCol)), "\\. ").as("_parts"))
+      .select(col(idCol), size(col("_parts")).as("n_sentences"),
+        posexplode(col("_parts")))
+      .withColumnRenamed("col", "s")
+    val evalGrams = broadcast(
+      evalDocs.select(explode(distinctWordShingles(col(textCol), n)).as("g"))
+        .select(graft.text.TextAnalysis.h60(col("g")).as("gh")).distinct())
+    val contaminated = sen
+      .select(col(idCol), col("pos"),
+        explode(distinctWordShingles(col("s"), n)).as("g"))
+      .select(col(idCol), col("pos"),
+        graft.text.TextAnalysis.h60(col("g")).as("gh"))
+      .join(evalGrams, Seq("gh"), "left_semi")
+      .select(col(idCol), col("pos")).distinct()
+    // left-outer flag + conditional aggregation, NOT an anti join: a
+    // fully-contaminated document must come out with n_clean = 0 and
+    // empty text, not silently disappear
+    sen.join(broadcast(contaminated.withColumn("_dirty", lit(1))),
+        Seq(idCol, "pos"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(first(col("n_sentences")).as("n_sentences"),
+        count(when(col("_dirty").isNull, lit(1))).as("n_clean"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(
+            when(col("_dirty").isNull, struct(col("pos"), col("s"))))),
+          x => x.getField("s"))).as("clean_text"))
+      .select(col(idCol), col("n_sentences").cast("long").as("n_sentences"),
+        col("n_clean"), col("clean_text"))
+  }
+
   /** Decontamination with a bloom pre-filter: identical results to
     * [[decontaminate]], different scale shape. There the distinct
     * eval-gram hash set is broadcast whole; here the corpus side is
@@ -533,6 +581,19 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // surgical decontamination: only the sentences sharing a 5-gram
+    // with the eval set are excised; documents are reassembled
+    "q106_scrub_eval_sentences" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val eval = docs.filter(substring(md5(col("text")), 32, 1) < "1")
+      scrubEvalSentences(docs, eval, "text", "doc_id", n = 5)
+        .select(col("doc_id"),
+          col("n_sentences").cast("int").as("n_sentences"),
+          col("n_clean").cast("int").as("n_clean"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
     // SimHash fingerprints (60-bit cross-engine hash; oracle-checked)
     "q54_simhash" -> { (s, d) =>
       simHashTable(Tables(s, d, "documents"), "text", "doc_id")
@@ -697,6 +758,46 @@ object Dedup {
         |    AS contaminated
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q106: per-sentence eval-gram overlap; dirty sentences excised,
+    // documents reassembled (fully-dirty docs keep a row with n_clean=0)
+    "q106_scrub_eval_sentences" ->
+      """WITH evg AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 3),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS g
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents WHERE substr(md5(text), 32, 1) < '1')
+        |    WHERE len(t) >= 5)),
+        |base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS parts
+        |  FROM documents WHERE text IS NOT NULL),
+        |sen AS (
+        |  SELECT doc_id, pos, parts[CAST(pos AS INTEGER)] AS s
+        |  FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos
+        |        FROM base)),
+        |seng AS (
+        |  SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        |  FROM (
+        |    SELECT doc_id, pos, unnest(list_transform(range(1, len(st) - 3),
+        |      i -> array_to_string(st[i:i+4], ' '))) AS g
+        |    FROM (SELECT doc_id, pos, regexp_split_to_array(trim(s), '\s+') AS st
+        |          FROM sen)
+        |    WHERE len(st) >= 5)),
+        |dirty AS (SELECT DISTINCT doc_id, pos FROM seng JOIN evg USING (gh)),
+        |clean AS (
+        |  SELECT s.doc_id, s.pos, s.s
+        |  FROM sen s LEFT JOIN dirty d ON d.doc_id = s.doc_id AND d.pos = s.pos
+        |  WHERE d.doc_id IS NULL),
+        |re AS (SELECT doc_id, count(*) AS n,
+        |              string_agg(s, '. ' ORDER BY pos) AS txt
+        |       FROM clean GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(b.parts) AS INTEGER) AS n_sentences,
+        |  CAST(COALESCE(r.n, 0) AS INTEGER) AS n_clean,
+        |  md5(COALESCE(r.txt, '')) AS clean_fp
+        |FROM base b LEFT JOIN re r ON r.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // q105: global-first sentence survivorship replayed relationally.
     // DuckDB's pos is 1-based vs Spark's 0-based posexplode — a uniform
     // +1 on every encoded key, so the per-fingerprint argmin picks the

@@ -194,6 +194,25 @@ class DedupSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 0L, "")))
   }
 
+  test("scrubEvalSentences excises only overlapping sentences; fully-dirty docs stay") {
+    val eval = Seq((100L, "the secret benchmark question about spark engines"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // sentence 2 quotes >= 5 consecutive eval tokens → excised
+      (1L, "perfectly clean opening sentence here. they quoted the secret benchmark question about spark verbatim. and a clean closer"),
+      (2L, "nothing in common with the eval set at all"),
+      // the whole doc IS the eval text → everything excised, row kept
+      (3L, "the secret benchmark question about spark engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubEvalSentences(corpus, eval, "text", "doc_id", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 3L, 2L,
+      "perfectly clean opening sentence here. and a clean closer")))
+    assert(got(1) == ((2L, 1L, 1L, "nothing in common with the eval set at all")))
+    assert(got(2) == ((3L, 1L, 0L, "")))
+  }
+
   test("exact dedup finds the injected exact duplicate, keeps min id") {
     val groups = Dedup.dupGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
