@@ -274,13 +274,19 @@ object Dedup {
     * partition and the per-document reassembly, each bounded by its own
     * row. Sentence split is `'. '` (RE2-safe in both engines; rejoining
     * with the same separator is normalization-faithful). */
+  /** Shared sentence grid of [[sentenceDedup]] and
+    * [[scrubEvalSentences]]: `'. '` split, 0-based pos, per-doc
+    * sentence count riding each row, null text emits nothing. */
+  private def explodeSentences(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = docs
+    .where(col(textCol).isNotNull) // null text: no sentences, no row
+    .select(col(idCol), split(trim(col(textCol)), "\\. ").as("_parts"))
+    .select(col(idCol), size(col("_parts")).as("n_sentences"),
+      posexplode(col("_parts")))
+    .withColumnRenamed("col", "s")
+
   def sentenceDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val sen = docs
-      .where(col(textCol).isNotNull) // null text: no sentences, no row
-      .select(col(idCol), split(trim(col(textCol)), "\\. ").as("_parts"))
-      .select(col(idCol), size(col("_parts")).as("n_sentences"),
-        posexplode(col("_parts")))
-      .withColumnRenamed("col", "s")
+    val sen = explodeSentences(docs, textCol, idCol)
     val flagged = sen.withColumn("rn",
       row_number().over(Window.partitionBy(md5(col("s")))
         .orderBy(col(idCol), col("pos"))))
@@ -310,12 +316,11 @@ object Dedup {
     * no gram and are always clean. */
   def scrubEvalSentences(docs: DataFrame, evalDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    val sen = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol), split(trim(col(textCol)), "\\. ").as("_parts"))
-      .select(col(idCol), size(col("_parts")).as("n_sentences"),
-        posexplode(col("_parts")))
-      .withColumnRenamed("col", "s")
+    // `sen` is deliberately NOT materialized although both the probe and
+    // the reassembly read it: the re-evaluation is a second map-only
+    // scan+split of the corpus, which at scale is cheaper than spilling
+    // every sentence's text to checkpoint storage between the two uses
+    val sen = explodeSentences(docs, textCol, idCol)
     val evalGrams = broadcast(
       evalDocs.select(explode(distinctWordShingles(col(textCol), n)).as("g"))
         .select(graft.text.TextAnalysis.h60(col("g")).as("gh")).distinct())
@@ -328,8 +333,11 @@ object Dedup {
       .select(col(idCol), col("pos")).distinct()
     // left-outer flag + conditional aggregation, NOT an anti join: a
     // fully-contaminated document must come out with n_clean = 0 and
-    // empty text, not silently disappear
-    sen.join(broadcast(contaminated.withColumn("_dirty", lit(1))),
+    // empty text, not silently disappear. No broadcast() hint on the
+    // dirty set — it scales with corpus_sentences x contamination_rate,
+    // not with the eval set, so forcing it driver-side is an unbounded
+    // broadcast; AQE still broadcasts it at runtime when it IS small
+    sen.join(contaminated.withColumn("_dirty", lit(1)),
         Seq(idCol, "pos"), "left_outer")
       .groupBy(col(idCol))
       .agg(first(col("n_sentences")).as("n_sentences"),
@@ -362,7 +370,7 @@ object Dedup {
     val evalGrams = grams(evalDocs).select("gh").distinct()
     val hits = graft.ops.Extended.bloomSemiJoin(
       grams(docs, col(idCol)).select(col(idCol), col("gh")), "gh",
-      evalGrams, "gh", expectedGrams, fpp)
+      evalGrams, "gh", expectedGrams, fpp, keysDistinct = true)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     docs.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
       .select(col(idCol),
@@ -798,23 +806,24 @@ object Dedup {
         |  md5(COALESCE(r.txt, '')) AS clean_fp
         |FROM base b LEFT JOIN re r ON r.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
-    // q105: global-first sentence survivorship replayed relationally.
-    // DuckDB's pos is 1-based vs Spark's 0-based posexplode — a uniform
-    // +1 on every encoded key, so the per-fingerprint argmin picks the
-    // identical occurrence
+    // q105: global-first sentence survivorship replayed relationally —
+    // row_number over (doc_id, pos), the SAME lexicographic rule as the
+    // engine (an encoded doc_id*K+pos argmin would diverge at >= K
+    // sentences; DuckDB's 1-based pos is a per-fingerprint-uniform shift
+    // that cannot reorder the ranking)
     "q105_sentence_dedup" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS parts
         |  FROM documents WHERE text IS NOT NULL),
         |occ AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS pos
         |        FROM base),
-        |sen AS (SELECT doc_id, pos, parts[CAST(pos AS INTEGER)] AS s,
-        |               doc_id * 1000000 + pos AS ek
+        |sen AS (SELECT doc_id, pos, parts[CAST(pos AS INTEGER)] AS s
         |        FROM occ),
-        |firsts AS (SELECT md5(s) AS fp, min(ek) AS min_ek
-        |           FROM sen GROUP BY md5(s)),
-        |kept AS (SELECT o.doc_id, o.pos, o.s
-        |         FROM sen o JOIN firsts f ON md5(o.s) = f.fp AND o.ek = f.min_ek),
+        |ranked AS (SELECT doc_id, pos, s,
+        |             row_number() OVER (PARTITION BY md5(s)
+        |                                ORDER BY doc_id, pos) AS rn
+        |           FROM sen),
+        |kept AS (SELECT doc_id, pos, s FROM ranked WHERE rn = 1),
         |re AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
         |              string_agg(s, '. ' ORDER BY pos) AS clean_text
         |       FROM kept GROUP BY doc_id)

@@ -96,14 +96,19 @@ object Extended {
     * positives, never false negatives, and the confirming join removes
     * the former. */
   def bloomSemiJoin(large: DataFrame, keyCol: String, keys: DataFrame,
-      keysKeyCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      keysKeyCol: String, expectedItems: Long, fpp: Double = 0.01,
+      keysDistinct: Boolean = false): DataFrame = {
     // materialize the distinct keys ONCE: the bloom build is an eager
     // aggregation and the confirming join would otherwise re-run the
-    // whole keys pipeline (e.g. eval-set shingling) a second time
-    val k = keys.select(col(keysKeyCol).as(keyCol)).distinct()
-    val kMat =
-      if (keys.sparkSession.sparkContext.getCheckpointDir.isDefined) k.checkpoint()
-      else k.localCheckpoint()
+    // whole keys pipeline (e.g. eval-set shingling) a second time.
+    // localCheckpoint, not checkpoint(): reliable-checkpoint files are
+    // only deleted under spark.cleaner.referenceTracking.cleanCheckpoints
+    // (default off), so a long-lived session would leak a key-set copy
+    // per invocation; losing an executor here just retries the query.
+    // Pass keysDistinct = true to skip the dedup when the keys side is
+    // already distinct (saves a full shuffle + aggregate).
+    val k0 = keys.select(col(keysKeyCol).as(keyCol))
+    val kMat = (if (keysDistinct) k0 else k0.distinct()).localCheckpoint()
     val bf = kMat.stat.bloomFilter(keyCol, expectedItems, fpp)
     large
       .filter(graft.functions.SketchFunctions.bloom_might_contain_long(col(keyCol), bf))
