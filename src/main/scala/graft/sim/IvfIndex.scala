@@ -134,6 +134,26 @@ object IvfIndex {
     Model(spark.read.parquet(s"$path/cells"), centroids, centroids.count().toInt)
   }
 
+  /** Incremental index maintenance: assign NEW vectors to their nearest
+    * cell under the EXISTING centroids and append them to the
+    * cell-partitioned layout — no retraining, no rewrite of the standing
+    * corpus (at a 100 TB embedding store, rebuilding the index per
+    * arriving batch is a non-starter; this is FAISS's `add` in directory
+    * form). Appended vectors are immediately visible to
+    * [[searchIndexed]] through the same partition-pruned scans. The
+    * quantizer slowly staleness-drifts as the distribution moves — the
+    * standard IVF trade; retrain with [[build]] when recall decays. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val model = load(spark, path)
+    val centroids = model.centroids.orderBy("cell").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    newVectors
+      .select(col(idCol), col(vecCol),
+        assignExpr(col(vecCol), centroids).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** Search a persisted index with STATIC partition pruning: the union of
     * all queries' probe cells (≤ nlist values, independent of query
     * count) is collected and pushed as a literal IN filter, so the

@@ -67,4 +67,25 @@ class IvfIndexSpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan)
   }
+
+  test("append: new vectors join the index without retraining; full probe == brute force over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val secondHalf = emb.filter(col("vec_id") % 2 === 1)
+    IvfIndex.save(IvfIndex.build(firstHalf, "vec_id", "embedding", nlist = 8), dir)
+    IvfIndex.append(spark, dir, secondHalf, "vec_id", "embedding")
+    // the appended index covers the whole corpus
+    val appended = IvfIndex.load(spark, dir)
+    assert(appended.cells.count() == emb.count())
+    // appended vectors are assigned under the EXISTING centroids: cell
+    // ids stay in range and searchIndexed at full probe reproduces brute
+    // force over the UNION — proof the new rows are really in the index
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = IvfIndex.searchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+  }
 }
