@@ -255,6 +255,59 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Incremental dedup against a reference corpus: flag NEW documents
+    * that exactly or nearly duplicate the standing corpus — the daily
+    * production shape (dedupe today's crawl against the full history)
+    * where the reference is orders of magnitude larger than the batch
+    * and must NEVER be self-joined.
+    *
+    * Exact: fingerprint left-semi join against the reference's distinct
+    * fingerprints. Near: simhash on both sides, 4×15-bit pigeonhole
+    * blocks joined new×ref ONLY (exact for `maxHamming ≤ 3`, like
+    * [[simHashNearDups]]), pairs deduplicated before the Hamming
+    * verify, then the per-new-doc minimum qualifying distance. Both
+    * passes shuffle 8-byte hashes, never text, and the reference side's
+    * cost is one fingerprint/simhash pass — no ref×ref pair space.
+    *
+    * Output per new doc: `(id, exact_dup, near_dup, min_ref_hamming)`
+    * with `min_ref_hamming` null when no reference doc is within
+    * `maxHamming` (blocked pairs beyond the threshold are by
+    * construction incomplete, so the uncapped minimum is unknowable —
+    * and uninteresting). */
+  def dedupAgainstReference(newDocs: DataFrame, refDocs: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val exact = newDocs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(refDocs.select(fingerprint(col(textCol)).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(idCol)).withColumn("_exact", lit(1))
+    def blockKeys(fps: DataFrame): DataFrame =
+      fps.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(q =>
+          shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
+        .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val nB = blockKeys(simHashTable(newDocs, textCol, idCol))
+      .select(col("block_idx"), col("block_key"),
+        col(idCol).as("id_new"), col("simhash").as("sh_new"))
+    val rB = blockKeys(simHashTable(refDocs, textCol, idCol))
+      .select(col("block_idx"), col("block_key"), col("simhash").as("sh_ref"))
+    val near = nB.join(rB, Seq("block_idx", "block_key"))
+      .select(col("id_new"), col("sh_new"), col("sh_ref")).distinct()
+      .select(col("id_new"), hamming(col("sh_new"), col("sh_ref")).as("h"))
+      .filter(col("h") <= maxHamming)
+      .groupBy(col("id_new")).agg(min(col("h")).as("min_ref_hamming"))
+      .withColumnRenamed("id_new", idCol)
+    newDocs.select(col(idCol))
+      .join(exact, Seq(idCol), "left_outer")
+      .join(near, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_exact"), lit(0)).cast("int").as("exact_dup"),
+        when(col("min_ref_hamming").isNotNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("near_dup"),
+        col("min_ref_hamming").cast("int").as("min_ref_hamming"))
+  }
+
   /** Sentence-level exact dedup (C4-style boilerplate removal): across
     * the WHOLE corpus, only the first occurrence of each distinct
     * sentence survives — repeated navigation chrome, disclaimers, and
@@ -578,6 +631,17 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // incremental dedup: flag every 10th doc (the "new batch") against
+    // the other 90% (the "reference corpus") — exact + simhash-near
+    "q107_dedup_against_reference" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      dedupAgainstReference(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", maxHamming = 3)
+        .orderBy("doc_id")
+    },
+
     // corpus-wide sentence dedup: global first occurrence survives,
     // documents reassembled in order
     "q105_sentence_dedup" -> { (s, d) =>
@@ -766,6 +830,33 @@ object Dedup {
         |    AS contaminated
         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q107: exact = fingerprint match into the reference partition;
+    // near = brute-force new×ref hamming min (the oracle needs no
+    // blocking — pigeonhole exactness at <=3 means capped minima agree)
+    "q107_dedup_against_reference" ->
+      s"""WITH $simHashOracleCore,
+         |xf AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS xfp
+         |  FROM documents),
+         |exact AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM xf n JOIN xf r ON n.xfp = r.xfp AND r.doc_id % 10 <> 0
+         |  WHERE n.doc_id % 10 = 0),
+         |near AS (
+         |  SELECT n.doc_id, MIN(bit_count(xor(n.simhash, r.simhash))) AS mh
+         |  FROM fp n JOIN fp r ON r.doc_id % 10 <> 0
+         |  WHERE n.doc_id % 10 = 0
+         |  GROUP BY n.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS exact_dup,
+         |  CAST(CASE WHEN near.mh <= 3 THEN 1 ELSE 0 END AS INTEGER) AS near_dup,
+         |  CAST(CASE WHEN near.mh <= 3 THEN near.mh ELSE NULL END AS INTEGER)
+         |    AS min_ref_hamming
+         |FROM documents d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near ON near.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     // q106: per-sentence eval-gram overlap; dirty sentences excised,
     // documents reassembled (fully-dirty docs keep a row with n_clean=0)
     "q106_scrub_eval_sentences" ->

@@ -213,6 +213,29 @@ class DedupSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, 0L, "")))
   }
 
+  test("dedupAgainstReference: exact + near flags, reference never flagged") {
+    val base = (1 to 60).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val ref = Seq(
+      (1L, base),
+      (2L, "completely unrelated reference content about databases"))
+      .toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, base), // exact (case changes would also count: fingerprint lowercases)
+      // reordered tokens: simhash is a BAG of tokens (hamming 0) while
+      // the exact fingerprint is order-sensitive — near-dup, not exact
+      (101L, base.split(" ").reverse.mkString(" ")),
+      (102L, "fresh novel text with no counterpart whatsoever anywhere"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstReference(newBatch, ref, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(got(0) == ((100L, 1, 1, 0))) // exact implies near at distance 0
+    assert(got(1) == ((101L, 0, 1, 0))) // same bag, different order
+    assert(got(2) == ((102L, 0, 0, -1)))
+    assert(got.length == 3) // only the new batch is scored
+  }
+
   test("exact dedup finds the injected exact duplicate, keeps min id") {
     val groups = Dedup.dupGroups(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
