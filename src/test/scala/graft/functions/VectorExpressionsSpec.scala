@@ -128,6 +128,50 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(0.75, 1.0, 0.0))
   }
 
+  test("DistinctWordNgrams == array_distinct(composed) on randomized token arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // adversarial shapes: heavy repeats from a tiny vocab, empty-string
+    // tokens, unicode, single tokens, lengths straddling every n
+    val vocab = Array("a", "bb", "", "δ文", "x y".replace(" ", ""), "tok")
+    val docs = (0 until 300).map { i =>
+      val len = rnd.nextInt(9) // 0..8 tokens
+      (i.toLong, Array.fill(len)(vocab(rnd.nextInt(vocab.length))).toSeq)
+    }.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val native = TextFunctions.distinct_word_ngrams(col("toks"), n)
+      val composed = {
+        val w = col("toks")
+        array_distinct(when(size(w) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      }
+      val bad = docs.select(col("id"), native.as("a"), composed.as("b"))
+        .filter(not(col("a") === col("b"))).collect()
+      assert(bad.isEmpty, s"n=$n: ${bad.take(3).toSeq}")
+    }
+  }
+
+  test("vec_quantize_i8 roundtrip error bound on randomized vectors incl. negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * rnd.nextInt(1000)).toSeq)
+    }.toDF("id", "v")
+    val got = rows.select(col("id"), col("v"),
+        VectorFunctions.vec_max_abs(col("v")).cast("double")./(lit(127.0)).as("scale"))
+      .select(col("id"), col("v"), col("scale"),
+        VectorFunctions.vec_quantize_i8(col("v"), col("scale")).as("q"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](1); val scale = r.getDouble(2); val q = r.getSeq[Byte](3)
+      v.zip(q).foreach { case (x, b) =>
+        assert(math.abs(b * scale - x) <= scale / 2 + 1e-9, s"x=$x b=$b scale=$scale")
+      }
+      assert(q.map(b => math.abs(b.toInt)).max == 127) // range always used
+    }
+  }
+
   test("minhash_agg matches numPerm separate min(xxhash64(h, i)) aggregates") {
     val numPerm = 16
     val hashed = Tables(spark, sf(), "documents").limit(50)
