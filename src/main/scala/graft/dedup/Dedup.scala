@@ -73,6 +73,34 @@ object Dedup {
         .minhash_agg(col("h"), numPerm, affine = true).as("signature"))
   }
 
+  /** Corpus-overlap estimate between document groups (sources, dumps,
+    * snapshots): one MinHash signature PER GROUP — the elementwise min
+    * over every shingle hash the group contains — then the matching-
+    * position fraction between group signatures estimates the Jaccard
+    * similarity of their shingle SETS. The dataset-level twin of the
+    * per-document q53: "how much does crawl N repeat crawl N−1"
+    * answered without materializing either shingle set.
+    *
+    * Scale shape: the only shuffle carries (group, 64×long) partial
+    * buffers — map-side combined, bounded by group count, independent
+    * of corpus bytes; the pairwise compare is over #groups rows.
+    * Same affine family as q53, so the oracle replays every value. */
+  def corpusOverlap(docs: DataFrame, textCol: String, groupCol: String,
+      numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(groupCol).as("grp"),
+        explode(distinctWordShingles(col(textCol), shingleN)).as("g"))
+      .select(col("grp"), graft.text.TextAnalysis.h60(col("g")).as("h"))
+    val sigs = sh.groupBy("grp")
+      .agg(graft.functions.MinHashFunctions
+        .minhash_agg(col("h"), numPerm, affine = true).as("sig"))
+    sigs.select(col("grp").as("group_a"), col("sig").as("sig_a"))
+      .join(sigs.select(col("grp").as("group_b"), col("sig").as("sig_b")),
+        col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        graft.functions.VectorFunctions
+          .sig_match_frac(col("sig_a"), col("sig_b")).as("est_jaccard"))
+  }
+
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
     * with the fraction of matching minhashes (the Jaccard estimate).
     *
@@ -604,6 +632,13 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // corpus-level MinHash overlap between sources — per-group
+    // signatures, pairwise matching fraction
+    "q111_corpus_overlap" -> { (s, d) =>
+      corpusOverlap(Tables(s, d, "documents"), "text", "source")
+        .orderBy("group_a", "group_b")
+    },
+
     // eval-set decontamination: flag corpus docs sharing an 8-gram with
     // a (deterministically sampled) eval set — the classic pre-training
     // hygiene pass. The eval sample overlaps the corpus by construction,
@@ -774,7 +809,39 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q111 oracle: the q53 signature replay grouped by source instead of
+    * doc — identical affine family, then the pairwise matching-position
+    * fraction. */
+  private def q111Oracle: String = {
+    val numPerm = 64
+    val params = graft.functions.MinHashAgg.affineParams(numPerm)
+    val P = graft.functions.MinHashAgg.P
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((${a}::HUGEINT * h + $b) % $P) AS BIGINT) AS p_$i"
+    }.mkString(",\n    ")
+    val matchTerms = (0 until numPerm)
+      .map(i => s"(CASE WHEN a.p_$i = b.p_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (SELECT source, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS (SELECT source,
+       |    $mins
+       |  FROM h GROUP BY source)
+       |SELECT a.source AS group_a, b.source AS group_b,
+       |  ($matchTerms) / 64.0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY group_a, group_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q111_corpus_overlap" -> q111Oracle,
     "q53_minhash_lsh_pairs" -> q53Oracle,
     // transitive closure over the q55 pair list via recursive CTE, then
     // per-vertex min reachable id = the component label

@@ -176,7 +176,117 @@ object Extended {
       .select(idCol, "n_tokens", "shard", "start_offset", "seq_id", "offset_in_seq")
   }
 
+  /** Binned interval join — the scale path for a KEYLESS point-in-range
+    * join. The naive form (`pt BETWEEN s AND e` with no equi conjunct)
+    * is a broadcast-nested-loop: O(|points|·|intervals|) comparisons, a
+    * non-starter at 100 TB. Binning restores an equi join: every point
+    * maps to exactly ONE `binWidth` bucket of its axis, every interval
+    * replicates to each bucket it overlaps (`len/binWidth + 1` copies),
+    * and the bucket equi join + residual BETWEEN finds each matching
+    * pair EXACTLY once (a point lives in one bin; an interval covers
+    * that bin once) — so no dedup pass is needed. Shuffle volume is
+    * |points| + Σ interval-spans, both linear; pick `binWidth` near the
+    * median interval length to bound the replication factor.
+    * `ptCol`/`startCol`/`endCol` must be numeric (cast timestamps to
+    * epoch first); bounds are inclusive. */
+  def intervalJoinBinned(points: DataFrame, ptCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integral floor-div (Spark's `/` is double division — exact only
+    // under 2^53; epoch-nano axes would mis-bin)
+    def fdiv(c: Column): Column = org.apache.spark.sql.graft.GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.GraftBridge.toExpression(c - pmod(c, lit(binWidth))),
+        org.apache.spark.sql.graft.GraftBridge.toExpression(lit(binWidth)),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    val pb = points.withColumn("_bin", fdiv(col(ptCol)))
+    val ib = intervals.withColumn("_bin",
+      explode(sequence(fdiv(col(startCol)), fdiv(col(endCol)))))
+    pb.join(ib, Seq("_bin"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_bin")
+  }
+
+  /** Exact per-group bottom-k sample: the k rows with the smallest
+    * content hash in every group — deterministic (stable across runs,
+    * engines, partition layouts; adding rows can only displace, never
+    * reshuffle, survivors), and EXACTLY k per group, which rate-based
+    * [[stratifiedSample]] cannot guarantee. One window shuffle; the
+    * md5 order key makes the sample uniform per group. */
+  def bottomKSample(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Z-order clustering layout: range-partition + locally sort by the
+    * Morton-interleaved key of two dimensions, so each output file's
+    * (min, max) footprint is a tight rectangle in BOTH dimensions and a
+    * scan filtering on either one prunes most files. This is the
+    * write-time half of multi-dimensional data skipping — the read-time
+    * half is free (parquet row-group stats + Spark's file pruning).
+    * `repartitionByRange` samples the key distribution, so skewed
+    * dimensions still yield balanced files. */
+  def zorderLayout(df: DataFrame, x: String, y: String,
+      numFiles: Int, bitsPerDim: Int = 30): DataFrame = {
+    val zkey = graft.functions.LayoutFunctions.zorder_key(
+      col(x).cast("long"), col(y).cast("long"), bitsPerDim)
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    // z-order clustering effectiveness: bucket lineitem by the top bits
+    // of the interleaved (l_partkey, l_suppkey) key; each bucket's
+    // min/max footprint in both dimensions is what file-level stats
+    // would record after a zorderLayout write — the oracle rebuilds the
+    // identical key from shift-or terms
+    "q109_zorder_stats" -> { (s, d) =>
+      val li = Tables(s, d, "lineitem")
+      li.select(
+          graft.functions.LayoutFunctions.zorder_key(
+            col("l_partkey").cast("long"), col("l_suppkey").cast("long"), 30)
+            .as("zkey"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("zbucket", shiftright(col("zkey"), 14))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("zbucket")
+    },
+
+    // keyless point-in-interval join via binning (equi join + residual,
+    // each pair found exactly once): events inside 2h windows opened by
+    // low-id users' purchases, aggregated per window. Oracle is the
+    // naive BETWEEN theta join — a green hash proves binning is lossless
+    "q113_interval_bin_join" -> { (s, d) =>
+      val base = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
+      val iv = base
+        .filter(col("user_id") < 5 && col("event_type") === "purchase")
+        .select(col("event_id").as("iv_id"), col("t").as("s"),
+          (col("t") + lit(7200000000L)).as("e"))
+      intervalJoinBinned(base.select("event_id", "t", "value"), "t",
+          iv, "s", "e", binWidth = 3600000000L)
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy("iv_id")
+    },
+
+    // exact per-group bottom-k: 5 deterministic docs per language
+    "q114_bottomk_sample" -> { (s, d) =>
+      bottomKSample(Tables(s, d, "documents"), "text", "lang", k = 5)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    },
+
     // as-of join: previous event per (user, ts) — strict inequality,
     // via the native whole-operator path (AsOfJoinPlan/Exec); oracle is
     // DuckDB's built-in ASOF LEFT JOIN
@@ -377,6 +487,37 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_interval_bin_join" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, value
+        |  FROM events),
+        |iv AS (
+        |  SELECT event_id AS iv_id, t AS s, t + 7200000000 AS e
+        |  FROM base WHERE user_id < 5 AND event_type = 'purchase')
+        |SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN base p ON p.t >= iv.s AND p.t <= iv.e
+        |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin,
+    "q114_bottomk_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text) ASC, text ASC) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+    "q109_zorder_stats" -> {
+      val z = graft.functions.ZOrderKey2.oracleSqlExpr(
+        "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)", 30)
+      s"""WITH z AS (
+         |  SELECT ($z) >> 14 AS zbucket, l_partkey, l_suppkey
+         |  FROM lineitem)
+         |SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
     "q80_asof_join" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value,
         |  e2.event_id AS prev_event_id, e2.value AS prev_value

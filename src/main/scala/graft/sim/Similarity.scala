@@ -120,7 +120,46 @@ object Similarity {
         vec_quantize_i8(col(vecCol), col("scale")).as("q"))
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding corpus —
+    * the feature-normalization pass before clustering / PCA / cheap
+    * linear probes. Means and variances come from `floor(x·10⁹)` /
+    * `floor(x²·10⁹)` BIGINT sums, so the aggregation is exact integer
+    * math with no float-sum order dependence (the same fixed-point trick
+    * as q58/q64); the final mean/std division and the per-element
+    * z-score are single IEEE double ops, identical in both engines.
+    *
+    * Plan shape at scale: one map-side-combining aggregation down to
+    * `dim` rows, broadcast back, then a pure map stage — the corpus is
+    * read twice but shuffled never. Output z-scores ride as
+    * `floor(z·10⁶)` so the result hash-compares exactly.
+    *
+    * Contract: a constant dimension (variance 0) yields std 0 → NaN
+    * z-scores; callers drop such dimensions first (they carry no
+    * information to standardize). */
+  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val d = df.select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
+      .withColumn("x_fp", floor(col("x") * 1e9))
+      .withColumn("x2_fp", floor(col("x") * col("x") * 1e9))
+    val stats = d.groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("x_fp").as("s_fp"), sum("x2_fp").as("s2_fp"))
+      .withColumn("mean", col("s_fp").cast("double") / (col("n").cast("double") * 1e9))
+      .withColumn("std", sqrt(
+        col("s2_fp").cast("double") / (col("n").cast("double") * 1e9)
+          - col("mean") * col("mean")))
+    d.join(broadcast(stats.select("pos", "mean", "std")), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        floor((col("x") - col("mean")) / col("std") * 1e6).as("z_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // per-dimension z-scored embeddings, fixed-point (oracle replays the
+    // exact integer sums and IEEE ops)
+    "q110_standardize_embeddings" -> { (s, d) =>
+      standardizeEmbeddings(Tables(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "pos")
+    },
+
     // int8 quantization: scale + md5 of the quantized byte string
     "q103_quantize_embeddings" -> { (s, d) =>
       quantizeEmbeddings(Tables(s, d, "embeddings"), "vec_id", "embedding")
@@ -236,6 +275,34 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // q110: the identical fixed-point sums (DuckDB SUM(BIGINT) is
+    // HUGEINT, hence the casts back) and the same IEEE op order for
+    // mean, std, and the z-score
+    "q110_standardize_embeddings" ->
+      """WITH d AS (
+        |  SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+        |    embedding[CAST(pos AS INTEGER)]::DOUBLE AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS pos
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id, pos, x,
+        |    CAST(floor(x * 1e9) AS BIGINT) AS x_fp,
+        |    CAST(floor(x * x * 1e9) AS BIGINT) AS x2_fp
+        |  FROM d),
+        |st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x_fp) AS BIGINT) AS s_fp,
+        |    CAST(sum(x2_fp) AS BIGINT) AS s2_fp
+        |  FROM q GROUP BY pos),
+        |st2 AS (SELECT pos,
+        |    CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) AS mean,
+        |    sqrt(CAST(s2_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9)
+        |      - (CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))
+        |        * (CAST(s_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9))) AS std
+        |  FROM st)
+        |SELECT q.vec_id, q.pos,
+        |  CAST(floor((q.x - st2.mean) / st2.std * 1e6) AS BIGINT) AS z_fp
+        |FROM q JOIN st2 USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
     // q103: float max-abs (kept FLOAT until the one double cast, like the
     // Spark expression), floor-form rounding, clamp, byte-string md5
     "q103_quantize_embeddings" ->

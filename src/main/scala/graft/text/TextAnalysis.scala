@@ -230,7 +230,75 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Vocabulary heavy hitters via a Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]): tokens whose estimated frequency
+    * is at least `threshold`, without ever shuffling token rows.
+    *
+    * Two passes over the token stream, both ending in bounded state:
+    * pass 1 folds every occurrence into one `depth×width` counter matrix
+    * (map-side combined, single-row reduce); pass 2 probes the sketch —
+    * broadcast as one row — with the distinct vocabulary, a pure map
+    * stage plus one vocabulary-sized distinct. Estimates can only
+    * overestimate (hash collisions add, never subtract), so the result is
+    * a superset of the true heavy hitters at exactly reproducible
+    * values — both engines rebuild the identical counter matrix from the
+    * shared affine hash family, which keeps the query hash-checkable. */
+  def heavyHitters(docs: DataFrame, textCol: String, threshold: Long,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val hashed = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(col("tok"), h60(col("tok")).as("h"))
+    val sketch = hashed.agg(count_min_agg(col("h"), depth, width).as("sketch"))
+    hashed.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"),
+        cms_estimate_long(col("sketch"), col("h"), depth, width).as("est_count"))
+      .filter(col("est_count") >= threshold)
+  }
+
+  /** Within-document duplicate-sentence metrics — the sentence-level
+    * Gopher repetition signals (q57 covers tokens): fraction of repeated
+    * sentences and fraction of characters inside repeats. A high value
+    * flags boilerplate soup (nav bars, cookie banners, templated pages)
+    * BEFORE any corpus-wide pass — and unlike [[graft.dedup.Dedup.sentenceDedup]]
+    * this is a pure per-row computation: split + distinct + two
+    * element-length folds, all narrow array ops, NO shuffle at any
+    * scale. Same `'. '` sentence grid as sentenceDedup. */
+  def dupSentenceStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val parts = split(trim(col(textCol)), "\\. ")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), parts.as("_p"))
+      .select(col(idCol),
+        size(col("_p")).cast("long").as("n_sentences"),
+        (size(col("_p")) - size(array_distinct(col("_p")))).cast("long")
+          .as("n_dup_sentences"),
+        aggregate(col("_p"), lit(0L), (acc, s) => acc + length(s)).as("_chars_all"),
+        aggregate(array_distinct(col("_p")), lit(0L), (acc, s) => acc + length(s))
+          .as("_chars_uniq"))
+      .select(col(idCol), col("n_sentences"), col("n_dup_sentences"),
+        (col("n_dup_sentences").cast("double") / col("n_sentences"))
+          .as("dup_sentence_frac"),
+        when(col("_chars_all") === 0, lit(0.0))
+          .otherwise((col("_chars_all") - col("_chars_uniq")).cast("double")
+            / col("_chars_all"))
+          .as("dup_char_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // sentence-level repetition signals, shuffle-free
+    "q112_dup_sentence_stats" -> { (s, d) =>
+      dupSentenceStats(Tables(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // vocabulary heavy hitters over the Count-Min sketch — the oracle
+    // rebuilds the identical counter matrix in HUGEINT arithmetic
+    "q108_heavy_hitters" -> { (s, d) =>
+      heavyHitters(Tables(s, d, "documents"), "text", threshold = 50L)
+        .orderBy(desc("est_count"), asc("tok"))
+    },
+
     // token-budget selection: per source, the longest documents (exact
     // integer n_chars key) until 700 running tokens (cuts roughly half the docs per source at sf0.01)
     "q99_token_budget" -> { (s, d) =>
@@ -428,7 +496,62 @@ object TextAnalysis {
     }
   )
 
+  /** DuckDB replay of the q108 Count-Min sketch: per hash row, the
+    * counter table is a GROUP BY on the identical affine bucket function
+    * (HUGEINT arithmetic, same `(a_i, b_i)` literals the executors
+    * derive); the estimate is the `least` across rows. Probed buckets
+    * are never empty (the probe token itself counted into them), so the
+    * inner joins lose nothing. */
+  private def q108Oracle: String = {
+    val depth = 4; val width = 1024; val threshold = 50
+    val params = graft.functions.MinHashAgg.affineParams(depth)
+    val P = graft.functions.MinHashAgg.P
+    def bucket(h: String, i: Int): String = {
+      val (a, b) = params(i)
+      s"CAST((($a::HUGEINT * $h + $b) % $P) % $width AS BIGINT)"
+    }
+    val counters = (0 until depth).map { i =>
+      s"c$i AS (SELECT ${bucket("h", i)} AS bucket, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until depth)
+      .map(i => s"JOIN c$i x$i ON x$i.bucket = ${bucket("p.h", i)}")
+      .mkString("\n")
+    val est = (0 until depth).map(i => s"x$i.n").mkString("least(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT tok, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |$counters,
+       |probe AS (SELECT DISTINCT tok, h FROM h)
+       |SELECT p.tok, $est AS est_count
+       |FROM probe p
+       |$joins
+       |WHERE $est >= $threshold
+       |ORDER BY est_count DESC, tok ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q108_heavy_hitters" -> q108Oracle,
+    "q112_dup_sentence_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS p
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id,
+        |    CAST(len(p) AS BIGINT) AS n_sentences,
+        |    CAST(len(p) - len(list_distinct(p)) AS BIGINT) AS n_dup_sentences,
+        |    CAST(list_aggregate(list_transform(p, s -> length(s)), 'sum')
+        |      AS BIGINT) AS chars_all,
+        |    CAST(list_aggregate(list_transform(list_distinct(p), s -> length(s)),
+        |      'sum') AS BIGINT) AS chars_uniq
+        |  FROM base)
+        |SELECT doc_id, n_sentences, n_dup_sentences,
+        |  CAST(n_dup_sentences AS DOUBLE) / n_sentences AS dup_sentence_frac,
+        |  CASE WHEN chars_all = 0 THEN 0.0
+        |       ELSE CAST(chars_all - chars_uniq AS DOUBLE) / chars_all END
+        |    AS dup_char_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q99_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source, n_chars,

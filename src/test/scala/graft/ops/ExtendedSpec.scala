@@ -7,6 +7,44 @@ import graft.SparkSpec
 class ExtendedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("intervalJoinBinned == naive theta join, each pair exactly once") {
+    // crafted axis: intervals spanning 1..4 bins (width 10), points on
+    // bin and interval boundaries (inclusive both ends), empty overlap
+    val points = Seq((1L, 0L), (2L, 5L), (3L, 10L), (4L, 19L), (5L, 20L),
+      (6L, 35L), (7L, 49L), (8L, 50L), (9L, 99L)).toDF("pid", "t")
+    val ivs = Seq((100L, 0L, 5L), (101L, 5L, 35L), (102L, 19L, 20L),
+      (103L, 60L, 95L), (104L, 36L, 36L)).toDF("iv", "s", "e")
+    val got = Extended.intervalJoinBinned(points, "t", ivs, "s", "e", 10L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = points.collect().flatMap { p =>
+      ivs.collect().collect {
+        case r if p.getLong(1) >= r.getLong(1) && p.getLong(1) <= r.getLong(2) =>
+          (p.getLong(0), r.getLong(0))
+      }
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)  // no misses, NO duplicates
+    assert(got.length == got.distinct.length)
+  }
+
+  test("bottomKSample: exactly min(k, |group|) rows, layout-invariant") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val k = 5
+    val sizes = Extended.bottomKSample(docs, "text", "lang", k)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groups = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups.foreach { case (g, n) =>
+      assert(sizes(g) == math.min(k.toLong, n), s"lang=$g")
+    }
+    // deterministic under partition layout
+    val a = Extended.bottomKSample(docs.repartition(13), "text", "lang", k)
+      .select("lang", "rk", "doc_id").collect().map(_.toSeq).sortBy(_.toString)
+    val b = Extended.bottomKSample(docs.coalesce(1), "text", "lang", k)
+      .select("lang", "rk", "doc_id").collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("asofJoin: strict inequality, per-key isolation, null when no match") {
     val left = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "L1"),

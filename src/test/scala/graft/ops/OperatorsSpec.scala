@@ -137,6 +137,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fluent > soup, s"fluent=$fluent soup=$soup")
     assert(r(2).getLong(1) == 0L && r(2).isNullAt(2))  // <2 tokens → no score
   }
+
+  test("dupSentenceStats: repeated sentences counted, shuffle-free plan") {
+    val docs = Seq(
+      (1L, "alpha beta. gamma delta. alpha beta. epsilon"),
+      (2L, "one two. three four"),
+      (3L, "same. same. same")).toDF("doc_id", "text")
+    val q = TextAnalysis.dupSentenceStats(docs, "text", "doc_id")
+    val r = q.orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 1)     // 1 of 4 repeated
+    assert(r(0).getDouble(3) == 0.25)
+    assert(r(1).getLong(2) == 0 && r(1).getDouble(4) == 0.0) // clean doc
+    assert(r(2).getLong(2) == 2)                             // "same" ×3
+    assert(math.abs(r(2).getDouble(4) - 8.0 / 12.0) < 1e-12)
+    // pure per-row computation: no exchange anywhere in the plan
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -302,6 +318,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(nearPairs.contains((0L, 100000L)))
   }
+
+  test("corpusOverlap: identical groups estimate 1.0, disjoint near 0") {
+    val shared = (0 until 20).map(i => s"alpha$i beta$i gamma$i delta$i epsilon$i")
+    val other = (0 until 20).map(i => s"zeta$i eta$i theta$i iota$i kappa$i")
+    val df = (shared.map(("g1", _)) ++ shared.map(("g2", _)) ++
+      other.map(("g3", _))).toDF("source", "text")
+    val est = Dedup.corpusOverlap(df, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est(("g1", "g2")) == 1.0)       // same shingle set → same signature
+    assert(est(("g1", "g3")) <= 0.1)       // no shared shingles
+    assert(est(("g2", "g3")) == est(("g1", "g3"))) // g1 ≡ g2
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -390,6 +419,19 @@ class SimilaritySpec extends SparkSpec {
     // silently approximate LSH subset
     assert(spark.conf.getOption(CosineJoinRewrite.BitsConf).isEmpty)
     assert(spark.conf.getOption(CosineJoinRewrite.DimConf).isEmpty)
+  }
+
+  test("standardizeEmbeddings: every dimension ends ~N(0,1) in fixed point") {
+    val z = Similarity.standardizeEmbeddings(emb, "vec_id", "embedding")
+    val stats = z.groupBy("pos")
+      .agg(avg(col("z_fp")).as("m"), stddev_pop(col("z_fp")).as("s"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      // z_fp = floor(z·10⁶): mean ~0 (±floor bias), std ~10⁶
+      assert(math.abs(r.getDouble(1)) < 2e4, s"pos=${r.get(0)} mean=${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1e6) < 5e4, s"pos=${r.get(0)} std=${r.getDouble(2)}")
+    }
   }
 }
 
