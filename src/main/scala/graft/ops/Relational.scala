@@ -164,6 +164,21 @@ object Relational {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     },
 
+    // window: time-RANGE frame (value-based, not row-count-based — the
+    // sliding "last hour per user" aggregate; tie-safe by construction
+    // since the frame is keyed on the order VALUE)
+    "q115_range_frame_window" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3600000000L, 0L)
+      Tables(s, d, "events").filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast("double"))
+        .select("event_id", "user_id", "t", "n_1h", "sum_1h")
+        .orderBy("user_id", "t", "event_id")
+    },
+
     // window: lag/lead
     "q14_window_lag_lead" -> { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -520,6 +535,15 @@ object Relational {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q115_range_frame_window" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t, event_id""".stripMargin,
     "q14_window_lag_lead" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |  lag(value, 1) OVER w AS prev_value,

@@ -230,6 +230,60 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** Temperature-scaled mixture budgeting — the "α-sampling" data-mix
+    * pass (GPT-3 / multilingual-LM style): each source's token budget is
+    * proportional to `src_tokens^α` with α = 1/2, flattening the mix so
+    * giant sources stop drowning small ones (α=1 is proportional, α=0
+    * uniform). √ is the one exponent with an exactly-rounded IEEE op in
+    * both engines, so the weights are deterministic; they are then
+    * fixed-pointed (`floor(√·10⁶)` BIGINT) so the weight SUM is exact
+    * integer math with no float-order dependence, and each budget is an
+    * integral `totalBudget·w div Σw`. Selection within a source is the
+    * q99 cut: rank by quality key, keep while the running token total
+    * fits. Two small aggregations + a broadcast of the per-source
+    * budget table; the corpus shuffles once (the per-source window). */
+  def temperatureMixture(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, rankKey: Column, totalBudget: Long): DataFrame = {
+    val t = docs.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+    val sums = t.groupBy(groupCol).agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("w_fp",
+        floor(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
+    val wsum = sums.agg(sum("w_fp").as("w_total"))
+    val budgets = sums.crossJoin(broadcast(wsum))
+      .withColumn("budget_tokens", expr(s"$totalBudget * w_fp div w_total"))
+      .select(col(groupCol), col("src_tokens"), col("budget_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(rankKey.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(budgets), Seq(groupCol))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("budget_tokens"))
+  }
+
+  /** Per-document rare-token fraction WITHOUT a vocabulary join: probe
+    * the [[heavyHitters]] Count-Min sketch for every token occurrence
+    * and count those estimated below `threshold`. The frequency table a
+    * naive version would `groupBy(token)`-build and shuffle-join back is
+    * replaced by a broadcast 256 KB counter matrix and a pure map stage
+    * — per-doc quality signals over a 100 TB corpus with ONE extra
+    * aggregate of fixed size. CMS only overestimates, so `n_rare` is
+    * conservative (a token called frequent might be rare, never the
+    * reverse); width trades that error for memory. Deterministic and
+    * oracle-replayable like q108. */
+  def rareTokenStats(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Long, depth: Int = 4, width: Int = 8192): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", h60(col("tok")))
+    val sketch = toks.agg(count_min_agg(col("h"), depth, width).as("sketch"))
+    toks.crossJoin(broadcast(sketch))
+      .withColumn("est", cms_estimate_long(col("sketch"), col("h"), depth, width))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("est") < threshold, lit(1))).as("n_rare"))
+      .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
+  }
+
   /** Vocabulary heavy hitters via a Count-Min sketch
     * ([[graft.functions.CountMinAgg]]): tokens whose estimated frequency
     * is at least `threshold`, without ever shuffling token rows.
@@ -286,6 +340,44 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    // per-group quantile gating: keep docs above their language's p75
+    // length — the "adaptive threshold" quality cut (a global cut-off
+    // over-prunes verbose languages and under-prunes terse ones). Exact
+    // interpolated percentile; the compare is ulp-robust because
+    // integer char counts can never sit within a ulp of a fractional
+    // threshold. Tiny threshold table → broadcast; corpus scanned once
+    // per aggregate, shuffled never.
+    "q116_quality_percentile_gate" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val th = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.75)").as("p75"))
+      docs.join(broadcast(th), Seq("lang"))
+        .filter(col("n_chars") > col("p75"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .join(docs.groupBy("lang").agg(count(lit(1)).as("n_total")), Seq("lang"))
+        .select("lang", "n_total", "n_kept")
+        .orderBy("lang")
+    },
+
+    // temperature-scaled (α=1/2) per-source token budgets + q99-style
+    // selection; output is the realized mix profile
+    "q117_temperature_mixture" -> { (s, d) =>
+      temperatureMixture(Tables(s, d, "documents"), "text", "doc_id",
+          "source", col("n_chars"), totalBudget = 20000L)
+        .groupBy("source")
+        .agg(first(col("budget_tokens")).as("budget_tokens"),
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sel_tokens"))
+        .orderBy("source")
+    },
+
+    // per-doc rare-token fraction via the broadcast CMS probe (no
+    // vocabulary join)
+    "q118_rare_token_stats" -> { (s, d) =>
+      rareTokenStats(Tables(s, d, "documents"), "text", "doc_id",
+          threshold = 5L)
+        .orderBy("doc_id")
+    },
+
     // sentence-level repetition signals, shuffle-free
     "q112_dup_sentence_stats" -> { (s, d) =>
       dupSentenceStats(Tables(s, d, "documents"), "text", "doc_id")
@@ -532,8 +624,80 @@ object TextAnalysis {
        |ORDER BY est_count DESC, tok ASC""".stripMargin
   }
 
+  /** q118 oracle: q108's counter-matrix replay at width 8192, probed per
+    * token OCCURRENCE and aggregated per document. */
+  private def q118Oracle: String = {
+    val depth = 4; val width = 8192; val threshold = 5
+    val params = graft.functions.MinHashAgg.affineParams(depth)
+    val P = graft.functions.MinHashAgg.P
+    def bucket(h: String, i: Int): String = {
+      val (a, b) = params(i)
+      s"CAST((($a::HUGEINT * $h + $b) % $P) % $width AS BIGINT)"
+    }
+    val counters = (0 until depth).map { i =>
+      s"c$i AS (SELECT ${bucket("h", i)} AS bucket, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = (0 until depth)
+      .map(i => s"JOIN c$i x$i ON x$i.bucket = ${bucket("p.h", i)}")
+      .mkString("\n")
+    val est = (0 until depth).map(i => s"x$i.n").mkString("least(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |$counters,
+       |e AS (SELECT p.doc_id, $est AS est FROM h p
+       |$joins)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN est < $threshold THEN 1 END) AS BIGINT) AS n_rare,
+       |  CAST(count(CASE WHEN est < $threshold THEN 1 END) AS DOUBLE)
+       |    / count(*) AS rare_frac
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q108_heavy_hitters" -> q108Oracle,
+    "q118_rare_token_stats" -> q118Oracle,
+    "q117_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY source),
+        |sw AS (SELECT source, src_tokens,
+        |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+        |  FROM s),
+        |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_total FROM sw),
+        |b AS (SELECT source,
+        |    CAST((20000 * w_fp) // w_total AS BIGINT) AS budget_tokens
+        |  FROM sw, tot),
+        |c AS (SELECT t.source, t.n_tokens, b.budget_tokens,
+        |    CAST(sum(t.n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY t.n_chars DESC, t.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t JOIN b USING (source))
+        |SELECT source, budget_tokens, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+        |FROM c WHERE cum <= budget_tokens
+        |GROUP BY source, budget_tokens ORDER BY source""".stripMargin,
+    "q116_quality_percentile_gate" ->
+      """WITH th AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.75) AS p75
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, tot.n_total, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents d
+        |JOIN th ON d.lang = th.lang
+        |JOIN tot ON d.lang = tot.lang
+        |WHERE d.n_chars > th.p75
+        |GROUP BY d.lang, tot.n_total
+        |ORDER BY d.lang""".stripMargin,
     "q112_dup_sentence_stats" ->
       """WITH base AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\. ') AS p

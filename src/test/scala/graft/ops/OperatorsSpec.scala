@@ -153,6 +153,37 @@ class TextAnalysisSpec extends SparkSpec {
     // pure per-row computation: no exchange anywhere in the plan
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("temperatureMixture: sqrt-flattened budgets, selection fits them") {
+    val docs = ((1 to 16).map(i => (i.toLong, "big", ("tok " * 10).trim)) ++
+      Seq((100L, "small", ("tok " * 10).trim)))
+      .toDF("doc_id", "src", "text")
+    val sel = TextAnalysis.temperatureMixture(docs, "text", "doc_id",
+      "src", col("doc_id"), totalBudget = 1000L)
+    val byGroup = sel.groupBy("src")
+      .agg(first(col("budget_tokens")).as("b"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (bBig, tBig) = byGroup("big")
+    val (bSmall, tSmall) = byGroup("small")
+    // proportional would give 16:1; sqrt flattens to 4:1
+    assert((bBig.toDouble / bSmall - 4.0).abs < 0.05, // ±rounding of div
+      s"big=$bBig small=$bSmall")
+    assert(bBig + bSmall <= 1000)
+    assert(tBig <= bBig && tSmall <= bSmall) // selection honors the budget
+  }
+
+  test("rareTokenStats: collision-free width gives exact rare counts") {
+    val docs = Seq((1L, "a a a b"), (2L, "a a a c"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.rareTokenStats(docs, "text", "doc_id",
+        threshold = 2L, width = 1 << 16)
+      .orderBy("doc_id").collect()
+    // a occurs 10×; b and c once each → rare under threshold 2
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 1)
+    assert(r(1).getLong(2) == 1)
+    assert(r(2).getLong(2) == 0)
+    assert(math.abs(r(0).getDouble(3) - 0.25) < 1e-12)
+  }
 }
 
 class DedupSpec extends SparkSpec {
