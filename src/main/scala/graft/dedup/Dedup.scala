@@ -101,6 +101,63 @@ object Dedup {
           .sig_match_frac(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  /** Persist a MinHash-LSH dedup index: the reference corpus's
+    * signatures and banded keys as parquet. [[probeLshIndex]] then
+    * screens each arriving batch WITHOUT recomputing anything over the
+    * standing corpus — the piece [[dedupAgainstReference]] lacks (it
+    * re-shingles and re-hashes the full reference every run, untenable
+    * when the reference is 100 TB and the batch is a day's crawl).
+    * Band rows ride partitioned by `band_idx` (16 independent
+    * band-parallel sub-indexes). */
+  def saveLshIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, numPerm: Int = 64, bands: Int = 16, rows: Int = 4): Unit = {
+    minHashSignatures(docs, textCol, idCol, numPerm)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    // band from the WRITTEN signatures: one signature computation total,
+    // and the two files are guaranteed consistent
+    val persisted = docs.sparkSession.read.parquet(s"$path/sigs")
+    bandKeys(persisted, idCol, bands, rows)
+      .select(col(idCol), col("band_idx"), col("band_hash"))
+      .write.partitionBy("band_idx").mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Probe a [[saveLshIndex]] index with a new batch: candidates are
+    * (new, ref) pairs sharing a band, scored by signature agreement,
+    * kept at `threshold`. Only the BATCH is shingled/hashed; the index
+    * scan is pre-pruned by a bloom filter over the batch's band hashes
+    * (pre-shuffle, [[graft.functions.BloomMightContainLong]] semantics:
+    * false positives are dropped by the join, nothing is lost), so the
+    * shuffle carries ~matching index rows, not the index. */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numPerm: Int = 64, bands: Int = 16,
+      rows: Int = 4): DataFrame = {
+    val refBands = spark.read.parquet(s"$path/bands")
+    val refSigs = spark.read.parquet(s"$path/sigs")
+    // small by contract (one batch); materialize once — bands and the
+    // scoring join would otherwise re-run the shingle pipeline
+    val newSigs = minHashSignatures(newDocs, textCol, idCol, numPerm)
+      .localCheckpoint()
+    val nb = bandKeys(newSigs, idCol, bands, rows)
+    val bf = nb.stat.bloomFilter("band_hash", math.max(1000L, nb.count()), 0.01)
+    val cand = refBands
+      .filter(graft.functions.SketchFunctions
+        .bloom_might_contain_long(col("band_hash"), bf))
+      .join(nb.select(col("band_idx"), col("band_hash"), col(idCol).as("new_id")),
+        Seq("band_idx", "band_hash"))
+      .select(col(idCol).as("ref_id"), col("new_id"))
+      .distinct()
+    cand
+      .join(refSigs.select(col(idCol).as("ref_id"), col("signature").as("sig_r")),
+        Seq("ref_id"))
+      .join(newSigs.select(col(idCol).as("new_id"), col("signature").as("sig_n")),
+        Seq("new_id"))
+      .select(col("new_id"), col("ref_id"),
+        graft.functions.VectorFunctions
+          .sig_match_frac(col("sig_n"), col("sig_r")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
     * with the fraction of matching minhashes (the Jaccard estimate).
     *
@@ -114,13 +171,20 @@ object Dedup {
     *
     * `maxBucket` caps degenerate buckets (boilerplate shingles at web
     * scale) — dropped buckets are the standard MinHashLSH skew guard. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame = {
-    val banded = sigs.select(
+  /** Banded key grid shared by [[lshCandidatePairs]] and the persisted
+    * index: one (band_idx, band_hash) row per signature band, the hash
+    * folding the band's `rows` slice to 8 bytes. */
+  private def bandKeys(sigs: DataFrame, idCol: String,
+      bands: Int, rows: Int): DataFrame =
+    sigs.select(
       col(idCol),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), slice(col("signature"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandKeys(sigs, idCol, bands, rows)
     // skew guard via aggregate + broadcast ANTI join, not a window: the
     // count aggregates map-side down to distinct bucket ids (vs window's
     // full shuffle+sort of every banded row), and the oversized-bucket
@@ -632,6 +696,19 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // persisted LSH index: build on the 90% reference, probe with the
+    // 10% batch — the batch-vs-index round trip end to end; the oracle
+    // replays candidates as slice equality over both sides' signatures
+    "q119_lsh_index_probe" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lsh_idx").toString
+      saveLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", path)
+      probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", threshold = 0.3)
+        .orderBy("new_id", "ref_id")
+    },
+
     // corpus-level MinHash overlap between sources — per-group
     // signatures, pairwise matching fraction
     "q111_corpus_overlap" -> { (s, d) =>
@@ -840,7 +917,54 @@ object Dedup {
        |ORDER BY group_a, group_b""".stripMargin
   }
 
+  /** q119 oracle: q53's signature replay; candidates = (new, ref) pairs
+    * sharing any band SLICE (the hash-equality the index uses implies
+    * slice equality modulo 64-bit xxhash collisions — none at this
+    * scale, same adjudication as q53), scored and thresholded. */
+  private def q119Oracle: String = {
+    val numPerm = 64; val bands = 16; val rows = 4
+    val params = graft.functions.MinHashAgg.affineParams(numPerm)
+    val P = graft.functions.MinHashAgg.P
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((${a}::HUGEINT * h + $b) % $P) AS BIGINT) AS p_$i"
+    }.mkString(",\n    ")
+    val bandKeySelects = (0 until bands).map { j =>
+      val ks = (0 until rows).map(r => s"p_${j * rows + r} AS k$r").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, $ks FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matchTerms = (0 until numPerm)
+      .map(i => s"(CASE WHEN a.p_$i = b.p_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |bandkeys AS (
+       |  $bandKeySelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS ref_id
+       |  FROM bandkeys x
+       |  JOIN bandkeys y USING (band_idx, k0, k1, k2, k3)
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0)
+       |SELECT c.new_id, c.ref_id,
+       |  ($matchTerms) / 64.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sig a ON a.doc_id = c.new_id
+       |JOIN sig b ON b.doc_id = c.ref_id
+       |WHERE ($matchTerms) / 64.0 >= 0.3
+       |ORDER BY new_id, ref_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q119_lsh_index_probe" -> q119Oracle,
     "q111_corpus_overlap" -> q111Oracle,
     "q53_minhash_lsh_pairs" -> q53Oracle,
     // transitive closure over the q55 pair list via recursive CTE, then

@@ -350,6 +350,21 @@ class DedupSpec extends SparkSpec {
     assert(nearPairs.contains((0L, 100000L)))
   }
 
+  test("LSH index: persisted probe finds the injected dup, no ref-side ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val ref = docs.filter(col("doc_id") < 100000L)
+    val batch = docs.filter(col("doc_id") >= 100000L) // exact + near dup
+    Dedup.saveLshIndex(ref, "text", "doc_id", dir)
+    val hits = Dedup.probeLshIndex(spark, dir, batch, "text", "doc_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (n, rf, e) => n == 100000L && rf == 0L && e == 1.0 },
+      s"hits=${hits.toSeq}")
+    assert(hits.forall(_._1 >= 100000L)) // probe ids only on the new side
+    val again = Dedup.probeLshIndex(spark, dir, batch, "text", "doc_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.sorted.toSeq == again.sorted.toSeq) // deterministic re-probe
+  }
+
   test("corpusOverlap: identical groups estimate 1.0, disjoint near 0") {
     val shared = (0 until 20).map(i => s"alpha$i beta$i gamma$i delta$i epsilon$i")
     val other = (0 until 20).map(i => s"zeta$i eta$i theta$i iota$i kappa$i")
