@@ -69,6 +69,31 @@ object GraftExtensions {
         SimHashAgg(children.head,
           intLit(children(1), "simhash_agg", "bits"))
           .toAggregateExpression()
+      }),
+    (FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey2].getName, "zorder_key"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "zorder_key takes (x, y, bitsPerDim)")
+        ZOrderKey2(children.head, children(1),
+          intLit(children(2), "zorder_key", "bitsPerDim"))
+      }),
+    (FunctionIdentifier("count_min_agg"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "count_min_agg takes (hash, depth, width)")
+        CountMinAgg(children.head,
+          intLit(children(1), "count_min_agg", "depth"),
+          intLit(children(2), "count_min_agg", "width"))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateLong].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "cms_estimate takes (sketch, hash, depth, width)")
+        CmsEstimateLong(children.head, children(1),
+          intLit(children(2), "cms_estimate", "depth"),
+          intLit(children(3), "cms_estimate", "width"))
       })
   )
 

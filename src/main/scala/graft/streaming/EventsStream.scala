@@ -157,6 +157,74 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TokenOcc(shard: Int, h: Long)
+  final case class TokenEst(shard: Int, h: Long, est: Long)
+  // not private: Catalyst's generated encoder code needs public accessors
+  final case class CmsState(counters: Array[Long])
+
+  /** Streaming heavy-hitter estimates at ingest — the streaming twin of
+    * the q108 Count-Min pass ([[graft.functions.CountMinAgg]], same
+    * affine hash family): each shard key holds one additive
+    * `depth × width` counter matrix in `ValueState`, updated per batch
+    * and probed for the batch's distinct tokens, so every emission is
+    * the token's RUNNING frequency estimate over the whole stream.
+    *
+    * Sharding contract: `shard` must be a pure function of `h`
+    * (e.g. `(h % nShards).toInt`) — then a token's every occurrence
+    * lands in the same shard and its estimate needs no cross-shard
+    * merge, while state stays `nShards × depth·width·8` bytes TOTAL
+    * regardless of stream length or vocabulary (the property per-token
+    * counting state cannot give). Updates land before probes and CMS is
+    * order-independent (pure addition), so emissions are deterministic
+    * for a deterministic batch sequence without any in-batch sort. */
+  class StreamingCmsProcessor(depth: Int, width: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, TokenOcc, TokenEst] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[CmsState] = _
+    @transient private lazy val params = graft.functions.MinHashAgg.affineParams(depth)
+
+    private def bucket(i: Int, h: Long): Int = {
+      val (a, b) = params(i)
+      (graft.functions.MinHashAgg.affinePerm(a, b, h) % width).toInt
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CmsState]("cms",
+        org.apache.spark.sql.Encoders.product[CmsState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[TokenOcc],
+        timerValues: TimerValues): Iterator[TokenEst] = {
+      val buf = if (state.exists()) state.get().counters
+        else new Array[Long](depth * width)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach { r =>
+        var i = 0
+        while (i < depth) { buf(i * width + bucket(i, r.h)) += 1L; i += 1 }
+        seen += r.h
+      }
+      state.update(CmsState(buf))
+      seen.iterator.map { h =>
+        var est = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          val v = buf(i * width + bucket(i, h))
+          if (v < est) est = v
+          i += 1
+        }
+        TokenEst(key, h, est)
+      }
+    }
+  }
+
+  /** Running token-frequency estimates (see [[StreamingCmsProcessor]]). */
+  def streamingHeavyHitters(tokens: Dataset[TokenOcc],
+      depth: Int = 4, width: Int = 1024): Dataset[TokenEst] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_.shard)
+      .transformWithState(new StreamingCmsProcessor(depth, width),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.dedup.Dedup.exactDedup]]: fingerprint the payload
     * (whitespace-normalized md5, same family as the batch path) and drop

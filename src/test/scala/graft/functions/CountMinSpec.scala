@@ -55,6 +55,22 @@ class CountMinSpec extends SparkSpec {
     assert(mat(1) == mat(7))
   }
 
+  test("SQL registry: count_min_agg + cms_estimate match the Column API") {
+    GraftExtensions.register(spark)
+    toks.createOrReplaceTempView("cms_toks")
+    val viaSql = spark.sql(
+      """WITH sk AS (SELECT count_min_agg(h, 4, 64) AS s FROM cms_toks),
+        |d AS (SELECT DISTINCT h FROM cms_toks)
+        |SELECT d.h, cms_estimate(sk.s, d.h, 4, 64) AS est
+        |FROM d CROSS JOIN sk""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = toks.select("h").distinct()
+      .crossJoin(broadcast(toks.agg(count_min_agg(col("h"), depth, width).as("s"))))
+      .select(col("h"), cms_estimate_long(col("s"), col("h"), depth, width).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("probe matches the per-row affine bucket math") {
     val params = MinHashAgg.affineParams(depth)
     val sketchRow = toks.agg(count_min_agg(col("h"), depth, width).as("sketch"))

@@ -49,6 +49,15 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("SQL registry: zorder_key matches the Column API") {
+    GraftExtensions.register(spark)
+    cases.toDF("x", "y").createOrReplaceTempView("z_cases")
+    val viaSql = spark.sql("SELECT zorder_key(x, y, 30) AS z FROM z_cases")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = cases.map { case (x, y) => ZOrderKey2.interleave(x, y, 30) }
+    assert(viaSql == viaCol)
+  }
+
   test("zorderLayout range-partitions by the interleaved key") {
     val li = Tables(spark, sf(), "lineitem")
     val out = Extended.zorderLayout(li, "l_partkey", "l_suppkey", numFiles = 4)

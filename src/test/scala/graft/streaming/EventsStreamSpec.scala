@@ -128,6 +128,52 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("streaming CMS: running estimates accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import EventsStream.{TokenOcc, TokenEst}
+      val depth = 4; val width = 1024
+      val mem = MemoryStream[TokenOcc]
+      val est = EventsStream.streamingHeavyHitters(mem.toDS(), depth, width)
+      val q = est.writeStream.format("memory").queryName("cms_stream")
+        .outputMode("update").start()
+      def occ(h: Long) = TokenOcc((h % 2).toInt, h)
+      mem.addData(occ(10), occ(10), occ(10), occ(11), occ(20))
+      q.processAllAvailable()
+      mem.addData(occ(10), occ(10), occ(21))
+      q.processAllAvailable()
+      q.stop()
+      // reference estimate from the same hash family over the fed counts
+      val params = graft.functions.MinHashAgg.affineParams(depth)
+      def ref(counts: Map[Long, Long], h: Long): Long =
+        (0 until depth).map { i =>
+          val (a, b) = params(i)
+          val bkt = (graft.functions.MinHashAgg.affinePerm(a, b, h) % width).toInt
+          counts.collect { case (k, n)
+            if (graft.functions.MinHashAgg.affinePerm(a, b, k) % width).toInt == bkt
+              && (k % 2) == (h % 2) => n }.sum
+        }.min
+      val out = spark.table("cms_stream").as[TokenEst].collect()
+      // batch-1 emission for h=10 sees 3; batch-2 emission sees the
+      // RUNNING 5 (state carried across batches)
+      val h10 = out.filter(_.h == 10L).map(_.est).sorted
+      assert(h10.toSeq == Seq(
+        ref(Map(10L -> 3L, 11L -> 1L, 20L -> 1L), 10L),
+        ref(Map(10L -> 5L, 11L -> 1L, 20L -> 1L, 21L -> 1L), 10L)))
+      assert(out.filter(_.h == 21L).map(_.est).toSeq ==
+        Seq(ref(Map(10L -> 5L, 11L -> 1L, 20L -> 1L, 21L -> 1L), 21L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
   test("transformWithState running user stats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
