@@ -326,6 +326,44 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // hopping (sliding) windows: 1h windows every 30min — each event
+    // lands in exactly 2 windows; the oracle replays the grid with
+    // unnest([k, k-1])
+    "q120_hopping_window" -> { (s, d) =>
+      Tables(s, d, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // KMV (k-minimum-values) distinct sketch — the DETERMINISTIC cousin
+    // of q36's HLL: estimate = (k−1)·H / h_(k) over the shared h60
+    // space, every value replayable by the oracle (HLL buckets are
+    // engine-internal; order statistics of a shared hash family are
+    // not). At scale the distinct-hash set is the only shuffle, and a
+    // real deployment keeps just the k smallest per group (a bounded
+    // heap; here the exact windowed form doubles as its own spec).
+    "q121_kmv_distinct" -> { (s, d) =>
+      val k = 32
+      val ev = Tables(s, d, "events")
+      val hashes = ev.select(col("event_type"),
+        graft.text.TextAnalysis.h60(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val kth = hashes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === k)
+        .select(col("event_type"),
+          (lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("h").cast("double")).as("est_distinct"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(kth, Seq("event_type"))
+        .orderBy("event_type")
+    },
+
     // time bucketing (tumbling hour) + agg over events
     "q30_time_bucket_agg" -> { (s, d) =>
       Tables(s, d, "events")
@@ -635,6 +673,34 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q120_hopping_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000)
+        |      AS BIGINT) AS k
+        |  FROM events),
+        |x AS (SELECT event_type, value, unnest([k, k - 1]) AS ks FROM e)
+        |SELECT make_timestamp(ks * 1800000000) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q121_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |  FROM h),
+        |x AS (SELECT event_type,
+        |    31.0 * 1152921504606846976.0 / CAST(h AS DOUBLE) AS est_distinct
+        |  FROM r WHERE rk = 32),
+        |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.n_exact, x.est_distinct
+        |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "q30_time_bucket_agg" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_ts,
         |  event_type, count(*) AS n,
