@@ -222,6 +222,42 @@ object Extended {
     df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Systematic weighted sampling: ~`k` rows selected with inclusion
+    * probability proportional to an INTEGER weight (token counts,
+    * bytes), deterministically — a row is selected iff its interval of
+    * the cumulative-weight axis crosses one of `k` evenly spaced grid
+    * points, so the decision is pure integer arithmetic
+    * (`(cum·k) div total`), reproducible across engines and runs, and
+    * exactly length-weighted (the "sample documents ∝ length" pass a
+    * token-budget pipeline wants when it must subsample, not truncate).
+    *
+    * The global cumulative sum is built the scale-correct way: one
+    * window per `shardSize`-id shard plus a broadcast table of per-shard
+    * prefix offsets (the only global window runs over #shards rows, not
+    * the corpus — a plain `Window.orderBy` would collapse the whole
+    * table to one partition). Rows heavier than the grid step are always
+    * selected once (never duplicated). */
+  def systematicWeightedSample(docs: DataFrame, idCol: String,
+      weight: Column, k: Int, shardSize: Long = 100000L): DataFrame = {
+    require(k > 0 && shardSize > 0)
+    val t = docs.withColumn("_w", weight.cast("long"))
+      .withColumn("_shard", expr(s"$idCol div $shardSize"))
+    val shardTotals = t.groupBy("_shard").agg(sum("_w").as("_shard_w"))
+    val offsets = shardTotals
+      .withColumn("_offset", coalesce(sum("_shard_w").over(
+        Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_shard", "_offset")
+    val total = shardTotals.agg(sum("_shard_w").as("_total"))
+    t.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("_cum", col("_offset") + sum("_w").over(
+        Window.partitionBy("_shard").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .filter(expr(s"(_cum * $k) div _total > ((_cum - _w) * $k) div _total"))
+      .drop("_shard", "_offset", "_total")
+  }
+
   /** Z-order clustering layout: range-partition + locally sort by the
     * Morton-interleaved key of two dimensions, so each output file's
     * (min, max) footprint is a tight rectangle in BOTH dimensions and a
@@ -278,6 +314,17 @@ object Extended {
         .agg(count(lit(1)).as("n_points"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy("iv_id")
+    },
+
+    // length-weighted systematic sample: ~50 docs, probability ∝ token
+    // count, integer-exact grid decision (shard size 100 exercises the
+    // multi-shard offset path even at sf0.01's 500 docs)
+    "q122_weighted_sample" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      systematicWeightedSample(docs, "doc_id",
+          size(tokens(col("text"))).cast("long"), k = 50, shardSize = 100L)
+        .select(col("doc_id"), col("_w").as("n_tokens"), col("_cum").as("cum_tokens"))
+        .orderBy("doc_id")
     },
 
     // exact per-group bottom-k: 5 deterministic docs per language
@@ -499,6 +546,20 @@ object Extended {
         |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM iv JOIN base p ON p.t >= iv.s AND p.t <= iv.e
         |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin,
+    "q122_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    CAST(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM t)
+        |SELECT doc_id, w AS n_tokens, cum AS cum_tokens
+        |FROM c, tot
+        |WHERE (cum * 50) // total > ((cum - w) * 50) // total
+        |ORDER BY doc_id""".stripMargin,
     "q114_bottomk_sample" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

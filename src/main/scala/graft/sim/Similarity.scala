@@ -216,6 +216,20 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // embedding dedup clusters: the q66 near-dup pair graph closed into
+    // components by Dedup.connectedComponents — operators COMPOSE (the
+    // clustering step is the same one the text pipeline uses in q101);
+    // the oracle chains the LSH-bucket replay into a recursive closure
+    "q123_embedding_clusters" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings").filter(col("vec_id") < 1000)
+      val pairs = cosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.2, bits = 2).select("id_a", "id_b")
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("vec_id")
+    },
+
     // embedding-cosine near-dup pairs via LSH buckets (rows-only)
     "q66_embedding_near_dups" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (random): 0.2 is already
@@ -351,6 +365,7 @@ object Similarity {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
     "q64_label_centroid_norm" -> q64Oracle,
+    "q123_embedding_clusters" -> q123Oracle,
     "q63_ann_lsh_topk" -> q63Oracle,
     "q65_ann_ivf_topk" -> q65Oracle,
     "q66_embedding_near_dups" -> q66Oracle,
@@ -538,5 +553,41 @@ object Similarity {
        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q123 oracle: the q66 LSH-bucket pair replay (restricted to
+    * vec_id < 1000) chained into a recursive transitive closure — the
+    * same closure shape as the q101 oracle. */
+  private def q123Oracle: String = {
+    val dim = 64
+    val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)
+    s"""WITH RECURSIVE $ctes,
+       |k AS (SELECT e.vec_id, e.embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings e, $tables
+       |  WHERE e.vec_id < 1000),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding", dim)} AS cos
+       |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.2),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (
+       |  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |sizes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM lbl GROUP BY component)
+       |SELECT l.vec_id, l.component, s.cluster_size,
+       |  CAST(CASE WHEN l.vec_id = l.component THEN 1 ELSE 0 END AS INTEGER)
+       |    AS keep
+       |FROM lbl l JOIN sizes s USING (component)
+       |ORDER BY vec_id""".stripMargin
   }
 }

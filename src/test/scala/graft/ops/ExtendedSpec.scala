@@ -26,6 +26,24 @@ class ExtendedSpec extends SparkSpec {
     assert(got.length == got.distinct.length)
   }
 
+  test("systematicWeightedSample: shard-size invariant, ~k rows selected") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    def sel(shardSize: Long): Seq[Long] =
+      Extended.systematicWeightedSample(docs, "doc_id", col("n_chars"),
+          k = 40, shardSize = shardSize)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = sel(100L)        // many shards → offsets exercised
+    val b = sel(1000000L)    // one shard → plain prefix sum
+    assert(a == b)           // the sharded cumsum IS the global cumsum
+    // exactly k rows unless a single doc outweighs a grid step
+    assert(a.length == 40, s"selected ${a.length}")
+    // weighted: selected docs skew heavier than the corpus average
+    val avgAll = docs.agg(avg("n_chars")).head().getDouble(0)
+    val avgSel = docs.filter(col("doc_id").isin(a.map(Long.box): _*))
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(avgSel > avgAll, s"sel=$avgSel all=$avgAll")
+  }
+
   test("bottomKSample: exactly min(k, |group|) rows, layout-invariant") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
     val k = 5
