@@ -111,14 +111,21 @@ object Dedup {
     * band-parallel sub-indexes). */
   def saveLshIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, numPerm: Int = 64, bands: Int = 16, rows: Int = 4): Unit = {
+    val spark = docs.sparkSession
     minHashSignatures(docs, textCol, idCol, numPerm)
       .write.mode("overwrite").parquet(s"$path/sigs")
     // band from the WRITTEN signatures: one signature computation total,
     // and the two files are guaranteed consistent
-    val persisted = docs.sparkSession.read.parquet(s"$path/sigs")
+    val persisted = spark.read.parquet(s"$path/sigs")
     bandKeys(persisted, idCol, bands, rows)
       .select(col(idCol), col("band_idx"), col("band_hash"))
       .write.partitionBy("band_idx").mode("overwrite").parquet(s"$path/bands")
+    // hash-family parameters ride WITH the index: probing with different
+    // ones computes band hashes over different signature slices and
+    // silently finds (almost) nothing — a total dedup miss, not an error
+    import spark.implicits._
+    Seq((numPerm, bands, rows)).toDF("num_perm", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Probe a [[saveLshIndex]] index with a new batch: candidates are
@@ -130,8 +137,10 @@ object Dedup {
     * shuffle carries ~matching index rows, not the index. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, numPerm: Int = 64, bands: Int = 16,
-      rows: Int = 4): DataFrame = {
+      threshold: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numPerm, bands, rows) = (meta.getAs[Int]("num_perm"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
     val refBands = spark.read.parquet(s"$path/bands")
     val refSigs = spark.read.parquet(s"$path/sigs")
     // small by contract (one batch); materialize once — bands and the
@@ -701,8 +710,11 @@ object Dedup {
     // replays candidates as slice equality over both sides' signatures
     "q119_lsh_index_probe" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lsh_idx").toString
+      // deterministic per-sf path, overwritten on each run — a fresh
+      // temp dir per invocation would accumulate a full index copy per
+      // bench/verify loop
+      val path = s"${sys.props("java.io.tmpdir")}/graft_q119_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
       saveLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", path)
       probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
           "text", "doc_id", threshold = 0.3)

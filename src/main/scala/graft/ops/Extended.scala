@@ -191,8 +191,9 @@ object Extended {
     * epoch first); bounds are inclusive. */
   def intervalJoinBinned(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxSpanBins: Int = 100000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxSpanBins > 0, "maxSpanBins must be positive")
     // integral floor-div (Spark's `/` is double division — exact only
     // under 2^53; epoch-nano axes would mis-bin)
     def fdiv(c: Column): Column = org.apache.spark.sql.graft.GraftBridge.toColumn(
@@ -201,8 +202,19 @@ object Extended {
         org.apache.spark.sql.graft.GraftBridge.toExpression(lit(binWidth)),
         org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
     val pb = points.withColumn("_bin", fdiv(col(ptCol)))
-    val ib = intervals.withColumn("_bin",
-      explode(sequence(fdiv(col(startCol)), fdiv(col(endCol)))))
+    // one corrupt open-ended interval (end = Long.MaxValue sentinel)
+    // would ask sequence() for ~2^63/binWidth elements and kill the job;
+    // fail fast with the offending span instead of an executor OOM. The
+    // guard lives INSIDE the sequence bound (a detached check column
+    // would be pruned as unreferenced and never fire).
+    val spanOk = fdiv(col(endCol)) - fdiv(col(startCol)) <= lit(maxSpanBins.toLong)
+    val boundedEnd = when(spanOk, fdiv(col(endCol)))
+      .otherwise(raise_error(concat(
+        lit(s"intervalJoinBinned: interval spans more than $maxSpanBins " +
+          s"bins of width $binWidth: ["),
+        col(startCol), lit(", "), col(endCol), lit("]"))).cast("long"))
+    val ib = intervals
+      .withColumn("_bin", explode(sequence(fdiv(col(startCol)), boundedEnd)))
     pb.join(ib, Seq("_bin"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("_bin")
@@ -213,12 +225,18 @@ object Extended {
     * engines, partition layouts; adding rows can only displace, never
     * reshuffle, survivors), and EXACTLY k per group, which rate-based
     * [[stratifiedSample]] cannot guarantee. One window shuffle; the
-    * md5 order key makes the sample uniform per group. */
+    * md5 order key makes the sample uniform per group. `tieCol` must be
+    * a unique id: exact-duplicate keys tie on both hash and key, and
+    * without a total order row_number picks ranks by partition layout
+    * (and the oracle engine picks its own) — nondeterministic exactly
+    * when the corpus contains the duplicates a dedup pipeline exists
+    * for. */
   def bottomKSample(df: DataFrame, keyCol: String, groupCol: String,
-      k: Int): DataFrame = {
+      k: Int, tieCol: String): DataFrame = {
     require(k > 0)
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc,
+        col(tieCol).asc)
     df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
@@ -254,7 +272,13 @@ object Extended {
         Window.partitionBy("_shard").orderBy(idCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
-      .filter(expr(s"(_cum * $k) div _total > ((_cum - _w) * $k) div _total"))
+      // decimal(38,0) grid math: _cum·k overflows Long once total·k
+      // passes 2^63 (byte weights at 100 TB with k ~ 1e5) — decimal
+      // floor-division is the same integer result without the cliff
+      .filter(
+        floor(col("_cum").cast(DecimalType(38, 0)) * k / col("_total")) >
+          floor((col("_cum") - col("_w")).cast(DecimalType(38, 0)) * k
+            / col("_total")))
       .drop("_shard", "_offset", "_total")
   }
 
@@ -273,6 +297,11 @@ object Extended {
     df.withColumn("_zkey", zkey)
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
+      // the key is derivable from the data — persisting it would write a
+      // synthetic 8-byte column into every file of a layout rewrite (and
+      // clobber any caller column of the same name); the projection after
+      // the local sort is narrow, so intra-partition order is preserved
+      .drop("_zkey")
   }
 
   val queries: Map[String, Q] = Map(
@@ -329,7 +358,8 @@ object Extended {
 
     // exact per-group bottom-k: 5 deterministic docs per language
     "q114_bottomk_sample" -> { (s, d) =>
-      bottomKSample(Tables(s, d, "documents"), "text", "lang", k = 5)
+      bottomKSample(Tables(s, d, "documents"), "text", "lang", k = 5,
+          tieCol = "doc_id")
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk")
     },
@@ -558,13 +588,13 @@ object Extended {
         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM t)
         |SELECT doc_id, w AS n_tokens, cum AS cum_tokens
         |FROM c, tot
-        |WHERE (cum * 50) // total > ((cum - w) * 50) // total
+        |WHERE (cum::HUGEINT * 50) // total > ((cum - w)::HUGEINT * 50) // total
         |ORDER BY doc_id""".stripMargin,
     "q114_bottomk_sample" ->
       """WITH r AS (
         |  SELECT lang, doc_id,
         |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(text) ASC, text ASC) AS BIGINT) AS rk
+        |      ORDER BY md5(text) ASC, text ASC, doc_id ASC) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT lang, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,

@@ -250,7 +250,12 @@ object TextAnalysis {
         floor(sqrt(col("src_tokens").cast("double")) * 1e6).cast("long"))
     val wsum = sums.agg(sum("w_fp").as("w_total"))
     val budgets = sums.crossJoin(broadcast(wsum))
-      .withColumn("budget_tokens", expr(s"$totalBudget * w_fp div w_total"))
+      // decimal(38,0): totalBudget·w_fp wraps Long at trillion-token
+      // sources (w_fp ~ 1e12) with trillion-token budgets; decimal
+      // floor-division gives the identical integer without the cliff
+      .withColumn("budget_tokens",
+        floor(lit(totalBudget).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("w_fp") / col("w_total")).cast("long"))
       .select(col(groupCol), col("src_tokens"), col("budget_tokens"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(rankKey.desc, col(idCol).asc)
@@ -588,14 +593,13 @@ object TextAnalysis {
     }
   )
 
-  /** DuckDB replay of the q108 Count-Min sketch: per hash row, the
-    * counter table is a GROUP BY on the identical affine bucket function
-    * (HUGEINT arithmetic, same `(a_i, b_i)` literals the executors
-    * derive); the estimate is the `least` across rows. Probed buckets
-    * are never empty (the probe token itself counted into them), so the
-    * inner joins lose nothing. */
-  private def q108Oracle: String = {
-    val depth = 4; val width = 1024; val threshold = 50
+  /** Shared q108/q118 oracle scaffolding: DuckDB fragments replaying the
+    * [[graft.functions.CountMinAgg]] counter matrix — the per-row bucket
+    * expression, the counter CTEs (over a CTE named `h` with a column
+    * `h`), the probe-join chain, and the least-of-rows estimate. One
+    * place to fix if the bucket math or escaping ever changes. */
+  private def cmsOracleParts(depth: Int, width: Int)
+      : (String, String => String, String) = {
     val params = graft.functions.MinHashAgg.affineParams(depth)
     val P = graft.functions.MinHashAgg.P
     def bucket(h: String, i: Int): String = {
@@ -606,10 +610,23 @@ object TextAnalysis {
       s"c$i AS (SELECT ${bucket("h", i)} AS bucket, " +
         s"CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)"
     }.mkString(",\n")
-    val joins = (0 until depth)
-      .map(i => s"JOIN c$i x$i ON x$i.bucket = ${bucket("p.h", i)}")
+    val joins = (probe: String) => (0 until depth)
+      .map(i => s"JOIN c$i x$i ON x$i.bucket = ${bucket(probe, i)}")
       .mkString("\n")
     val est = (0 until depth).map(i => s"x$i.n").mkString("least(", ", ", ")")
+    (counters, joins, est)
+  }
+
+  /** DuckDB replay of the q108 Count-Min sketch: per hash row, the
+    * counter table is a GROUP BY on the identical affine bucket function
+    * (HUGEINT arithmetic, same `(a_i, b_i)` literals the executors
+    * derive); the estimate is the `least` across rows. Probed buckets
+    * are never empty (the probe token itself counted into them), so the
+    * inner joins lose nothing. */
+  private def q108Oracle: String = {
+    val threshold = 50
+    val (counters, joinsFor, est) = cmsOracleParts(depth = 4, width = 1024)
+    val joins = joinsFor("p.h")
     s"""WITH toks AS (
        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents),
@@ -627,21 +644,9 @@ object TextAnalysis {
   /** q118 oracle: q108's counter-matrix replay at width 8192, probed per
     * token OCCURRENCE and aggregated per document. */
   private def q118Oracle: String = {
-    val depth = 4; val width = 8192; val threshold = 5
-    val params = graft.functions.MinHashAgg.affineParams(depth)
-    val P = graft.functions.MinHashAgg.P
-    def bucket(h: String, i: Int): String = {
-      val (a, b) = params(i)
-      s"CAST((($a::HUGEINT * $h + $b) % $P) % $width AS BIGINT)"
-    }
-    val counters = (0 until depth).map { i =>
-      s"c$i AS (SELECT ${bucket("h", i)} AS bucket, " +
-        s"CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1)"
-    }.mkString(",\n")
-    val joins = (0 until depth)
-      .map(i => s"JOIN c$i x$i ON x$i.bucket = ${bucket("p.h", i)}")
-      .mkString("\n")
-    val est = (0 until depth).map(i => s"x$i.n").mkString("least(", ", ", ")")
+    val threshold = 5
+    val (counters, joinsFor, est) = cmsOracleParts(depth = 4, width = 8192)
+    val joins = joinsFor("p.h")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents),
@@ -673,7 +678,7 @@ object TextAnalysis {
         |  FROM s),
         |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_total FROM sw),
         |b AS (SELECT source,
-        |    CAST((20000 * w_fp) // w_total AS BIGINT) AS budget_tokens
+        |    CAST((20000::HUGEINT * w_fp) // w_total AS BIGINT) AS budget_tokens
         |  FROM sw, tot),
         |c AS (SELECT t.source, t.n_tokens, b.budget_tokens,
         |    CAST(sum(t.n_tokens) OVER (PARTITION BY t.source

@@ -64,12 +64,18 @@ class ZOrderSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(500))
     assert(out.count() == li.count())
-    // within a partition the key is locally sorted → parquet row-group
-    // stats would be tight rectangles
-    import org.apache.spark.sql.Row
-    val ok = out.select("_zkey").mapPartitions { it =>
+    // the synthetic key must NOT leak into the written schema...
+    assert(!out.columns.contains("_zkey"))
+    // ...yet within a partition rows stay key-sorted (the projection
+    // after the local sort is narrow) → parquet row-group stats would be
+    // tight rectangles; re-derive the key from the payload to check
+    val ok = out.select("l_partkey", "l_suppkey").mapPartitions { it =>
       var prev = Long.MinValue; var sorted = true
-      it.foreach { r => val v = r.getLong(0); if (v < prev) sorted = false; prev = v }
+      it.foreach { r =>
+        val v = ZOrderKey2.interleave(r.getLong(0), r.getLong(1), 30)
+        if (v < prev) sorted = false
+        prev = v
+      }
       Iterator.single(sorted)
     }.collect()
     assert(ok.forall(identity))

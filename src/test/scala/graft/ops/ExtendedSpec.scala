@@ -47,7 +47,7 @@ class ExtendedSpec extends SparkSpec {
   test("bottomKSample: exactly min(k, |group|) rows, layout-invariant") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
     val k = 5
-    val sizes = Extended.bottomKSample(docs, "text", "lang", k)
+    val sizes = Extended.bottomKSample(docs, "text", "lang", k, "doc_id")
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val groups = docs.groupBy("lang").count().collect()
@@ -56,9 +56,9 @@ class ExtendedSpec extends SparkSpec {
       assert(sizes(g) == math.min(k.toLong, n), s"lang=$g")
     }
     // deterministic under partition layout
-    val a = Extended.bottomKSample(docs.repartition(13), "text", "lang", k)
+    val a = Extended.bottomKSample(docs.repartition(13), "text", "lang", k, "doc_id")
       .select("lang", "rk", "doc_id").collect().map(_.toSeq).sortBy(_.toString)
-    val b = Extended.bottomKSample(docs.coalesce(1), "text", "lang", k)
+    val b = Extended.bottomKSample(docs.coalesce(1), "text", "lang", k, "doc_id")
       .select("lang", "rk", "doc_id").collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
