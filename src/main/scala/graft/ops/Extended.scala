@@ -240,6 +240,27 @@ object Extended {
     df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Snapshot diff — the publish-validation pass of an incremental ETL
+    * load: full-outer-join two snapshots on the key and classify every
+    * key as added / removed / changed / unchanged by comparing a
+    * caller-supplied row fingerprint (build it from engine-stable
+    * strings — e.g. decimal-cast numerics — NOT raw double formatting).
+    * One shuffle per side on the key; at 100 TB both sides usually share
+    * the publish layout, so the join co-locates. The summary a load job
+    * alerts on is `.groupBy("status").count()` over the result. */
+  def snapshotDiff(old: DataFrame, nw: DataFrame, keyCol: String,
+      fp: Column): DataFrame = {
+    val oh = old.select(col(keyCol), fp.as("_fp_old"))
+    val nh = nw.select(col(keyCol), fp.as("_fp_new"))
+    oh.join(nh, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .when(col("_fp_old") =!= col("_fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("_fp_old", "_fp_new")
+  }
+
   /** Systematic weighted sampling: ~`k` rows selected with inclusion
     * probability proportional to an INTEGER weight (token counts,
     * bytes), deterministically — a row is selected iff its interval of
@@ -343,6 +364,26 @@ object Extended {
         .agg(count(lit(1)).as("n_points"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy("iv_id")
+    },
+
+    // snapshot diff: simulate an incremental reload of events (some rows
+    // absent from the old load, some deleted in the new, some values
+    // updated) and classify every key; fingerprints use decimal-cast
+    // values so both engines hash identical strings
+    "q125_snapshot_diff" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val old = ev.filter(col("event_id") % 7 =!= 0)
+      val nw = ev.filter(col("event_id") % 11 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 5 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      val fp = md5(concat_ws("|", col("event_type"),
+        col("value").cast(DecimalType(18, 6)).cast("string")))
+      snapshotDiff(old, nw, "event_id", fp)
+        .groupBy("status").agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_key"), max(col("event_id")).as("max_key"))
+        .orderBy("status")
     },
 
     // length-weighted systematic sample: ~50 docs, probability ∝ token
@@ -576,6 +617,27 @@ object Extended {
         |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM iv JOIN base p ON p.t >= iv.s AND p.t <= iv.e
         |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin,
+    "q125_snapshot_diff" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events),
+        |old AS (SELECT * FROM ev WHERE event_id % 7 <> 0),
+        |nw AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+        |  FROM ev WHERE event_id % 11 <> 0),
+        |oh AS (SELECT event_id, md5(concat_ws('|', event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR))) AS fp FROM old),
+        |nh AS (SELECT event_id, md5(concat_ws('|', event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR))) AS fp FROM nw),
+        |j AS (
+        |  SELECT COALESCE(oh.event_id, nh.event_id) AS event_id,
+        |    CASE WHEN oh.fp IS NULL THEN 'added'
+        |         WHEN nh.fp IS NULL THEN 'removed'
+        |         WHEN oh.fp <> nh.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM oh FULL OUTER JOIN nh ON oh.event_id = nh.event_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS min_key, max(event_id) AS max_key
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q122_weighted_sample" ->
       """WITH t AS (
         |  SELECT doc_id,

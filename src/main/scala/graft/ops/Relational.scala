@@ -326,6 +326,27 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // SCD2-style run collapse (gaps-and-islands): consecutive same-state
+    // rows per user merge into validity intervals — the change-history
+    // compaction an incremental warehouse load performs. lag-flag →
+    // running sum → per-run aggregate, one window shuffle
+    "q124_scd2_runs" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events").filter(col("user_id") < 20)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), lit(1))
+            .otherwise(lit(0)))
+        .withColumn("run_id", sum(col("chg")).over(cum))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).cast("timestamp_ntz").as("valid_from"),
+          max(col("ts")).cast("timestamp_ntz").as("valid_to"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("user_id", "run_id")
+    },
+
     // hopping (sliding) windows: 1h windows every 30min — each event
     // lands in exactly 2 windows; the oracle replays the grid with
     // unnest([k, k-1])
@@ -673,6 +694,25 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q124_scd2_runs" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id < 20),
+        |f AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+        |           OR lag(event_type, 1) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_id
+        |  FROM f)
+        |SELECT user_id, run_id, min(event_type) AS state,
+        |  min(ts) AS valid_from, max(ts) AS valid_to,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY user_id, run_id
+        |ORDER BY user_id, run_id""".stripMargin,
     "q120_hopping_window" ->
       """WITH e AS (
         |  SELECT event_type, value,

@@ -26,6 +26,27 @@ class ExtendedSpec extends SparkSpec {
     assert(got.length == got.distinct.length)
   }
 
+  test("intervalJoinBinned: oversized span fails fast, not OOM") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((100L, 0L, Long.MaxValue - 1)).toDF("iv", "s", "e") // sentinel
+    val ex = intercept[Exception] {
+      Extended.intervalJoinBinned(points, "t", ivs, "s", "e", 10L,
+        maxSpanBins = 100).collect()
+    }
+    assert(ex.getMessage.contains("spans more than") ||
+      Option(ex.getCause).exists(_.getMessage.contains("spans more than")),
+      s"got: ${ex.getMessage}")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val nw = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val st = Extended.snapshotDiff(old, nw, "k", md5(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("systematicWeightedSample: shard-size invariant, ~k rows selected") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
     def sel(shardSize: Long): Seq[Long] =
