@@ -375,6 +375,40 @@ object TextAnalysis {
         .orderBy("source")
     },
 
+    // sparse document similarity WITHOUT embeddings: tf-idf cosine over
+    // an inverted-index self-join (pairs meet only on shared terms — the
+    // sparse-vector path when no embedding model has run). Weights are
+    // q97's integer idf surrogate; dot products and norms are exact
+    // decimal sums of integer products, so the final cosine is one
+    // deterministic double expression per pair
+    "q126_tfidf_cosine_pairs" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
+      val tf = docs.select(col("doc_id"),
+          explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, Seq("term"))
+        .withColumn("w", expr("tf * 1000000L div df"))
+      val norms = w.groupBy("doc_id")
+        .agg(sum((col("w") * col("w")).cast(DecimalType(38, 0))).as("n2"))
+        .select(col("doc_id"), sqrt(col("n2").cast("double")).as("norm"))
+      w.select(col("term"), col("doc_id").as("id_a"), col("w").as("w_a"))
+        .join(w.select(col("term"), col("doc_id").as("id_b"), col("w").as("w_b")),
+          Seq("term"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum((col("w_a") * col("w_b")).cast(DecimalType(38, 0))).as("dot"))
+        .join(norms.select(col("doc_id").as("id_a"), col("norm").as("norm_a")),
+          Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
+          Seq("id_b"))
+        .withColumn("cos",
+          col("dot").cast("double") / (col("norm_a") * col("norm_b")))
+        .filter(col("cos") >= 0.2)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    },
+
     // per-doc rare-token fraction via the broadcast CMS probe (no
     // vocabulary join)
     "q118_rare_token_stats" -> { (s, d) =>
@@ -665,6 +699,34 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q108_heavy_hitters" -> q108Oracle,
     "q118_rare_token_stats" -> q118Oracle,
+    "q126_tfidf_cosine_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM docs),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, term),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tfc GROUP BY term),
+        |w AS (SELECT doc_id, term, (tf * 1000000) // df AS w
+        |  FROM tfc JOIN dfc USING (term)),
+        |norms AS (SELECT doc_id,
+        |    sqrt(CAST(CAST(sum(w * w) AS HUGEINT) AS DOUBLE)) AS norm
+        |  FROM w GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(CAST(sum(a.w * b.w) AS HUGEINT) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d.id_a, d.id_b,
+        |  d.dot / (na.norm * nb.norm) AS cos
+        |FROM dots d
+        |JOIN norms na ON na.doc_id = d.id_a
+        |JOIN norms nb ON nb.doc_id = d.id_b
+        |WHERE d.dot / (na.norm * nb.norm) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q117_temperature_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, source, n_chars,
