@@ -207,11 +207,19 @@ object Extended {
     // fail fast with the offending span instead of an executor OOM. The
     // guard lives INSIDE the sequence bound (a detached check column
     // would be pruned as unreferenced and never fire).
-    val spanOk = fdiv(col(endCol)) - fdiv(col(startCol)) <= lit(maxSpanBins.toLong)
+    // decimal subtraction: a raw long difference wraps for mixed-sign
+    // bin indices at binWidth 1 (start near Long.MinValue, end near
+    // Long.MaxValue) and would BYPASS the guard; eBin >= sBin also
+    // rejects inverted intervals, which sequence() would otherwise turn
+    // into a descending bin list
+    val sBin = fdiv(col(startCol)); val eBin = fdiv(col(endCol))
+    val spanOk = eBin >= sBin &&
+      (eBin.cast(DecimalType(38, 0)) - sBin.cast(DecimalType(38, 0))) <=
+        lit(maxSpanBins.toLong)
     val boundedEnd = when(spanOk, fdiv(col(endCol)))
       .otherwise(raise_error(concat(
-        lit(s"intervalJoinBinned: interval spans more than $maxSpanBins " +
-          s"bins of width $binWidth: ["),
+        lit(s"intervalJoinBinned: inverted interval or span over " +
+          s"$maxSpanBins bins of width $binWidth: ["),
         col(startCol), lit(", "), col(endCol), lit("]"))).cast("long"))
     val ib = intervals
       .withColumn("_bin", explode(sequence(fdiv(col(startCol)), boundedEnd)))
@@ -250,15 +258,19 @@ object Extended {
     * alerts on is `.groupBy("status").count()` over the result. */
   def snapshotDiff(old: DataFrame, nw: DataFrame, keyCol: String,
       fp: Column): DataFrame = {
-    val oh = old.select(col(keyCol), fp.as("_fp_old"))
-    val nh = nw.select(col(keyCol), fp.as("_fp_new"))
+    // presence rides its own marker: classifying on fingerprint nullness
+    // would misread a present row whose fingerprint EVALUATES to null
+    // (null payload column) as an absent one — even inverting removed
+    // into added; <=> then treats null-fp-on-both as unchanged
+    val oh = old.select(col(keyCol), fp.as("_fp_old"), lit(1).as("_in_old"))
+    val nh = nw.select(col(keyCol), fp.as("_fp_new"), lit(1).as("_in_new"))
     oh.join(nh, Seq(keyCol), "full_outer")
       .withColumn("status",
-        when(col("_fp_old").isNull, lit("added"))
-          .when(col("_fp_new").isNull, lit("removed"))
-          .when(col("_fp_old") =!= col("_fp_new"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("_fp_old") <=> col("_fp_new")), lit("changed"))
           .otherwise(lit("unchanged")))
-      .drop("_fp_old", "_fp_new")
+      .drop("_fp_old", "_fp_new", "_in_old", "_in_new")
   }
 
   /** Systematic weighted sampling: ~`k` rows selected with inclusion
@@ -630,9 +642,9 @@ object Extended {
         |    CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR))) AS fp FROM nw),
         |j AS (
         |  SELECT COALESCE(oh.event_id, nh.event_id) AS event_id,
-        |    CASE WHEN oh.fp IS NULL THEN 'added'
-        |         WHEN nh.fp IS NULL THEN 'removed'
-        |         WHEN oh.fp <> nh.fp THEN 'changed'
+        |    CASE WHEN oh.event_id IS NULL THEN 'added'
+        |         WHEN nh.event_id IS NULL THEN 'removed'
+        |         WHEN oh.fp IS DISTINCT FROM nh.fp THEN 'changed'
         |         ELSE 'unchanged' END AS status
         |  FROM oh FULL OUTER JOIN nh ON oh.event_id = nh.event_id)
         |SELECT status, CAST(count(*) AS BIGINT) AS n,

@@ -289,6 +289,21 @@ object TextAnalysis {
       .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
   }
 
+  /** Shared tf-idf weight table of q97/q126: tokenize (lowercased),
+    * per-(doc, term) tf, per-term df over the given corpus, and the
+    * integer idf-surrogate weight `tf·10⁶ div df` (exact in both
+    * engines; ln-based idf differs by ulps across libm). Weights stay
+    * Long-safe while tf·10⁶ < 2^63 — consumers squaring or
+    * cross-multiplying weights must go through decimal first. */
+  def tfIdfWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("w", expr("tf * 1000000L div df"))
+  }
+
   /** Vocabulary heavy hitters via a Count-Min sketch
     * ([[graft.functions.CountMinAgg]]): tokens whose estimated frequency
     * is at least `threshold`, without ever shuffling token rows.
@@ -383,21 +398,20 @@ object TextAnalysis {
     // deterministic double expression per pair
     "q126_tfidf_cosine_pairs" -> { (s, d) =>
       val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
-      val tf = docs.select(col("doc_id"),
-          explode(tokens(lower(col("text")))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = tf.join(df, Seq("term"))
-        .withColumn("w", expr("tf * 1000000L div df"))
+      val w = tfIdfWeights(docs, "doc_id", "text")
+      // decimal BEFORE multiplying: w reaches tf·10⁶ when df=1, so w·w
+      // crosses 2^63 at tf ≥ 3038 — a silent Long wrap here vs a DuckDB
+      // range error there; decimal products are exact in both
+      def dec(c: Column) = c.cast(DecimalType(38, 0))
       val norms = w.groupBy("doc_id")
-        .agg(sum((col("w") * col("w")).cast(DecimalType(38, 0))).as("n2"))
+        .agg(sum(dec(col("w")) * dec(col("w"))).as("n2"))
         .select(col("doc_id"), sqrt(col("n2").cast("double")).as("norm"))
       w.select(col("term"), col("doc_id").as("id_a"), col("w").as("w_a"))
         .join(w.select(col("term"), col("doc_id").as("id_b"), col("w").as("w_b")),
           Seq("term"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(sum((col("w_a") * col("w_b")).cast(DecimalType(38, 0))).as("dot"))
+        .agg(sum(dec(col("w_a")) * dec(col("w_b"))).as("dot"))
         .join(norms.select(col("doc_id").as("id_a"), col("norm").as("norm_a")),
           Seq("id_a"))
         .join(norms.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
@@ -447,13 +461,9 @@ object TextAnalysis {
     // implementations and can flip a rank at a tie boundary.
     "q97_tfidf_topterms" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(tokens(lower(col("text")))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-      tf.join(df, Seq("term"))
-        .withColumn("score", expr("tf * 1000000L div df"))
+      tfIdfWeights(docs, "doc_id", "text")
+        .withColumn("score", col("w"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "score")
@@ -713,11 +723,11 @@ object TextAnalysis {
         |w AS (SELECT doc_id, term, (tf * 1000000) // df AS w
         |  FROM tfc JOIN dfc USING (term)),
         |norms AS (SELECT doc_id,
-        |    sqrt(CAST(CAST(sum(w * w) AS HUGEINT) AS DOUBLE)) AS norm
+        |    sqrt(CAST(sum(w::HUGEINT * w) AS DOUBLE)) AS norm
         |  FROM w GROUP BY doc_id),
         |dots AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(CAST(sum(a.w * b.w) AS HUGEINT) AS DOUBLE) AS dot
+        |    CAST(sum(a.w::HUGEINT * b.w) AS DOUBLE) AS dot
         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT d.id_a, d.id_b,

@@ -33,8 +33,9 @@ class ExtendedSpec extends SparkSpec {
       Extended.intervalJoinBinned(points, "t", ivs, "s", "e", 10L,
         maxSpanBins = 100).collect()
     }
-    assert(ex.getMessage.contains("spans more than") ||
-      Option(ex.getCause).exists(_.getMessage.contains("spans more than")),
+    assert(ex.getMessage.contains("inverted interval or span over") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("inverted interval or span over")),
       s"got: ${ex.getMessage}")
   }
 
