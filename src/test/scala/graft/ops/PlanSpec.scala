@@ -86,6 +86,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q113: binned interval join plans as an equi join, never a nested loop") {
+    val p = plan("q113_interval_bin_join")
+    // the naive keyless BETWEEN form is a BroadcastNestedLoopJoin —
+    // O(n·m) compares; the whole point of binning is to make it an
+    // equi join (hash or sort-merge on _bin)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q116: the per-language threshold table joins as a broadcast") {
+    val p = plan("q116_quality_percentile_gate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q110: the 64-row dimension-stats table joins as a broadcast") {
+    val p = plan("q110_standardize_embeddings")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dupSentenceStats: pure map stage, zero shuffles") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val p = graft.text.TextAnalysis.dupSentenceStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("heavyHitters: the sketch rides a broadcast, the probe never shuffles tokens") {
+    val docs = graft.sources.Tables(spark, sf(), "documents")
+    val p = graft.text.TextAnalysis.heavyHitters(docs, "text", 50L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p)
+    // shuffles: the global sketch aggregation (to one row) + the probe
+    // distinct — and nothing else (no token-frequency groupBy join)
+    val shuffles = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).length
+    assert(shuffles <= 2, s"expected <= 2 shuffles:\n$p")
+  }
+
   test("bloomSemiJoin: the bloom probe sits on the scan, before any shuffle") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf(), "documents")
