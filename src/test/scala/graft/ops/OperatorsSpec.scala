@@ -363,6 +363,16 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.probeLshIndex(spark, dir, batch, "text", "doc_id", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(hits.sorted.toSeq == again.sorted.toSeq) // deterministic re-probe
+    // append the batch, then a COPY of an appended doc (fresh id) must
+    // hit it — the incremental cycle: probe, keep, append, re-probe
+    Dedup.appendToLshIndex(spark, dir, batch, "text", "doc_id")
+    val copyOfAppended = batch.filter(col("doc_id") === 100001L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits2 = Dedup.probeLshIndex(spark, dir, copyOfAppended,
+        "text", "doc_id", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits2.exists { case (n, rf, e) =>
+      n == 1100001L && rf == 100001L && e == 1.0 }, s"hits2=${hits2.toSeq}")
   }
 
   test("corpusOverlap: identical groups estimate 1.0, disjoint near 0") {
