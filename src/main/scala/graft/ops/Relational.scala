@@ -326,6 +326,26 @@ object Relational {
         .orderBy("p_brand")
     },
 
+    // the TPC-H Q5 shape: 6-table star join (region→nation→customer/
+    // supplier→orders→lineitem) with the local-supplier equi condition,
+    // a year window, and order-independent decimal revenue — Catalyst
+    // picks the join order, broadcasts every dimension
+    "q127_tpch_q5" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT n_name,
+              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+              |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              |FROM customer, orders, lineitem, supplier, nation, region
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |  AND r_name = 'ASIA'
+              |  AND o_orderdate >= DATE '1996-01-01'
+              |  AND o_orderdate < DATE '1997-01-01'
+              |GROUP BY n_name
+              |ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+
     // SCD2-style run collapse (gaps-and-islands): consecutive same-state
     // rows per user merge into validity intervals — the change-history
     // compaction an incremental warehouse load performs. lag-flag →
@@ -694,6 +714,19 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q127_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q124_scd2_runs" ->
       """WITH t AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
