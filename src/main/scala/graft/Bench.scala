@@ -32,6 +32,17 @@ object Bench {
         .orderBy("p_brand").count()
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(xxhash64(col("text"))).count()
+      // ...and first-touch JIT of the heavy native-aggregate paths
+      // (simhash vote buffers, minhash perm buffers): their imperative
+      // eval + the surrounding generated code compile on first use — a
+      // one-time ~3s that otherwise lands on whichever query sorts
+      // first (q101 sorts before q54/q55 and was paying q55's JIT).
+      // 256 rows: compile cost without data cost.
+      val docsW = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+      graft.dedup.Dedup.simHashNearDups(docsW, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      graft.dedup.Dedup.minHashSignatures(docsW, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     // optional args: substrings of query names to run (dev profiling);

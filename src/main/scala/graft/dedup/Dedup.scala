@@ -284,6 +284,18 @@ object Dedup {
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Replace a plan with a materialized leaf: reliable checkpoint when
+    * the session has a checkpoint dir (production clusters — survives
+    * executor loss), local otherwise. Used wherever a subplan is
+    * consumed more than once and Catalyst's ReuseExchange cannot see the
+    * sharing (self-joins reference the subtree through fresh exprIds, so
+    * the exchanges don't canonicalize equal and the subplan runs per
+    * reference). */
+  private def checkpointLeaf(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** SimHash as a table: explode tokens → 64 codegen'd ±1 sums with
     * map-side partial aggregation → assemble the fingerprint. Same result
     * as [[simHash]] but whole-stage-codegen throughout (the Column-level
@@ -328,7 +340,14 @@ object Dedup {
     // quarter keys derive from the fingerprint attribute with four small
     // shift/mask expressions — cheap for CollapseProject to inline, since
     // the fingerprint itself is one aggregate output column, not a tree
-    val fps = simHashTable(docs, textCol, idCol)
+    //
+    // The fingerprint table is CHECKPOINTED before the block self-join:
+    // both join sides reference it, ReuseExchange does not fire across
+    // the aliased projections (verified: 0 ReusedExchange, the
+    // tokenize+vote aggregation ran twice), and the leaf is |docs| rows
+    // of (id, long) — at corpus scale, re-tokenizing the whole corpus a
+    // second time costs far more than caching 16 bytes/doc.
+    val fps = checkpointLeaf(simHashTable(docs, textCol, idCol))
     val blocked = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
@@ -621,10 +640,19 @@ object Dedup {
     // replaces the plan with a materialized leaf; reliable checkpointing
     // when the session has a checkpoint dir (production clusters —
     // survives executor loss), local otherwise.
-    def materialize(df: DataFrame): DataFrame =
+    def materialize(df: DataFrame): DataFrame = checkpointLeaf(df)
+    // LAZY variant for the per-generation loop: the convergence sum is
+    // the round's ONLY consumer before the next generation, so a lazy
+    // local checkpoint lets that one action both compute the generation
+    // and truncate its lineage — one Spark job per round instead of two
+    // (eager-checkpoint job + sum job). The fixed per-job cost (32-task
+    // stages over a tiny label table) was the bulk of q101's wall time,
+    // not the data. Reliable checkpointing stays eager: non-eager
+    // reliable checkpoints recompute the RDD for the checkpoint write.
+    def materializeLazy(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      else df.localCheckpoint(eager = false)
     // decimal(38,0) sum: a long sum would overflow (ANSI: throw) at
     // billions of large ids — exactly the scale this operator targets
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -634,6 +662,7 @@ object Dedup {
     // symmetrize via explode(array(fwd, rev)) — ONE pass over the pair
     // list (a union of forward + reversed would reference the whole
     // pair-producing pipeline, e.g. the simhash blocking joins, twice)
+    val tE0 = System.nanoTime()
     val edges = materialize(
       pairs.select(explode(array(
         struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
@@ -641,39 +670,56 @@ object Dedup {
         .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    var labels = materialize(
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] edges: ${(System.nanoTime() - tE0) / 1e9}%.2fs")
+    val tI0 = System.nanoTime()
+    var labels = materializeLazy(
       edges.groupBy("src").agg(min(col("dst")).as("_mn"))
         .select(col("src").as("id"), least(col("src"), col("_mn")).as("label")))
     var prevSum = labelSum(labels)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] init: ${(System.nanoTime() - tI0) / 1e9}%.2fs")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // POINTER JUMP first: label(v) ← label(label(v)). A label is
-      // always itself a vertex id of the same component, so the
-      // self-join resolves one level of indirection, and because every
-      // round jumps into the freshly-updated table the distance-to-root
-      // shrinks geometrically ACROSS rounds — a diameter-D chain
-      // converges in O(log D) rounds instead of D (one-hop-only needed
-      // 13 rounds at sf0.1, with the jump 9). The jump self-joins
-      // `labels`, which is ALWAYS a checkpoint leaf — unambiguous and
-      // constant-depth (stacking lazy jumps self-joins derived plans:
-      // attribute-dedup territory with exploding optimization cost,
-      // observed).
-      val jumped = labels.join(
-        labels.select(col("id").as("label"), col("label").as("_ll")), Seq("label"))
-        .select(col("id"), least(col("label"), col("_ll")).as("label"))
-      // ...then the neighbor-min, folded with the jump into ONE
+      // DOUBLE POINTER JUMP first: label(v) ← label(label(label(v))).
+      // A label is always itself a vertex id of the same component, so
+      // each self-join against the generation leaf resolves one level
+      // of indirection; two levels per round shrink distance-to-root
+      // ~3× per generation, and combined with the neighbor-min below a
+      // diameter-D chain converges in ~log₃D materialized generations
+      // (one-hop-only needed 13 rounds at sf0.1, single jump 9, double
+      // jump 5 — and each materialized generation carries fixed
+      // job/stage overhead, which dominates over the marginal join:
+      // `labels` is a checkpoint leaf, so both lookups are cheap
+      // leaf⋈leaf hash joins inside the same action). Both joins
+      // target the LEAF, never a derived plan — stacking lazy jumps on
+      // derived plans is attribute-dedup territory with exploding
+      // optimization cost (observed).
+      val lookup1 = labels.select(col("id").as("label"), col("label").as("_l1"))
+      val lookup2 = labels.select(col("id").as("label"), col("label").as("_l2"))
+      val jumped = labels.join(lookup1, Seq("label"))
+        .select(col("id"), least(col("label"), col("_l1")).as("label"))
+        .join(lookup2, Seq("label"))
+        .select(col("id"), least(col("label"), col("_l2")).as("label"))
+      // ...then the neighbor-min, folded with the jumps into ONE
       // materialized generation per round — `jumped` is referenced
-      // twice (join + union branch, two cheap label⋈label evaluations
-      // inside the same action), and every consumer of the round's
-      // result (the convergence sum, the next round, the final output)
-      // reads the leaf instead of re-running joins
-      val next = materialize(
+      // twice (join + union branch, two cheap evaluations inside the
+      // same action), and every consumer of the round's result (the
+      // convergence sum, the next round, the final output) reads the
+      // leaf instead of re-running joins. The generation is a LAZY
+      // local checkpoint: the convergence sum right below is the
+      // single action that computes it, caches it, and truncates
+      // lineage — one Spark job per round.
+      val next = materializeLazy(
         edges.join(jumped, edges("dst") === jumped("id"))
           .select(edges("src").as("id"), col("label"))
           .union(jumped.select(col("id"), col("label")))
           .groupBy("id").agg(min("label").as("label")))
+      val t0 = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $iter%d: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

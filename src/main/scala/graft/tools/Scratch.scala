@@ -20,40 +20,22 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val docs = Tables(spark, d, "documents")
+    // same warmup as Bench
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val p = spark.read.parquet(s"$d/part.parquet")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand").agg(sum("l_quantity").as("s")).orderBy("p_brand").count()
+    spark.read.parquet(s"$d/documents.parquet").select(xxhash64(col("text"))).count()
+    val docsW = spark.read.parquet(s"$d/documents.parquet").limit(256)
+    graft.dedup.Dedup.simHashNearDups(docsW, "text", "doc_id")
+      .write.format("noop").mode("overwrite").save()
+    graft.dedup.Dedup.minHashSignatures(docsW, "text", "doc_id")
+      .write.format("noop").mode("overwrite").save()
 
-    // warmup (same as Bench)
-    t("warmup")(docs.select(xxhash64(col("text"))).count())
-
-    // q44 phase breakdown — agg consumers so column pruning can't skip
-    // the probed expression (count() alone prunes everything)
-    t("scan text len")(docs.agg(sum(length(col("text")))).head())
-    t("tokens split")(docs.agg(sum(size(graft.text.TextAnalysis.tokens(lower(col("text")))))).head())
-    t("langIdExpr eval")(docs.agg(sum(length(graft.text.TextAnalysis.langIdExpr(col("text"))))).head())
-    t("langIdExpr eval2")(docs.agg(sum(length(graft.text.TextAnalysis.langIdExpr(col("text"))))).head())
-    t("q44 full")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
-    t("q44 again")(graft.SparkEntry.queries("q44_lang_id")(spark, d).count())
-
-    // q53 phases
-    val q53 = graft.SparkEntry.queries("q53_minhash_lsh_pairs")
-    t("q53 full")(q53(spark, d).count())
-    t("q53 again")(q53(spark, d).count())
-
-    // q65 phases
-    val emb = Tables(spark, d, "embeddings")
-    t("ivf init sample")(emb.select(col("embedding"))
-      .orderBy(xxhash64(col("vec_id"), lit(42L))).limit(8).collect())
-    t("ivf one agg")(emb.groupBy((pmod(col("vec_id"), lit(8))).as("cell"))
-      .agg(count(lit(1)).as("n"),
-        (0 until 64).map(i => sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s_$i")): _*)
-      .collect())
-    t("ivf build")(graft.sim.IvfIndex.build(
-      emb, "vec_id", "embedding", nlist = 8).cells.count())
-    t("ivf build2")(graft.sim.IvfIndex.build(
-      emb, "vec_id", "embedding", nlist = 8).cells.count())
-    val q65 = graft.SparkEntry.queries("q65_ann_ivf_topk")
-    t("q65 full")(q65(spark, d).count())
-    t("q65 again")(q65(spark, d).count())
-    spark.stop()
+    val fn = graft.SparkEntry.queries("q101_dedup_clusters")
+    val df = t("construct (eager phases)")(fn(spark, d))
+    t("final write")(df.write.format("noop").mode("overwrite").save())
+    val df2 = t("construct 2nd")(fn(spark, d))
+    t("final write 2nd")(df2.write.format("noop").mode("overwrite").save())
   }
 }
