@@ -776,11 +776,15 @@ object Dedup {
     // replays candidates as slice equality over both sides' signatures
     "q119_lsh_index_probe" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      // deterministic per-sf path, overwritten on each run — a fresh
-      // temp dir per invocation would accumulate a full index copy per
-      // bench/verify loop
+      // deterministic per-sf AND per-process path, overwritten on each
+      // run within a JVM — a fresh temp dir per invocation would
+      // accumulate a full index copy per bench/verify loop, while a
+      // path keyed on the sf dir alone let two concurrent JVMs (bench +
+      // verify on the same sf — the documented bench-contention
+      // environment) overwrite each other's sigs/bands mid-query
       val path = s"${sys.props("java.io.tmpdir")}/graft_q119_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        java.lang.Integer.toHexString(d.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       saveLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", path)
       probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
           "text", "doc_id", threshold = 0.3)

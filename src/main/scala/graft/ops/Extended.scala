@@ -222,6 +222,13 @@ object Extended {
           s"$maxSpanBins bins of width $binWidth: ["),
         col(startCol), lit(", "), col(endCol), lit("]"))).cast("long"))
     val ib = intervals
+      // a null bound can never satisfy the residual BETWEEN, so drop
+      // such intervals up front — the exact rows the theta form drops.
+      // Without this, a null start/end makes spanOk evaluate NULL,
+      // which when() routes into the raise_error branch: the whole job
+      // aborts with a misleading span-overflow message for data the
+      // semantics say to ignore
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
       .withColumn("_bin", explode(sequence(fdiv(col(startCol)), boundedEnd)))
     pb.join(ib, Seq("_bin"))
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
@@ -242,9 +249,12 @@ object Extended {
   def bottomKSample(df: DataFrame, keyCol: String, groupCol: String,
       k: Int, tieCol: String): DataFrame = {
     require(k > 0)
+    // nulls LAST explicitly: Spark ASC is NULLS FIRST, ANSI/DuckDB ASC
+    // is NULLS LAST, and md5(NULL) = NULL — a null key would silently
+    // occupy ranks 1..k here while ranking last in the oracle
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc,
-        col(tieCol).asc)
+      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last,
+        col(keyCol).asc_nulls_last, col(tieCol).asc_nulls_last)
     df.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
@@ -307,11 +317,16 @@ object Extended {
       .crossJoin(broadcast(total))
       // decimal(38,0) grid math: _cum·k overflows Long once total·k
       // passes 2^63 (byte weights at 100 TB with k ~ 1e5) — decimal
-      // floor-division is the same integer result without the cliff
+      // integer math is the same result without the cliff. The division
+      // MUST be integral (`div` → Decimal.quot → divideToIntegralValue,
+      // exact): floor(a/b) on decimals rescales the quotient to scale 6
+      // with HALF_UP first, so a true fractional part within ~5e-7 of 1
+      // would round across the next integer and flip the grid decision
+      // vs the oracle's exact HUGEINT `//` — unreachable at test totals,
+      // reachable at 100 TB totals.
       .filter(
-        floor(col("_cum").cast(DecimalType(38, 0)) * k / col("_total")) >
-          floor((col("_cum") - col("_w")).cast(DecimalType(38, 0)) * k
-            / col("_total")))
+        expr(s"(cast(_cum as decimal(38,0)) * $k) div _total") >
+          expr(s"(cast(_cum - _w as decimal(38,0)) * $k) div _total"))
       .drop("_shard", "_offset", "_total")
   }
 
@@ -668,7 +683,8 @@ object Extended {
       """WITH r AS (
         |  SELECT lang, doc_id,
         |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(text) ASC, text ASC, doc_id ASC) AS BIGINT) AS rk
+        |      ORDER BY md5(text) ASC NULLS LAST, text ASC NULLS LAST,
+        |        doc_id ASC NULLS LAST) AS BIGINT) AS rk
         |  FROM documents)
         |SELECT lang, rk, doc_id FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,

@@ -49,9 +49,9 @@ object Skew {
     *
     *  1. both sides get `_asof_bucket = floorDiv(ts, bucketWidth)`;
     *  2. for every left bucket, the latest right row from any EARLIER
-    *     bucket is replicated in as a carry (computed on per-bucket
-    *     compacted data — one row per key×bucket — so the extra join is
-    *     over fractions of the input);
+    *     bucket is replicated in as a carry (a running-last window over
+    *     per-bucket compacted rows — one row per key×bucket — merged
+    *     with the left bucket list; no join, O(B log B) per key);
     *  3. the native as-of join runs on the composite key
     *     `(keys, _asof_bucket)` — a hot key now occupies
     *     timeRange/bucketWidth independent composite keys.
@@ -77,20 +77,39 @@ object Skew {
     val rRow = struct(right.columns.map(col).toSeq: _*)
     val perBucketLatest = r2
       .groupBy((keys :+ "_asof_bucket").map(col): _*)
-      .agg(max_by(rRow, col(tsCol)).as("_row"), max(col(tsCol)).as("_max_ts"))
-      .select(keys.map(c => col(c).as(s"_r_$c")) ++
-        Seq(col("_asof_bucket").as("_r_bucket"), col("_row"), col("_max_ts")): _*)
+      .agg(max_by(rRow, col(tsCol)).as("_row"))
     val leftBuckets = l2.select((keys :+ "_asof_bucket").map(col): _*).distinct()
-    // carry for left bucket b = latest right row from any bucket < b;
-    // both inputs are already one row per key×bucket
-    val carries = leftBuckets
-      .join(perBucketLatest,
-        keys.map(k => col(k) === col(s"_r_$k")).reduce(_ && _) &&
-          col("_r_bucket") < col("_asof_bucket"))
-      .groupBy((keys :+ "_asof_bucket").map(col): _*)
-      .agg(max_by(col("_row"), col("_max_ts")).as("_row"))
+    // carry for left bucket b = latest right row from any bucket < b.
+    // NOT a key-equal join with a `_r_bucket < b` residual: that shape
+    // is O(B_left × B_right) pairs per key before the re-aggregate, and
+    // with a fine bucketWidth over a long time range it degenerates
+    // quadratically — the exact hot-key blowup this helper exists to
+    // prevent. Instead, left buckets (probe rows, null payload) and
+    // per-bucket latest right rows (data rows) merge into ONE per-key
+    // sequence ordered by (bucket, probe-before-data); the running
+    // `last` non-null payload at a probe row is then the latest right
+    // row from any strictly earlier bucket — same-bucket data rows sort
+    // AFTER the probe and stay out of its frame, and per-bucket rows are
+    // time-monotone across buckets (bucket = floorDiv(ts)), so "last in
+    // bucket order" IS "latest in time". O(B log B) per key, zero joins,
+    // and the window runs over per-bucket COMPACTED rows, never the
+    // corpus.
+    val rowType = perBucketLatest.schema("_row").dataType
+    val probes = leftBuckets.select(
+      keys.map(col) ++ Seq(col("_asof_bucket"), lit(0).as("_tag"),
+        lit(null).cast(rowType).as("_row")): _*)
+    val dataRows = perBucketLatest.select(
+      keys.map(col) ++ Seq(col("_asof_bucket"), lit(1).as("_tag"),
+        col("_row")): _*)
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_bucket"), col("_tag"))
+      .rowsBetween(Long.MinValue, 0)
+    val carries = probes.unionByName(dataRows)
+      .withColumn("_carry", last(col("_row"), ignoreNulls = true).over(seqW))
+      .filter(col("_tag") === 0 && col("_carry").isNotNull)
       .select(col("_asof_bucket") +:
-        right.columns.toSeq.map(c => col(s"_row.$c").as(c)): _*)
+        right.columns.toSeq.map(c => col(s"_carry.$c").as(c)): _*)
 
     val rAug = r2.unionByName(carries.select(r2.columns.toSeq.map(col): _*))
     Extended.asofJoinNative(l2, rAug, keys :+ "_asof_bucket", tsCol, strict)

@@ -252,10 +252,14 @@ object TextAnalysis {
     val budgets = sums.crossJoin(broadcast(wsum))
       // decimal(38,0): totalBudget·w_fp wraps Long at trillion-token
       // sources (w_fp ~ 1e12) with trillion-token budgets; decimal
-      // floor-division gives the identical integer without the cliff
+      // integer math gives the identical value without the cliff. The
+      // division must be integral (`div` → divideToIntegralValue,
+      // exact) — floor over decimal `/` rounds the quotient to scale 6
+      // HALF_UP first, which can cross an integer when the fractional
+      // part is within ~5e-7 of 1, diverging from the oracle's HUGEINT
+      // `//` at large totals
       .withColumn("budget_tokens",
-        floor(lit(totalBudget).cast(org.apache.spark.sql.types.DecimalType(38, 0))
-          * col("w_fp") / col("w_total")).cast("long"))
+        expr(s"(cast($totalBudget as decimal(38,0)) * w_fp) div w_total"))
       .select(col(groupCol), col("src_tokens"), col("budget_tokens"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(rankKey.desc, col(idCol).asc)

@@ -48,6 +48,27 @@ class AsofPreSplitSpec extends SparkSpec {
     assert(split.filter($"k" === "orphan" && $"rv".isNotNull).isEmpty)
   }
 
+  test("many fine buckets: no row explosion, carry subplan is a window not a join") {
+    // bucketWidth=10 over t=0..40000 → ~4000 buckets for the hot key;
+    // the old carry shape (key-equal join with a bucket< residual)
+    // materialized O(B_left × B_right) ≈ 8M pairs per key here before
+    // re-aggregating — the window form touches each compacted bucket row
+    // once
+    val split = Skew.asofPreSplit(leftDf, rightDf, Seq("k"), "t",
+      bucketWidth = 10L)
+    val plain = Extended.asofJoinNative(leftDf, rightDf, Seq("k"), "t")
+    assert(canon(split) == canon(plain))
+    // plan shape: the only join in the whole pre-split plan is the
+    // native as-of operator — the carry path must contribute a Window,
+    // never a SortMergeJoin/ShuffledHashJoin/BroadcastNestedLoop (the
+    // quadratic range-join shape)
+    val planStr = split.queryExecution.executedPlan.toString
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!planStr.contains(bad), s"carry plan regressed to $bad")
+    assert(planStr.contains("Window"), "expected the running-last carry window")
+  }
+
   test("hot key spreads across shuffle partitions; unsplit concentrates it") {
     // AQE coalesces this tiny fixture to one partition, which would mask
     // the placement difference under test

@@ -39,6 +39,43 @@ class ExtendedSpec extends SparkSpec {
       s"got: ${ex.getMessage}")
   }
 
+  test("intervalJoinBinned: null bounds are dropped like the theta form") {
+    val points = Seq((1L, 5L), (2L, 25L)).toDF("pid", "t")
+    val ivs = Seq((100L, Some(0L), Some(9L)), (101L, None, Some(9L)),
+      (102L, Some(0L), None), (103L, Some(20L), Some(29L)))
+      .toDF("iv", "s", "e")
+    // the null-bounded 101/102 must neither match nor trip the span
+    // guard's raise_error (spanOk is NULL for them)
+    val got = Extended.intervalJoinBinned(points, "t", ivs, "s", "e", 10L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == Seq((1L, 100L), (2L, 103L)))
+  }
+
+  test("systematicWeightedSample: grid decision is exact integer division") {
+    // adversarial total: cum·k/total = 0.9999995 exactly — scale-6
+    // HALF_UP rounding crosses to 1.000000, so floor-of-rounded-division
+    // would select BOTH rows; exact integral division selects only the
+    // second (true quotients 0 and 1). This is the 100 TB failure mode
+    // (fractional parts within 5e-7 of 1) shrunk to two rows.
+    val docs = Seq((1L, 3999998L), (2L, 2L)).toDF("doc_id", "w")
+    val sel = Extended.systematicWeightedSample(docs, "doc_id", col("w"), k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sel == Seq(2L), s"got $sel")
+  }
+
+  test("bottomKSample: null keys rank last, not first") {
+    // md5(NULL) = NULL and Spark ASC is NULLS FIRST by default — a null
+    // key must not occupy rank 1 (the oracle's ANSI ASC is NULLS LAST)
+    val docs = Seq((1L, "a", "g"), (2L, null, "g"), (3L, "b", "g"))
+      .toDF("doc_id", "text", "lang")
+    val top1 = Extended.bottomKSample(docs, "text", "lang", 1, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top1.length == 1 && top1.head != 2L, s"got $top1")
+    val all = Extended.bottomKSample(docs, "text", "lang", 3, "doc_id")
+      .orderBy("rk").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(all.last == 2L, s"null key must rank last: $all")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val nw = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
