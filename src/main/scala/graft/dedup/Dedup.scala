@@ -341,13 +341,17 @@ object Dedup {
     // shift/mask expressions — cheap for CollapseProject to inline, since
     // the fingerprint itself is one aggregate output column, not a tree
     //
-    // The fingerprint table is CHECKPOINTED before the block self-join:
-    // both join sides reference it, ReuseExchange does not fire across
-    // the aliased projections (verified: 0 ReusedExchange, the
-    // tokenize+vote aggregation ran twice), and the leaf is |docs| rows
-    // of (id, long) — at corpus scale, re-tokenizing the whole corpus a
-    // second time costs far more than caching 16 bytes/doc.
-    val fps = checkpointLeaf(simHashTable(docs, textCol, idCol))
+    // The fingerprint pipeline is evaluated once per join side:
+    // ReuseExchange does not fire across the aliased self-join
+    // projections (verified — 0 ReusedExchange, 2× the vote aggregate
+    // under AQE too), and measured at sf0.1 the double evaluation is
+    // CHEAPER than checkpointing the table first (2.1 s vs 2.5 s warm:
+    // both sides pipeline in parallel, the checkpoint serializes).
+    // Cache-hygiene policy (CacheHygieneSpec) also wants one-shot
+    // queries persist-free. When fingerprints are worth materializing —
+    // a corpus you dedup repeatedly — that's the persisted-index path
+    // (saveLshIndex / q119), not an inline cache.
+    val fps = simHashTable(docs, textCol, idCol)
     val blocked = fps.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))

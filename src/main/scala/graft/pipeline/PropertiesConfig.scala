@@ -145,7 +145,12 @@ object PropertiesConfig {
         warnings :+= s"table '$id' has from.query without from.countquery — skipped"; None
       } else if (to.isEmpty) {
         warnings :+= s"table '$id' has no target name — skipped"; None
-      } else if (!sources.contains(sourceId)) {
+      } else if (!sources.contains(sourceId) &&
+          !(sourceId == DefaultSourceId && props.contains("graft.source.dir"))) {
+        // `graft.source.dir` (the Spark-native twin's parquet root —
+        // ConfigBridge) stands in for the default source the reference
+        // would resolve to a live DBMS block; tables naming any OTHER
+        // source still need that source configured
         warnings :+= s"table '$id' references unknown source '$sourceId' — skipped"; None
       } else Some(id -> TableDef(
         id, sourceId, from, get("from.columns"), fromQuery, fromCountQuery,

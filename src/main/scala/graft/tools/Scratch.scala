@@ -20,22 +20,33 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    // same warmup as Bench
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-    val p = spark.read.parquet(s"$d/part.parquet")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .groupBy("p_brand").agg(sum("l_quantity").as("s")).orderBy("p_brand").count()
-    spark.read.parquet(s"$d/documents.parquet").select(xxhash64(col("text"))).count()
-    val docsW = spark.read.parquet(s"$d/documents.parquet").limit(256)
-    graft.dedup.Dedup.simHashNearDups(docsW, "text", "doc_id")
-      .write.format("noop").mode("overwrite").save()
-    graft.dedup.Dedup.minHashSignatures(docsW, "text", "doc_id")
-      .write.format("noop").mode("overwrite").save()
+    val docs = Tables(spark, d, "documents")
 
-    val fn = graft.SparkEntry.queries("q101_dedup_clusters")
-    val df = t("construct (eager phases)")(fn(spark, d))
-    t("final write")(df.write.format("noop").mode("overwrite").save())
-    val df2 = t("construct 2nd")(fn(spark, d))
-    t("final write 2nd")(df2.write.format("noop").mode("overwrite").save())
+    // plain (no checkpoint) simHashNearDups clone, to test exchange reuse
+    val fps = graft.dedup.Dedup.simHashTable(docs, "text", "doc_id")
+    val blocked = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val a = blocked.select(col("block_idx"), col("block_key"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocked.select(col("block_idx"), col("block_key"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val pairs = a.join(b, Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        graft.dedup.Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= 2)
+    t("warm")(docs.select(xxhash64(col("text"))).count())
+    t("plain nearDups")(pairs.write.format("noop").mode("overwrite").save())
+    t("plain again")(pairs.write.format("noop").mode("overwrite").save())
+    val plan = pairs.queryExecution.executedPlan.toString
+    for (m <- Seq("ReusedExchange", "ReusedQueryStage", "ObjectHashAggregate", "HashAggregate"))
+      println(s"$m=" + m.r.findAllIn(plan).length)
+    t("checkpointed nearDups")(
+      graft.dedup.Dedup.simHashNearDups(docs, "text", "doc_id", 2)
+        .write.format("noop").mode("overwrite").save())
   }
 }

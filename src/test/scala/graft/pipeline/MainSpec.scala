@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import graft.{Main, SparkSpec}
+
+/** End-to-end CLI parity: a properties file drives
+  * extract → load → publish → GC through `graft.Main` exactly like
+  * `java -jar … -c config.properties` drives the reference
+  * (`CopyTool.java:73-107`, `docker-entrypoint.sh`), with the
+  * reference's exit codes (0 copied / 1 error / 2 no new data) and
+  * `--no-switch` / `--switch-only` flags. */
+class MainSpec extends SparkSpec {
+
+  private def silent: String => Unit = _ => ()
+
+  private def writeConfig(dir: Path, name: String, text: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  private def baseConfig(base: Path, extra: String = ""): String =
+    writeConfig(base, "job.properties",
+      s"""# harness job: two tables off the sf0.001 star schema
+         |graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |
+         |table.nation.from = nation
+         |table.nation.to = nation_out
+         |table.region.from = region
+         |table.region.to = region_out
+         |$extra
+         |""".stripMargin)
+
+  test("-c config: full pipeline runs, exit 0, tables published") {
+    val base = Files.createTempDirectory("main_e2e")
+    val code = Main.run(Array("-c", baseConfig(base)), spark, silent)
+    assert(code == 0)
+    assert(Publish.readCurrent(spark, s"$base/target", "nation_out").count() == 25)
+    assert(Publish.readCurrent(spark, s"$base/target", "region_out").count() == 5)
+    // E7: staging cleaned after success
+    assert(!Files.exists(base.resolve("target/_staging/table_nation_nation_out")))
+  }
+
+  test("trigger: first run copies (0), unchanged second run exits 2") {
+    val base = Files.createTempDirectory("main_trig")
+    val cfg = baseConfig(base,
+      """trigger.table = orders
+        |trigger.column = o_orderkey
+        |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 2)
+  }
+
+  test("--no-switch stages+loads but leaves the pointer; --switch-only then publishes") {
+    val base = Files.createTempDirectory("main_sw")
+    val cfg = baseConfig(base)
+    assert(Main.run(Array("-c", cfg, "--no-switch"), spark, silent) == 0)
+    // snapshot exists, current pointer does not (E6)
+    assert(Publish.findNewestVersion(s"$base/target", "nation_out").nonEmpty)
+    assert(Publish.currentVersion(s"$base/target", "nation_out").isEmpty)
+    assert(Main.run(Array("-c", cfg, "--switch-only"), spark, silent) == 0)
+    assert(Publish.readCurrent(spark, s"$base/target", "nation_out").count() == 25)
+  }
+
+  test("pure-CLI switch-only: --monetdb-table + --target-dir, no config file") {
+    val base = Files.createTempDirectory("main_cli")
+    val cfg = baseConfig(base)
+    assert(Main.run(Array("-c", cfg, "--no-switch"), spark, silent) == 0)
+    val code = Main.run(Array("--switch-only", "--monetdb-table", "region_out",
+      "--monetdb-schema", "sys", "--target-dir", s"$base/target"), spark, silent)
+    assert(code == 0)
+    assert(Publish.readCurrent(spark, s"$base/target", "region_out").count() == 5)
+    // still-unswitched sibling proves the single-table scope
+    assert(Publish.currentVersion(s"$base/target", "nation_out").isEmpty)
+  }
+
+  test("multi-config fleet: one failing job exits 1 but the healthy job still publishes") {
+    val base = Files.createTempDirectory("main_fleet")
+    val good = baseConfig(base)
+    val bad = writeConfig(base, "bad.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target2
+         |table.t1.from = no_such_table
+         |table.t1.to = broken_out
+         |""".stripMargin)
+    val code = Main.run(Array("-c", bad, "-c", good), spark, silent)
+    assert(code == 1)  // fleet exit reflects the failure...
+    // ...but the H4 loop kept going: the good job's tables are live
+    assert(Publish.readCurrent(spark, s"$base/target", "nation_out").count() == 25)
+  }
+
+  test("config errors exit 1: missing file, zero valid tables, missing data roots") {
+    val base = Files.createTempDirectory("main_err")
+    assert(Main.run(Array("-c", s"$base/nope.properties"), spark, silent) == 1)
+    val empty = writeConfig(base, "empty.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |table.t1.to = orphan_out
+         |""".stripMargin)
+    assert(Main.run(Array("-c", empty), spark, silent) == 1)
+    val noRoots = writeConfig(base, "noroots.properties",
+      """table.nation.from = nation
+        |table.nation.to = nation_out
+        |""".stripMargin)
+    assert(Main.run(Array("-c", noRoots), spark, silent) == 1)
+  }
+
+  test("bad flags exit 1: unknown option, missing value, ns+so conflict") {
+    assert(Main.run(Array("--frobnicate"), spark, silent) == 1)
+    assert(Main.run(Array("-c"), spark, silent) == 1)
+    assert(Main.run(Array("-c", "x", "--no-switch", "--switch-only"), spark, silent) == 1)
+    assert(Main.run(Array.empty, spark, silent) == 1)
+  }
+
+  test("scheduler.interval: --max-runs bounds the loop; each run re-executes") {
+    val base = Files.createTempDirectory("main_sched")
+    val cfg = baseConfig(base, "scheduler.interval = 1 second\n")
+    val t0 = System.nanoTime()
+    assert(Main.run(Array("-c", cfg, "--max-runs", "2"), spark, silent) == 0)
+    // two runs, one 1s sleep between them
+    assert((System.nanoTime() - t0) / 1e9 >= 1.0)
+    // second run published a second version
+    assert(Publish.listVersions(s"$base/target", "nation_out").size == 2)
+  }
+}
