@@ -7,11 +7,13 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries in this container); everything around it — schema, typed
-  * Dataset plumbing, per-partition batch shape, partition-preserving
-  * execution — is the real design that a libjpeg/ffmpeg-backed decoder
-  * would drop into:
+  * Image payloads get a REAL decode (javax.imageio header parse:
+  * dimensions, frame count, format recognition); audio/video payloads
+  * and unrecognizable blobs fall back to a deterministic sha256-derived
+  * pseudo-decode (no AV codecs in this container). Everything around
+  * the decode body — schema, typed Dataset plumbing, per-partition
+  * batch shape, partition-preserving execution — is shared by both
+  * paths and is what an ffmpeg-backed AV decoder would drop into:
   *  - payloads stay `BinaryType` (never stringified),
   *  - metadata is a typed case class (columnar struct after encoding),
   *  - decode runs via `mapPartitions` over a typed Dataset so a native
@@ -41,24 +43,64 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** STUB decode: deterministic pseudo-decode of the payload bytes.
-    * A real implementation would replace ONLY the body of `decodeOne`
-    * (e.g. javax.imageio / ffmpeg via JNI); the partitioning, batching and
-    * schema contract stay identical. */
-  private def decodeOne(a: MediaAsset): MediaFeatures = {
-    // ??? <- real decoder goes here; deterministic fake below
-    val n = a.payload.length.toLong
-    val h = java.security.MessageDigest.getInstance("SHA-256").digest(a.payload)
-    val hex = h.map("%02x".format(_)).mkString
-    // pseudo-dimensions derived from content so tests can assert stability
-    val w = 64 + (java.lang.Byte.toUnsignedInt(h(0)) % 64)
-    val ht = 64 + (java.lang.Byte.toUnsignedInt(h(1)) % 64)
-    val frames = a.kind match {
-      case "image" => 1
-      case _       => 1 + (java.lang.Byte.toUnsignedInt(h(2)) % 120)
-    }
-    MediaFeatures(a.asset_id, a.kind, n, w, ht, frames, hex)
+  /** Real image decode: javax.imageio header parse — width/height (and
+    * frame count for multi-frame containers like GIF) WITHOUT decoding
+    * pixel data (`ImageReader.getWidth/getHeight` read the header only),
+    * so a 100 TB scan pays bytes-in + header-parse, not full raster
+    * decode. Returns None for payloads no installed reader recognizes
+    * (then the deterministic fallback below keeps the pipeline total —
+    * a corrupt blob must not kill a corpus pass). Audio/video would slot
+    * in here the same way via an ffmpeg JNI binding — not available in
+    * this container, so those kinds stay on the fallback path. */
+  private def imageDecode(a: MediaAsset): Option[MediaFeatures] = {
+    if (a.kind != "image") return None
+    try {
+      val iin = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iin)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iin, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+            val frames = r.getNumImages(false) match {
+              case n if n >= 1 => n
+              case _           => 1 // unknown without an expensive search
+            }
+            Some(MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+              r.getWidth(0), r.getHeight(0), frames, sha256Hex(a.payload)))
+          } finally r.dispose()
+        }
+      } finally if (iin != null) iin.close()
+    } catch { case _: Exception => None }
   }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Decode one asset: a REAL javax.imageio decode for recognizable
+    * image payloads; a deterministic sha256-derived pseudo-decode for
+    * everything else (no audio/video codecs in this container — the
+    * fallback keeps every row present and the harness oracles
+    * replayable, since the synthetic corpus's UTF-8 payloads all take
+    * this path). The partitioning, batching and schema contract are
+    * identical for both paths. */
+  private def decodeOne(a: MediaAsset): MediaFeatures =
+    imageDecode(a).getOrElse {
+      val n = a.payload.length.toLong
+      val h = java.security.MessageDigest.getInstance("SHA-256").digest(a.payload)
+      val hex = h.map("%02x".format(_)).mkString
+      // pseudo-dimensions derived from content so tests can assert stability
+      val w = 64 + (java.lang.Byte.toUnsignedInt(h(0)) % 64)
+      val ht = 64 + (java.lang.Byte.toUnsignedInt(h(1)) % 64)
+      val frames = a.kind match {
+        case "image" => 1
+        case _       => 1 + (java.lang.Byte.toUnsignedInt(h(2)) % 120)
+      }
+      MediaFeatures(a.asset_id, a.kind, n, w, ht, frames, hex)
+    }
 
   /** Distributed decode / feature-extract: partition-preserving (no
     * shuffle), typed in/out, per-partition iterator so a real codec can

@@ -514,11 +514,29 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
-    // approximate percentiles (t-digest-style sketch; rows-only — sketch
-    // values are implementation-specific)
+    // approximate percentiles via a DETERMINISTIC estimator (the q121
+    // recipe): a 1-in-8 hash sample in the shared h60 space — the row
+    // key hashes identically in both engines, so the oracle draws the
+    // SAME sample and replays the whole estimate, unlike t-digest /
+    // approx_percentile whose sketch internals are engine-specific
+    // (that nondeterministic form kept this row rows-only for six
+    // rounds). Exact p50 + absolute error ride along, so the row also
+    // quantifies estimator quality. Scale shape: the sample filter is a
+    // map-side scan predicate (no shuffle added); the grouped exact
+    // percentile then runs over 1/8 of the corpus.
     "q86_approx_percentiles" -> { (s, d) =>
-      Tables(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, 0.5)").as("approx_p50"))
+      val li = Tables(s, d, "lineitem")
+      val sampled = li.filter(pmod(graft.text.TextAnalysis.h60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"))), lit(8L)) === 0L)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("approx_p50"),
+          expr("percentile(l_quantity, 0.9)").as("approx_p90"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+      sampled.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("approx_p50"), col("approx_p90"),
+          col("exact_p50"),
+          abs(col("approx_p50") - col("exact_p50")).as("p50_abs_err"))
         .orderBy("l_returnflag")
     },
 
@@ -752,7 +770,23 @@ object Extended {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q86: sketch internals — rows-only.
+    "q86_approx_percentiles" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS approx_p50,
+        |    quantile_cont(l_quantity, 0.9) AS approx_p90
+        |  FROM lineitem
+        |  WHERE CAST('0x' || substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        |    ), 1, 15) AS BIGINT) % 8 = 0
+        |  GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT s.l_returnflag, s.approx_p50, s.approx_p90, e.exact_p50,
+        |  abs(s.approx_p50 - e.exact_p50) AS p50_abs_err
+        |FROM s JOIN e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q87_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,

@@ -160,6 +160,36 @@ object MonetSink {
     finally client.close()
   }
 
+  /** C2 at cluster scale: every partition opens its OWN MAPI connection
+    * and streams its rows as an independent `COPY INTO ... FROM STDIN`.
+    * The reference holds one socket because it is a single-threaded
+    * process ([[copyViaStdin]] mirrors that parity path, driver-pumped);
+    * on a cluster the single-socket form makes the driver the choke
+    * point for the whole corpus, so this is the scale path: CSV
+    * formatting AND the socket I/O stay on the executors, the driver
+    * never sees a row. Per-partition COPYs commit independently —
+    * MonetDB serializes concurrent LOCKED loads server-side, which
+    * bounds the win at however fast the server ingests (same ceiling
+    * the reference hits), but partitions overlap their format/transfer
+    * work instead of queueing behind one pump. No records-count hint:
+    * that would need a per-partition pre-count pass; the hint is a
+    * server-side pre-allocation optimization the append path can skip. */
+  def copyViaStdinDistributed(df: DataFrame, host: String, port: Int,
+      user: String, password: String, database: String, schema: String,
+      table: String, locked: Boolean = true): Unit = {
+    val sql = copyIntoSql(schema, table, records = None, source = None,
+      locked = locked)
+    df.select(csvLine(df).as("line"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) { // empty partitions never dial the server
+          val client = MapiClient.connect(host, port, user, password, database)
+          try client.copyIntoStdin(sql, it.map(_.getString(0)))
+          finally client.close()
+          ()
+        }
+      }
+  }
+
   /** C4 runtime cascade (`CopyTool.java:829-866`): unless the configured
     * method is INSERT, try COPY-from-file; on failure fall through to
     * COPY-from-STDIN; on failure fall through to batched INSERTs; if

@@ -508,6 +508,41 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
   }
 
+  test("real PNG/GIF payloads decode to true dimensions; junk falls back") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF00FF) // deterministic non-empty pixel
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", png(17, 23)),
+      Multimodal.MediaAsset(2L, "image", gif(9, 5)),
+      Multimodal.MediaAsset(3L, "image", "not an image".getBytes("UTF-8")),
+      Multimodal.MediaAsset(4L, "audio", png(17, 23)) // kind gates decode
+    ).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(f(1L).width == 17 && f(1L).height == 23 && f(1L).n_frames == 1)
+    assert(f(2L).width == 9 && f(2L).height == 5)
+    // undecodable image payload: deterministic sha-derived fallback dims
+    assert(f(3L).width >= 64 && f(3L).width < 128)
+    // non-image kind never routes through the image decoder
+    assert(f(4L).width >= 64 && f(4L).width < 128)
+    // checksum is the payload sha256 on BOTH paths
+    assert(f.values.forall(_.checksum.length == 64))
+  }
+
   test("resize plan never upscales and preserves aspect bound") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, sf())).toDF()

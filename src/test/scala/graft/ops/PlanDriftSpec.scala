@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tools.PlanReport
+import graft.tools.PlanReport.PlanMetrics
+
+/** Plan-drift tripwire: the physical-plan scale metrics of the most
+  * load-bearing queries, pinned to the committed PLANS.md values. A
+  * future change that loses a broadcast (star join degrading to
+  * shuffle), adds a shuffle, or stops pushing filters/pruning columns
+  * now fails the suite instead of silently editing a markdown table.
+  * Metrics come from [[PlanReport.metrics]] — the same extractor that
+  * generates PLANS.md — so guard and report cannot disagree. Plans are
+  * BUILT, not executed (shape is size-independent); after an
+  * intentional plan change, regenerate PLANS.md and update the row
+  * here with it. */
+class PlanDriftSpec extends SparkSpec {
+
+  // (query, shuffles, broadcasts, pushedFilters, prunedSchema) — the
+  // ~15 most expensive / most shape-critical queries per BENCH_r06 +
+  // PlanSpec's structural assertions
+  private val pinned: Seq[(String, PlanMetrics)] = Seq(
+    "q02_projection"          -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
+    "q03_filter_pushdown"     -> PlanMetrics(1, 0, pushedFilters = true,  prunedSchema = true),
+    "q08_star_join_revenue"   -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
+    "q18_topk_orders"         -> PlanMetrics(0, 0, pushedFilters = false, prunedSchema = false),
+    "q49_bigram_fluency"      -> PlanMetrics(7, 4, pushedFilters = true,  prunedSchema = true),
+    "q53_minhash_lsh_pairs"   -> PlanMetrics(9, 5, pushedFilters = true,  prunedSchema = true),
+    "q58_exact_corr"          -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
+    "q65_ann_ivf_topk"        -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
+    "q85_percentiles"         -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
+    "q86_approx_percentiles"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
+    "q87_json_extract"        -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
+    "q96_asof_presplit"       -> PlanMetrics(6, 0, pushedFilters = false, prunedSchema = true),
+    "q98_decontaminate"       -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
+    "q101_dedup_clusters"     -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
+    "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
+    "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true)
+  )
+
+  test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
+    val drifted = pinned.flatMap { case (name, want) =>
+      val got = PlanReport.metrics(
+        graft.SparkEntry.queries(name)(spark, sf()).queryExecution
+          .executedPlan.toString)
+      if (got != want) Some(s"$name: expected $want, got $got") else None
+    }
+    assert(drifted.isEmpty,
+      "plan drift — if intentional, regenerate PLANS.md and update " +
+        s"PlanDriftSpec:\n${drifted.mkString("\n")}")
+  }
+}

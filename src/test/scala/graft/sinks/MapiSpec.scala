@@ -11,7 +11,7 @@ import graft.SparkSpec
 /** A loopback fake speaking just enough MAPI v9 to exercise the client:
   * challenge, digest check, redirect, COPY INTO FROM STDIN capture. */
 final class FakeMonetServer(user: String, password: String,
-    redirectsFirst: Boolean = false) {
+    redirectsFirst: Boolean = false, connections: Int = 1) {
   val salt = "testsalt1234"
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -19,6 +19,7 @@ final class FakeMonetServer(user: String, password: String,
   @volatile var receivedCopySql: String = _
   @volatile var receivedRows: Seq[String] = Nil
   @volatile var authedDigest: String = _
+  @volatile var connectionsServed: Int = 0
   private val done = new CountDownLatch(1)
 
   private def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
@@ -27,7 +28,9 @@ final class FakeMonetServer(user: String, password: String,
 
   private val expectedDigest = sha512(sha512(password) + salt)
 
-  private val thread = new Thread(() => {
+  // sequential accept loop: concurrent clients queue in the listen
+  // backlog, which is exactly how a one-ingest-at-a-time server behaves
+  private def serveOne(): Unit = {
     val sock = server.accept()
     try {
       val s = new MapiBlockStream(sock.getInputStream, sock.getOutputStream)
@@ -55,15 +58,19 @@ final class FakeMonetServer(user: String, password: String,
         receivedCopySql = lines.head
         if (receivedCopySql.contains("FROM STDIN")) {
           // CSV records follow in the same message, closed by an empty line
-          receivedRows = lines.tail.takeWhile(_.nonEmpty)
+          receivedRows = receivedRows ++ lines.tail.takeWhile(_.nonEmpty)
           s.writeMessage(s"&2 ${receivedRows.size} -1\n".getBytes(UTF_8))
         } else {
           s.writeMessage("&2 0 -1\n".getBytes(UTF_8))
         }
       }
-    } finally {
-      sock.close(); server.close(); done.countDown()
-    }
+      connectionsServed += 1
+    } finally sock.close()
+  }
+
+  private val thread = new Thread(() => {
+    try (0 until connections).foreach(_ => serveOne())
+    finally { server.close(); done.countDown() }
   })
   thread.setDaemon(true)
   thread.start()
@@ -151,6 +158,26 @@ class MapiSpec extends SparkSpec {
     // reference CSV dialect: quoted values, \-escaped specials, bare \N null
     assert(srv.receivedRows.head == """"0","n\"q\\0","0"""")
     assert(srv.receivedRows(1) == """"1","n\"q\\1",\N""")
+  }
+
+  test("C2 distributed: every non-empty partition opens its own MAPI connection") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // round-robin repartition(3) → exactly 3 non-empty partitions
+    val srv = new FakeMonetServer("monetdb", "secret", connections = 3)
+    val df = spark.range(0, 30).toDF("id")
+      .withColumn("name", concat(lit("row"), col("id")))
+      .repartition(3)
+    MonetSink.copyViaStdinDistributed(df, "127.0.0.1", srv.port,
+      "monetdb", "secret", "demo", "sys", "target")
+    srv.awaitDone()
+    assert(srv.connectionsServed == 3)
+    // all 30 rows arrive across the 3 independent COPY statements
+    assert(srv.receivedRows.size == 30)
+    assert(srv.receivedRows.toSet ==
+      (0 until 30).map(i => s""""$i","row$i"""").toSet)
+    // no records hint on the per-partition appends
+    assert(srv.receivedCopySql ==
+      """COPY INTO "sys"."target" FROM STDIN USING DELIMITERS ',','\n','"' NULL AS '\\N' LOCKED;""")
   }
 
   test("authentication failure surfaces the server error") {
