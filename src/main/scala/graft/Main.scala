@@ -131,9 +131,16 @@ object Main {
             case e: Exception => log(s"ERROR: ${e.getMessage}"); return 1
           }
 
+        // the alert is best-effort: an unreachable SMTP server must not
+        // abort the fleet loop or kill the scheduler (the job already
+        // failed — losing the other jobs over the failure MAIL would
+        // invert the 'one failure never stops the fleet' contract)
+        def safeAlert(props: Map[String, String])(f: CopyJob.Failed): Unit =
+          try EmailAlert.alertHook(EmailAlert.fromProps(props))(f)
+          catch { case e: Exception => log(s"WARN: failure alert not sent: ${e.getMessage}") }
+
         def runOne(props: Map[String, String], cfg: CopyJob.JobConfig): CopyJob.JobResult =
-          CopyJob.runWithAlert(spark, cfg)(
-            EmailAlert.alertHook(EmailAlert.fromProps(props)))
+          CopyJob.runWithAlert(spark, cfg)(safeAlert(props))
 
         // scheduler mode: single config with scheduler.interval — run
         // forever (or --max-runs for tests), never exiting on failure
@@ -150,10 +157,9 @@ object Main {
               onResult = { r =>
                 last = r
                 r match {
-                  case CopyJob.Failed(reason, _) =>
-                    log(s"scheduled run failed: $reason")
-                    EmailAlert.alertHook(EmailAlert.fromProps(props))(
-                      r.asInstanceOf[CopyJob.Failed])
+                  case f: CopyJob.Failed =>
+                    log(s"scheduled run failed: ${f.reason}")
+                    safeAlert(props)(f)
                   case other => log(s"scheduled run: $other")
                 }
               })

@@ -296,6 +296,17 @@ object Dedup {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** q119's per-process index paths, each registered once for
+    * delete-on-exit (a fresh JVM per bench/verify run would otherwise
+    * leak one index copy per invocation into the temp dir). */
+  private val q119CleanupPaths = scala.collection.mutable.HashSet.empty[String]
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** SimHash as a table: explode tokens → 64 codegen'd ±1 sums with
     * map-side partial aggregation → assemble the fingerprint. Same result
     * as [[simHash]] but whole-stage-codegen throughout (the Column-level
@@ -789,6 +800,12 @@ object Dedup {
       val path = s"${sys.props("java.io.tmpdir")}/graft_q119_idx_" +
         java.lang.Integer.toHexString(d.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
+      // per-process paths would otherwise leak one index copy per JVM
+      // (every bench/verify invocation is a fresh pid) — delete on exit
+      q119CleanupPaths.synchronized {
+        if (q119CleanupPaths.add(path)) Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(new java.io.File(path))))
+      }
       saveLshIndex(docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id", path)
       probeLshIndex(s, path, docs.filter(col("doc_id") % 10 === 0),
           "text", "doc_id", threshold = 0.3)

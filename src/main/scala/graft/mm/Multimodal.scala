@@ -64,9 +64,12 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iin, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
-            val frames = r.getNumImages(false) match {
+            // allowSearch=true: GIF reports -1 without a search, and the
+            // stream is an in-memory byte array, so counting frames is a
+            // header walk, not I/O
+            val frames = r.getNumImages(true) match {
               case n if n >= 1 => n
-              case _           => 1 // unknown without an expensive search
+              case _           => 1
             }
             Some(MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong,
               r.getWidth(0), r.getHeight(0), frames, sha256Hex(a.payload)))

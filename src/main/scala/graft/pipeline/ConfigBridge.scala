@@ -31,6 +31,22 @@ object ConfigBridge {
       throw BridgeException(s"missing required property '$k' " +
         "(the Spark-native data-root twin of the reference's connection block)"))
     val targetRoot = req("graft.target.dir")
+    // the FS twin has exactly ONE source (the parquet root standing in
+    // for the default source block); a table or trigger naming a
+    // configured DBMS source would silently extract from the wrong
+    // place if we proceeded — fail loudly instead (running such a
+    // config needs the JDBC deployment, not the harness bridge)
+    val foreign = parsed.tables.values
+      .filter(_.source != PropertiesConfig.DefaultSourceId).map(_.id).toSeq.sorted
+    if (foreign.nonEmpty)
+      throw BridgeException(s"tables [${foreign.mkString(", ")}] name " +
+        "non-default sources — per-table DBMS sources are not served by " +
+        "the graft.source.dir bridge; point them at the default source " +
+        "or run against the JDBC deployment")
+    parsed.trigger.filter(_.source != PropertiesConfig.DefaultSourceId)
+      .foreach(tr => throw BridgeException(
+        s"trigger names non-default source '${tr.source}' — not served " +
+          "by the graft.source.dir bridge"))
     val jdbc = PropertiesConfig.jdbcLoadMode(parsed, props)
     val tables = parsed.tables.values.toSeq.sortBy(_.id).map { t =>
       CopyJob.TableSpec(

@@ -173,7 +173,14 @@ object MonetSink {
     * the reference hits), but partitions overlap their format/transfer
     * work instead of queueing behind one pump. No records-count hint:
     * that would need a per-partition pre-count pass; the hint is a
-    * server-side pre-allocation optimization the append path can skip. */
+    * server-side pre-allocation optimization the append path can skip.
+    *
+    * Delivery is AT-LEAST-ONCE under task retry: a partition that fails
+    * after its COPY committed re-runs and loads again (disable
+    * `spark.speculation` for this sink). The reference has the same
+    * exposure across its per-batch COPYs on crash-retry; exactly-once
+    * needs the staging path — load into a temp table per attempt and
+    * promote transactionally (the copyViaTempTable flow, C5/E2). */
   def copyViaStdinDistributed(df: DataFrame, host: String, port: Int,
       user: String, password: String, database: String, schema: String,
       table: String, locked: Boolean = true): Unit = {

@@ -222,6 +222,30 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 11)
   }
 
+  test("connectedComponents: 120-vertex chain forces multi-generation convergence") {
+    // a single path 1-2-3-…-120: diameter 119, so the min label must
+    // travel the whole chain through several double-jump+neighbor-min
+    // generations — the convergence loop itself is under test (a
+    // one-generation bug would still pass the short fixtures above).
+    // Worst label-ordering: ascending ids, min at one END of the path.
+    val n = 120
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), s"unmerged labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+    assert(got.forall(_._3 == n.toLong))
+    // same chain with ids REVERSED (min at the other end) and shuffled
+    // pair order — label choice must be content-determined
+    val pairs2 = new scala.util.Random(42).shuffle(
+      (1 until n).map(i => ((n - i + 1).toLong, (n - i).toLong)).toList)
+      .toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponents(pairs2, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.forall(_._2 == 1L))
+  }
+
   test("sentenceDedup: cross-doc boilerplate removed, order kept, within-doc dups") {
     val corpus = Seq(
       (1L, "unique one. SHARED FOOTER. unique two"),
@@ -518,23 +542,33 @@ class MultimodalSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
-    def gif(w: Int, h: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "gif", bos)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until frames).foreach { _ =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
       bos.toByteArray
     }
     val assets = Seq(
       Multimodal.MediaAsset(1L, "image", png(17, 23)),
-      Multimodal.MediaAsset(2L, "image", gif(9, 5)),
+      Multimodal.MediaAsset(2L, "image", gif(9, 5, frames = 3)),
       Multimodal.MediaAsset(3L, "image", "not an image".getBytes("UTF-8")),
       Multimodal.MediaAsset(4L, "audio", png(17, 23)) // kind gates decode
     ).toDS()
     val f = Multimodal.extractFeatures(assets).collect()
       .map(x => x.asset_id -> x).toMap
     assert(f(1L).width == 17 && f(1L).height == 23 && f(1L).n_frames == 1)
-    assert(f(2L).width == 9 && f(2L).height == 5)
+    // multi-frame container: true frame count from the header walk
+    assert(f(2L).width == 9 && f(2L).height == 5 && f(2L).n_frames == 3)
     // undecodable image payload: deterministic sha-derived fallback dims
     assert(f(3L).width >= 64 && f(3L).width < 128)
     // non-image kind never routes through the image decoder

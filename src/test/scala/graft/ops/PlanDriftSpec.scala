@@ -11,9 +11,13 @@ import graft.tools.PlanReport.PlanMetrics
   * now fails the suite instead of silently editing a markdown table.
   * Metrics come from [[PlanReport.metrics]] — the same extractor that
   * generates PLANS.md — so guard and report cannot disagree. Plans are
-  * BUILT, not executed (shape is size-independent); after an
-  * intentional plan change, regenerate PLANS.md and update the row
-  * here with it. */
+  * built, not run through the sink (shape is size-independent) — except
+  * the iterative operators (q101/q123), whose CONSTRUCTION executes the
+  * label-propagation rounds at sf0.001 and whose pinned metrics cover
+  * the final labels⋈sizes output plan only (the per-round shape is
+  * documented in the connectedComponents Scaladoc, not measurable from
+  * a single plan string). After an intentional plan change, regenerate
+  * PLANS.md and update the row here with it. */
 class PlanDriftSpec extends SparkSpec {
 
   // (query, shuffles, broadcasts, pushedFilters, prunedSchema) — the

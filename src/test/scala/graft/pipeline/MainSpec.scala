@@ -106,6 +106,22 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("-c", noRoots), spark, silent) == 1)
   }
 
+  test("tables naming a DBMS source are rejected by the FS bridge, exit 1") {
+    val base = Files.createTempDirectory("main_src")
+    val cfg = writeConfig(base, "dbms.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |mssql.src1.server = host
+         |mssql.src1.database = db
+         |table.t1.from = nation
+         |table.t1.to = nation_out
+         |table.t1.source = src1
+         |""".stripMargin)
+    var msg = ""
+    assert(Main.run(Array("-c", cfg), spark, m => msg += m) == 1)
+    assert(msg.contains("non-default sources"), s"got: $msg")
+  }
+
   test("bad flags exit 1: unknown option, missing value, ns+so conflict") {
     assert(Main.run(Array("--frobnicate"), spark, silent) == 1)
     assert(Main.run(Array("-c"), spark, silent) == 1)
