@@ -508,6 +508,57 @@ object Dedup {
         col("n_kept"), col("clean_text"))
   }
 
+  /** Exact-substring duplicate spans — the token-window form of corpus
+    * dedup (the "remove any 50-token substring that appears twice"
+    * pass, reference behavior of suffix-array dedup pipelines): every
+    * `n`-token window is rolling-hashed; a window whose hash already
+    * occurred earlier in the corpus (global (doc, pos) order — the
+    * FIRST occurrence survives, like [[exactDedup]]'s min-id survivor)
+    * marks its `n` tokens as duplicated; overlapping/adjacent marked
+    * windows merge into maximal spans. Output: one row per maximal
+    * duplicated span `(doc_id, span_start, span_end, span_tokens)` in
+    * token coordinates — the excision plan a rewrite pass consumes.
+    *
+    * Scale shape: the gram stream carries `(doc_id, pos, h60)` — 8-byte
+    * hashes, never text. One shuffle ranks occurrences per hash (window
+    * sort; a boilerplate gram with millions of occurrences costs its
+    * partition a bigger sort, not a row explosion), one per-doc window
+    * merges spans over the surviving duplicate starts (small: duplicated
+    * positions only). Suffix arrays find variable-length repeats; the
+    * fixed-`n` window form is the standard scale approximation — any
+    * repeat of length ≥ n is found (as a run of overlapping windows
+    * merging into one span), shorter repeats are ignored by design. */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 1, "span window must cover more than one token")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.text.TextAnalysis.wordShingles(col(textCol), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.text.TextAnalysis.h60(col("col")).as("gh"))
+    // occurrence rank in global corpus order; rank 1 = the survivor
+    val dupStarts = grams
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("gh").orderBy("doc_id", "pos")))
+      .filter(col("occ") > 1)
+      .select("doc_id", "pos")
+    // merge overlapping/adjacent [pos, pos+n) windows per doc: a start
+    // past every previous window's end opens a new island (running max
+    // handles nested/out-of-order ends)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupStarts
+      .withColumn("prev_end", max(col("pos") + n).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L)).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + n).as("span_end"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"),
+      (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Surgical decontamination: instead of flagging whole documents
     * ([[decontaminate]]), excise only the SENTENCES that share a word
     * n-gram with the eval set and reassemble the rest — the form that
@@ -896,6 +947,32 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // exact-substring duplicate spans: every 10-token window that
+    // repeats anywhere in the corpus (first occurrence survives),
+    // merged into maximal per-doc spans — the fixed-window form of
+    // suffix-array dedup
+    "q128_duplicate_spans" -> { (s, d) =>
+      duplicateSpans(Tables(s, d, "documents"), "text", "doc_id", n = 10)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // span-excision accounting: per-document duplicated-token budget a
+    // rewrite pass would remove (docs with no spans report 0 / full keep)
+    "q129_span_excise_stats" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val perDoc = duplicateSpans(docs, "text", "doc_id", n = 10)
+        .groupBy("doc_id").agg(sum("span_tokens").as("dup_tokens"))
+      docs.select(col("doc_id"),
+          size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+            .as("kept_tokens"))
+        .orderBy("doc_id")
+    },
+
     // near-dup pairs → transitive dedup clusters (min-label propagation
     // to fixpoint); the oracle replays the closure with a recursive CTE
     "q101_dedup_clusters" -> { (s, d) =>
@@ -1068,6 +1145,70 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q119_lsh_index_probe" -> q119Oracle,
+    // duplicated 10-token windows ranked in global (doc, pos) order,
+    // merged to maximal spans with the running-max island technique —
+    // the Spark plan replayed relationally
+    "q128_duplicate_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15)
+         |      AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+         |        FROM tok WHERE len(t) >= 10)),
+         |r AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ
+         |  FROM g),
+         |d AS (SELECT doc_id, pos FROM r WHERE occ > 1),
+         |m AS (SELECT doc_id, pos,
+         |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM d),
+         |i2 AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 10 AS BIGINT) AS span_end,
+         |  CAST(max(pos) + 10 - min(pos) AS BIGINT) AS span_tokens
+         |FROM i2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "q129_span_excise_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15)
+         |      AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8)) AS i
+         |        FROM tok WHERE len(t) >= 10)),
+         |r AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ
+         |  FROM g),
+         |d AS (SELECT doc_id, pos FROM r WHERE occ > 1),
+         |m AS (SELECT doc_id, pos,
+         |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM d),
+         |i2 AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m),
+         |sp AS (SELECT doc_id, max(pos) + 10 - min(pos) AS span_tokens
+         |  FROM i2 GROUP BY doc_id, island),
+         |per_doc AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+         |  CAST(len(t.t) AS BIGINT) - COALESCE(p.dup_tokens, 0) AS kept_tokens
+         |FROM tok t LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q111_corpus_overlap" -> q111Oracle,
     "q53_minhash_lsh_pairs" -> q53Oracle,
     // transitive closure over the q55 pair list via recursive CTE, then

@@ -246,6 +246,42 @@ class DedupSpec extends SparkSpec {
     assert(got2.forall(_._2 == 1L))
   }
 
+  test("duplicateSpans: first occurrence survives, overlapping windows merge, short repeats ignored") {
+    // doc 1: the source text. doc 2: copies tokens 0..11 of doc 1 (a
+    // 12-token repeat = three overlapping 10-windows → ONE merged span
+    // [0,12)), then unique tail. doc 3: repeats doc 1's tokens WITHIN
+    // itself at offset 20 (within-corpus second occurrence). doc 4:
+    // shares only a 9-token run — below the window, no span.
+    val base = (0 until 30).map(i => s"w$i")
+    val doc1 = base.mkString(" ")
+    val doc2 = (base.take(12) ++ (0 until 18).map(i => s"u$i")).mkString(" ")
+    val doc3 = ((0 until 20).map(i => s"v$i") ++ base.take(10)).mkString(" ")
+    val doc4 = (base.take(9) ++ (0 until 21).map(i => s"z$i")).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "text", "doc_id", n = 10)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 is the global first occurrence everywhere → no spans;
+    // doc 2's 12-token copy merges to one [0,12) span;
+    // doc 3's 10-token copy is exactly [20,30); doc 4 clean
+    assert(got.toSeq == Seq((2L, 0L, 12L, 12L), (3L, 20L, 30L, 10L)), s"got ${got.toSeq}")
+  }
+
+  test("duplicateSpans: disjoint repeats stay separate spans") {
+    val rep1 = (0 until 10).map(i => s"a$i")
+    val rep2 = (0 until 10).map(i => s"b$i")
+    val doc1 = (rep1 ++ Seq("x0", "x1", "x2") ++ rep2).mkString(" ")
+    // copy both repeats separated by DIFFERENT middle tokens → two
+    // spans [0,10) and [13,23), not one
+    val doc2 = (rep1 ++ Seq("y0", "y1", "y2") ++ rep2).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "text", "doc_id", n = 10)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 0L, 10L), (2L, 13L, 23L)), s"got ${got.toSeq}")
+  }
+
   test("sentenceDedup: cross-doc boilerplate removed, order kept, within-doc dups") {
     val corpus = Seq(
       (1L, "unique one. SHARED FOOTER. unique two"),
