@@ -11,7 +11,10 @@ import graft.pipeline.{ConfigBridge, CopyJob, EmailAlert, PropertiesConfig}
   *     files run in order and one failure never stops the fleet (the
   *     entrypoint's loop, H4 — in one JVM, so the Spark session and its
   *     caches are shared across jobs);
-  *   - `--no-switch` / `-ns`, `--switch-only` / `-so` (E6);
+  *   - `--no-switch` / `-ns`, `--switch-only` / `-so` (E6); `--resume`
+  *     continues from intact durable staging without re-extracting
+  *     (the staging-triplet crash recovery, SURVEY §3.1 — our pipeline's
+  *     addition, no reference flag);
   *   - the pure-CLI single-table switch (`CopyToolConfig.java:219-249`):
   *     `--switch-only --monetdb-table T` plus `--target-dir DIR` — the
   *     FS twin of the reference's six `--monetdb-*` connection options —
@@ -35,6 +38,7 @@ object Main {
       configs: Seq[String] = Vector.empty,
       noSwitch: Boolean = false,
       switchOnly: Boolean = false,
+      resume: Boolean = false,
       opts: Map[String, String] = Map.empty,
       maxRuns: Option[Int] = None)
 
@@ -45,8 +49,10 @@ object Main {
 
   val usage: String =
     """usage: graft.Main -c CONFIG.properties [-c MORE.properties ...]
-      |                  [--no-switch | --switch-only] [--max-runs N]
+      |                  [--no-switch | --switch-only] [--resume] [--max-runs N]
       |   or: graft.Main --switch-only --monetdb-table T --target-dir DIR
+      |--resume: skip re-extract, continue from intact durable staging
+      |          (crash recovery between the extract and load phases)
       |exit codes: 0 = copied, 1 = error, 2 = no new data""".stripMargin
 
   def parseArgs(args: Array[String]): Either[String, Cli] = {
@@ -60,6 +66,7 @@ object Main {
       key match {
         case "ns" | "no-switch"   => cli = cli.copy(noSwitch = true)
         case "so" | "switch-only" => cli = cli.copy(switchOnly = true)
+        case "resume"             => cli = cli.copy(resume = true)
         case k if valueOpts(k) =>
           if (i + 1 >= args.length) return Left(s"option '$a' requires a value")
           val v = args(i + 1); i += 1
@@ -126,7 +133,8 @@ object Main {
         val jobs =
           try loaded.map { case (p, props, parsed) =>
             (p, props, ConfigBridge.toJobConfig(parsed, props,
-              noSwitch = cli.noSwitch, switchOnly = cli.switchOnly))
+              noSwitch = cli.noSwitch, switchOnly = cli.switchOnly)
+              .copy(resumeFromStaging = cli.resume))
           } catch {
             case e: Exception => log(s"ERROR: ${e.getMessage}"); return 1
           }

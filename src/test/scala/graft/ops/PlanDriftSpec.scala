@@ -39,7 +39,9 @@ class PlanDriftSpec extends SparkSpec {
     "q98_decontaminate"       -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
     "q101_dedup_clusters"     -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
     "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
-    "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true)
+    "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
+    // 3 = gh-rank window + per-doc merge window + output range sort
+    "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {

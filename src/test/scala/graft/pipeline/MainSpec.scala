@@ -106,6 +106,19 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("-c", noRoots), spark, silent) == 1)
   }
 
+  test("--resume publishes from intact staging without re-extracting") {
+    val base = Files.createTempDirectory("main_resume")
+    val cfg = baseConfig(base)
+    // simulate a crash after phase 1: staging written, nothing published
+    val staged = graft.sources.Tables(spark, sf(), "nation")
+    Staging.stage(staged, s"$base/target/_staging/table_nation_nation_out")
+    Staging.stage(graft.sources.Tables(spark, sf(), "region"),
+      s"$base/target/_staging/table_region_region_out")
+    assert(Main.run(Array("-c", cfg, "--resume"), spark, silent) == 0)
+    assert(Publish.readCurrent(spark, s"$base/target", "nation_out").count() == 25)
+    assert(Publish.readCurrent(spark, s"$base/target", "region_out").count() == 5)
+  }
+
   test("tables naming a DBMS source are rejected by the FS bridge, exit 1") {
     val base = Files.createTempDirectory("main_src")
     val cfg = writeConfig(base, "dbms.properties",
