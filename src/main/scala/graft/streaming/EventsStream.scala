@@ -225,6 +225,90 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One simhash quarter-block occurrence of a streamed document:
+    * `block` packs (quarter index << 16) | 15-bit quarter key, so each
+    * of a document's 4 blocking keys is its own state partition. */
+  final case class BlockDoc(block: Long, doc_id: Long, simhash: Long)
+  final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+  // parallel arrays, not Map — constant-factor state like CmsState
+  final case class BlockState(ids: Array[Long], hashes: Array[Long])
+
+  /** Streaming near-dup detection at ingest — the streaming twin of
+    * [[graft.dedup.Dedup.simHashNearDups]] (q55): each simhash
+    * quarter-block key holds the `(doc_id, simhash)` entries it has seen
+    * (the same 4×15-bit pigeonhole blocking, so every pair within
+    * Hamming ≤ 3 shares at least one state partition), and each arriving
+    * document is verified against its block's entries — emitting the
+    * exact Hamming pairs the batch operator would, as the corpus
+    * streams in, including pairs WITHIN a micro-batch.
+    *
+    * A pair sharing q blocks is emitted q times (once per shared
+    * block); entries are normalized `(min_id, max_id)`, so downstream
+    * exactly-once is one `dropDuplicatesWithinWatermark` away (kept out
+    * of this operator: the CMS/dedup twins' single-stateful-op shape).
+    * State per block is capped at `maxBucket` entries — the batch
+    * path's bucket-cap discipline ([[graft.dedup.Dedup.lshCandidatePairs]]):
+    * a degenerate block (boilerplate fingerprint quarter) stops
+    * accumulating instead of turning every future arrival into a
+    * quadratic scan; production deployments bound state age with a TTL
+    * on top. */
+  class StreamingSimHashProcessor(maxHamming: Int, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BlockDoc, NearDupPair] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[BlockState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BlockState]("block_docs",
+        org.apache.spark.sql.Encoders.product[BlockState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[BlockDoc],
+        timerValues: TimerValues): Iterator[NearDupPair] = {
+      val st = if (state.exists()) state.get() else BlockState(Array.empty, Array.empty)
+      val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
+      val hashes = scala.collection.mutable.ArrayBuffer.from(st.hashes)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      rows.foreach { r =>
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) != r.doc_id) {
+            val ham = java.lang.Long.bitCount(hashes(i) ^ r.simhash)
+            if (ham <= maxHamming)
+              out += NearDupPair(math.min(ids(i), r.doc_id),
+                math.max(ids(i), r.doc_id), ham)
+          }
+          i += 1
+        }
+        if (ids.length < maxBucket) { ids += r.doc_id; hashes += r.simhash }
+      }
+      state.update(BlockState(ids.toArray, hashes.toArray))
+      out.iterator
+    }
+  }
+
+  /** Blocked near-dup pair stream (see [[StreamingSimHashProcessor]]).
+    * The fingerprint is the per-row [[graft.dedup.Dedup.simHash]]
+    * expression — no aggregation, so the only stateful operator is the
+    * block-verify stage. */
+  def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val blocked = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.dedup.Dedup.simHash(col(textCol)).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(q =>
+          lit(q.toLong * 65536L) +
+            shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*))
+          .as("block"))
+      .select(col("block"), col("doc_id"), col("simhash"))
+      .as[BlockDoc]
+    blocked.groupByKey(_.block)
+      .transformWithState(new StreamingSimHashProcessor(maxHamming, maxBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.dedup.Dedup.exactDedup]]: fingerprint the payload
     * (whitespace-normalized md5, same family as the batch path) and drop

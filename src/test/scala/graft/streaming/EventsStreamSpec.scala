@@ -128,6 +128,83 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("streaming near-dup pairs == batch simHashNearDups over the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val docs = Seq(
+        (1L, base),                         // batch 1
+        (2L, base.replace("delta", "DELTA")), // lowercased away → exact dup of 1
+        (3L, "completely different words about another topic entirely here now"),
+        (4L, base),                         // batch 2: cross-batch dup of 1 and 2
+        (5L, base.replace("kappa", "xappa")) // near (one token changed)
+      )
+      val mem = MemoryStream[(Long, String)]
+      val pairs = EventsStream.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", maxHamming = 3)
+      val q = pairs.writeStream.format("memory").queryName("neardup_stream")
+        .outputMode("update").start()
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("neardup_stream")
+        .select("id_a", "id_b", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.dedup.Dedup.simHashNearDups(
+        docs.toDF("doc_id", "text"), "text", "doc_id", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // the stream found exactly the batch operator's pairs — including
+      // the in-batch pair (1,2) and the cross-batch pairs through state
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.exists(p => p._1 == 1L && p._2 == 4L), "cross-batch dup expected")
+      assert(batch.exists(p => p._1 == 1L && p._2 == 2L), "in-batch dup expected")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
+  test("streaming near-dup: bucket cap stops state growth, verify still runs") {
+    implicit val sqlCtx = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // identical docs: every one lands in the same 4 blocks; with
+      // maxBucket=2 only the first 2 entries per block are retained, so
+      // doc k>2 pairs only with docs 1 and 2, never with 3..k-1
+      val mem = MemoryStream[(Long, String)]
+      val pairs = EventsStream.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        maxHamming = 0, maxBucket = 2)
+      val q = pairs.writeStream.format("memory").queryName("neardup_capped")
+        .outputMode("update").start()
+      mem.addData((1 to 5).map(i => (i.toLong, "same text every time")): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_capped")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for (k <- 2 to 5; s <- 1 to math.min(2, k - 1)) yield
+        (s.toLong, k.toLong)).toSet
+      assert(got == want, s"got=$got want=$want")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
   test("streaming CMS: running estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
