@@ -85,6 +85,9 @@ object Main {
     }
     if (cli.noSwitch && cli.switchOnly)
       Left("--no-switch and --switch-only are mutually exclusive")
+    else if (cli.resume && cli.switchOnly)
+      Left("--resume re-loads staging into a new snapshot; --switch-only " +
+        "publishes without touching data — the combination is contradictory")
     else if (cli.configs.isEmpty && !(cli.switchOnly && cli.opts.contains("monetdb-table")))
       Left("at least one -c CONFIG required (or --switch-only --monetdb-table T --target-dir DIR)")
     else Right(cli)
@@ -160,7 +163,12 @@ object Main {
           case Some(interval) =>
             val (_, props, cfg) = jobs.head
             var last: CopyJob.JobResult = CopyJob.Copied
-            CopyJob.runScheduled(spark, cfg, interval,
+            // --resume applies to the FIRST scheduled run only: it
+            // consumes the staged data (and cleans staging), so later
+            // iterations must extract normally — a persistent resume
+            // flag would fail every subsequent run on missing staging
+            val steady = cfg.copy(resumeFromStaging = false)
+            CopyJob.runScheduled(spark, steady, interval,
               maxRuns = cli.maxRuns.getOrElse(Int.MaxValue),
               onResult = { r =>
                 last = r
@@ -170,7 +178,8 @@ object Main {
                     safeAlert(props)(f)
                   case other => log(s"scheduled run: $other")
                 }
-              })
+              },
+              firstRunCfg = if (cli.resume) Some(cfg) else None)
             last.exitCode
           case None =>
             val results = jobs.map { case (p, props, cfg) =>

@@ -531,9 +531,14 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 1, "span window must cover more than one token")
+    // native positioned n-grams: the composed wordShingles form pays an
+    // interpreted lambda per gram (measured ~50× slower on corpus
+    // passes — the q43 lesson); word_ngrams stays in codegen and its
+    // posexplode position IS the token start index
     val grams = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(graft.text.TextAnalysis.wordShingles(col(textCol), n)))
+        posexplode(graft.functions.TextFunctions.word_ngrams(
+          graft.text.TextAnalysis.tokens(col(textCol)), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         graft.text.TextAnalysis.h60(col("col")).as("gh"))
     // occurrence rank in global corpus order; rank 1 = the survivor

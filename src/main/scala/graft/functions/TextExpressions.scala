@@ -145,6 +145,68 @@ case class DistinctWordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** ALL word n-grams in start-position order (no dedup) — the positioned
+  * sibling of [[DistinctWordNgrams]]: `posexplode(word_ngrams(toks, n))`
+  * yields `pos` = the gram's token start index. For corpus passes that
+  * need every occurrence located (duplicate-span dedup), where the
+  * composed `transform(sequence, slice+concat_ws)` form pays an
+  * interpreted lambda per gram. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram width must be >= 1")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val space = UTF8String.fromString(" ")
+
+  /** One sliding-window pass, every start position emitted. Null tokens
+    * are skipped inside a window exactly like `concat_ws`. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val count = total - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0).asInstanceOf[Array[Any]])
+    val arr = new Array[UTF8String](total)
+    var i = 0
+    while (i < total) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[UTF8String](count)
+    val window = new Array[UTF8String](n)
+    var s = 0
+    while (s < count) {
+      System.arraycopy(arr, s, window, 0, n)
+      out(s) = UTF8String.concatWs(space, window: _*)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}
+
 object DistinctWordNgrams {
   private val space = UTF8String.fromString(" ")
 
@@ -187,4 +249,8 @@ object TextFunctions {
   /** Distinct word n-grams (shingles) of a token-array column. */
   def distinct_word_ngrams(tokens: Column, n: Int): Column =
     GraftBridge.toColumn(DistinctWordNgrams(GraftBridge.toExpression(tokens), n))
+
+  /** All positioned word n-grams (see [[WordNgrams]]). */
+  def word_ngrams(tokens: Column, n: Int): Column =
+    GraftBridge.toColumn(WordNgrams(GraftBridge.toExpression(tokens), n))
 }

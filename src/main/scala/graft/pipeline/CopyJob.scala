@@ -135,21 +135,35 @@ object CopyJob {
 
       val version = Publish.newVersion()
 
+      // shared phase-2 body (normal and resume paths must never diverge):
+      // F3 validate, B4 zero-row short-circuit, then load per publish mode
+      def loadOne(t: TableSpec): Unit = {
+        val m = Staging.validate(spark, stagingDir(cfg, t))   // F3
+        if (m.count > 0 || t.allowEmpty) {                    // B4 short-circuit
+          val staged = Staging.read(spark, stagingDir(cfg, t))
+          t.publishMode match {
+            case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
+            case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
+            case j: JdbcLoad => jdbcLoad(staged, j, t.to)
+          }
+        }
+      }
+
       if (cfg.resumeFromStaging) {
         // crash-between-phases resumption (§3.1): phase 1 already ran and
         // its durable staging survived — validate it (F3) and continue
-        // from phase 2 without re-extracting
-        cfg.tables.foreach { t =>
-          val m = Staging.validate(spark, stagingDir(cfg, t))
-          if (m.count > 0 || t.allowEmpty) {
-            val staged = Staging.read(spark, stagingDir(cfg, t))
-            t.publishMode match {
-              case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
-              case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
-              case j: JdbcLoad => jdbcLoad(staged, j, t.to)
-            }
-          }
+        // from phase 2 without re-extracting. The F1 guard's resume
+        // equivalent runs on the MANIFESTS (the sources may have changed
+        // since the crash — staging is the truth being resumed): without
+        // it, a zero-row staging for an allowEmpty=false table would
+        // skip its snapshot while phase 3 still repoints CURRENT at the
+        // never-written version dir, wedging every reader.
+        val empties = cfg.tables.filterNot(_.allowEmpty).filter { t =>
+          Staging.validate(spark, stagingDir(cfg, t)).count == 0
         }
+        if (empties.nonEmpty)
+          return Failed(s"empty staged tables: ${empties.map(_.id).mkString(", ")}")
+        parForeach(cfg.tables, cfg.tableParallelism)(loadOne)
       } else if (!cfg.switchOnly) {
         // ---- F1 empty-source guard: ALL tables checked before ANY copy
         val empties = cfg.tables.filterNot(_.allowEmpty).filter { t =>
@@ -164,17 +178,7 @@ object CopyJob {
         }
 
         // ---- PHASE 2: load ALL tables (staging → snapshot)
-        parForeach(cfg.tables, cfg.tableParallelism) { t =>
-          val m = Staging.validate(spark, stagingDir(cfg, t))   // F3
-          if (m.count > 0 || t.allowEmpty) {                    // B4 short-circuit
-            val staged = Staging.read(spark, stagingDir(cfg, t))
-            t.publishMode match {
-              case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
-              case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
-              case j: JdbcLoad => jdbcLoad(staged, j, t.to)
-            }
-          }
-        }
+        parForeach(cfg.tables, cfg.tableParallelism)(loadOne)
       }
 
       // ---- PHASE 3: publish ALL tables (pointer/view switch)
@@ -227,12 +231,18 @@ object CopyJob {
   /** H1 interval scheduler: run forever, stay alive on failure, sleep the
     * configured interval. Batch re-invocation — semantically identical to
     * the reference's loop (`CopyTool.java:122-160`). `maxRuns` bounds it
-    * for tests. */
+    * for tests. `firstRunCfg` lets the FIRST iteration differ — the
+    * resume-then-continue restart: run 1 resumes from durable staging
+    * (which it then cleans), every later run extracts normally; a
+    * resume flag that persisted across iterations would fail forever
+    * once run 1 consumed the staging. */
   def runScheduled(spark: SparkSession, cfg: JobConfig, intervalSeconds: Long,
-      maxRuns: Int = Int.MaxValue, onResult: JobResult => Unit = _ => ()): Unit = {
+      maxRuns: Int = Int.MaxValue, onResult: JobResult => Unit = _ => (),
+      firstRunCfg: Option[JobConfig] = None): Unit = {
     var runs = 0
     while (runs < maxRuns) {
-      val result = try run(spark, cfg) catch {
+      val c = if (runs == 0) firstRunCfg.getOrElse(cfg) else cfg
+      val result = try run(spark, c) catch {
         case e: Exception => Failed(e.getMessage, Some(e))
       }
       onResult(result)

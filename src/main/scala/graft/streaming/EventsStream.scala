@@ -267,7 +267,11 @@ object EventsStream {
       val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
       val hashes = scala.collection.mutable.ArrayBuffer.from(st.hashes)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-      rows.foreach { r =>
+      // deterministic in-batch order (the file's processor discipline):
+      // at cap saturation, WHICH entries are retained depends on
+      // processing order — shuffle-fetch order would make retention (and
+      // therefore every future pair) differ run-to-run and on replay
+      rows.toArray.sortBy(r => (r.doc_id, r.simhash)).foreach { r =>
         var i = 0
         while (i < ids.length) {
           if (ids(i) != r.doc_id) {
@@ -297,6 +301,11 @@ object EventsStream {
     val blocked = docs
       .select(col(idCol).cast("long").as("doc_id"),
         graft.dedup.Dedup.simHash(col(textCol)).as("simhash"))
+      // a null id (or a non-numeric one the cast nulls out) must drop
+      // like the batch twin drops it — encoded into the non-nullable
+      // BlockDoc it would instead fail the micro-batch, and a replayed
+      // poison row would fail every restart of the query
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(q =>
           lit(q.toLong * 65536L) +

@@ -24,6 +24,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2).getSeq[String](2) == Seq.empty)
   }
 
+  test("native word_ngrams == composed wordShingles (all positions, in order)") {
+    // same edge set as the distinct twin: repeats, exactly-n, shorter
+    // than n, empty, repeated-token shingles
+    val texts = Seq("a b a b a b", "x y z", "x y", "", "t t t t")
+    val df = texts.toDF("text").select(
+      TextAnalysis.wordShingles(col("text"), 2).as("composed"),
+      graft.functions.TextFunctions.word_ngrams(
+        TextAnalysis.tokens(col("text")), 2).as("native"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("native distinctWordShingles == array_distinct(wordShingles)") {
     // crafted edges: repeats (dedup order), exactly-n tokens, shorter
     // than n, empty, and repeated-token shingles

@@ -119,6 +119,36 @@ class MainSpec extends SparkSpec {
     assert(Publish.readCurrent(spark, s"$base/target", "region_out").count() == 5)
   }
 
+  test("--resume with zero-row staging for a non-allowEmpty table fails before publish") {
+    val base = Files.createTempDirectory("main_resume0")
+    val cfg = baseConfig(base)
+    // crash left an empty staging for nation (allowEmpty defaults false)
+    Staging.stage(graft.sources.Tables(spark, sf(), "nation")
+        .filter(org.apache.spark.sql.functions.lit(false)),
+      s"$base/target/_staging/table_nation_nation_out")
+    Staging.stage(graft.sources.Tables(spark, sf(), "region"),
+      s"$base/target/_staging/table_region_region_out")
+    assert(Main.run(Array("-c", cfg, "--resume"), spark, silent) == 1)
+    // the guard fired before ANY publish: no pointer was repointed at a
+    // never-written snapshot (the reader-wedging failure mode)
+    assert(Publish.currentVersion(s"$base/target", "nation_out").isEmpty)
+    assert(Publish.currentVersion(s"$base/target", "region_out").isEmpty)
+  }
+
+  test("scheduler + --resume: first run consumes staging, later runs extract normally") {
+    val base = Files.createTempDirectory("main_resumesched")
+    val cfg = baseConfig(base, "scheduler.interval = 1 second\n")
+    Staging.stage(graft.sources.Tables(spark, sf(), "nation"),
+      s"$base/target/_staging/table_nation_nation_out")
+    Staging.stage(graft.sources.Tables(spark, sf(), "region"),
+      s"$base/target/_staging/table_region_region_out")
+    // run 1 resumes (and cleans staging); run 2 MUST extract normally —
+    // a resume flag that persisted would fail run 2 on missing staging
+    assert(Main.run(Array("-c", cfg, "--resume", "--max-runs", "2"),
+      spark, silent) == 0)
+    assert(Publish.listVersions(s"$base/target", "nation_out").size == 2)
+  }
+
   test("tables naming a DBMS source are rejected by the FS bridge, exit 1") {
     val base = Files.createTempDirectory("main_src")
     val cfg = writeConfig(base, "dbms.properties",
@@ -139,6 +169,7 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("--frobnicate"), spark, silent) == 1)
     assert(Main.run(Array("-c"), spark, silent) == 1)
     assert(Main.run(Array("-c", "x", "--no-switch", "--switch-only"), spark, silent) == 1)
+    assert(Main.run(Array("-c", "x", "--resume", "--switch-only"), spark, silent) == 1)
     assert(Main.run(Array.empty, spark, silent) == 1)
   }
 

@@ -11,6 +11,20 @@ import EventsStream.{Event, Session}
 class EventsStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider after. */
+  private def withRocksDBProvider[A](body: => A): A = {
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerConf, v)
+      case None => spark.conf.unset(providerConf)
+    }
+  }
+
   private def ev(id: Long, t: String, user: Long, typ: String = "click",
       v: Double = 1.0): Event =
     Event(id, Timestamp.valueOf(t), user, typ, v)
@@ -130,11 +144,7 @@ class EventsStreamSpec extends SparkSpec {
 
   test("streaming near-dup pairs == batch simHashNearDups over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerConf)
-    spark.conf.set(providerConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
       val docs = Seq(
         (1L, base),                         // batch 1
@@ -164,21 +174,12 @@ class EventsStreamSpec extends SparkSpec {
       assert(streamed == batch, s"stream=$streamed batch=$batch")
       assert(batch.exists(p => p._1 == 1L && p._2 == 4L), "cross-batch dup expected")
       assert(batch.exists(p => p._1 == 1L && p._2 == 2L), "in-batch dup expected")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerConf, v)
-        case None => spark.conf.unset(providerConf)
-      }
     }
   }
 
   test("streaming near-dup: bucket cap stops state growth, verify still runs") {
     implicit val sqlCtx = spark.sqlContext
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerConf)
-    spark.conf.set(providerConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       // identical docs: every one lands in the same 4 blocks; with
       // maxBucket=2 only the first 2 entries per block are retained, so
       // doc k>2 pairs only with docs 1 and 2, never with 3..k-1
@@ -197,21 +198,12 @@ class EventsStreamSpec extends SparkSpec {
       val want = (for (k <- 2 to 5; s <- 1 to math.min(2, k - 1)) yield
         (s.toLong, k.toLong)).toSet
       assert(got == want, s"got=$got want=$want")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerConf, v)
-        case None => spark.conf.unset(providerConf)
-      }
     }
   }
 
   test("streaming CMS: running estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerConf)
-    spark.conf.set(providerConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       import EventsStream.{TokenOcc, TokenEst}
       val depth = 4; val width = 1024
       val mem = MemoryStream[TokenOcc]
@@ -243,23 +235,12 @@ class EventsStreamSpec extends SparkSpec {
         ref(Map(10L -> 5L, 11L -> 1L, 20L -> 1L, 21L -> 1L), 10L)))
       assert(out.filter(_.h == 21L).map(_.est).toSeq ==
         Seq(ref(Map(10L -> 5L, 11L -> 1L, 20L -> 1L, 21L -> 1L), 21L)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerConf, v)
-        case None => spark.conf.unset(providerConf)
-      }
     }
   }
 
   test("transformWithState running user stats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerConf)
-    // transformWithState runs only on the RocksDB store; scope the
-    // provider to this test and restore afterwards
-    spark.conf.set(providerConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider {
       val mem = MemoryStream[Event]
       val stats = EventsStream.runningUserStats(mem.toDS())
       val q = stats.writeStream.format("memory").queryName("user_stats")
@@ -281,11 +262,26 @@ class EventsStreamSpec extends SparkSpec {
       val u1 = out.filter(_._1 == 1L).sortBy(_._2)
       assert(u1.toSeq == Seq((1L, 2L, 3.75, 2L), (1L, 3L, 4.0, 4L)))
       assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 4.0, 3L)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerConf, v)
-        case None => spark.conf.unset(providerConf)
-      }
+    }
+  }
+
+  test("streaming near-dup: null / non-numeric ids drop instead of wedging the query") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      val mem = MemoryStream[(java.lang.Long, String)]
+      val pairs = EventsStream.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", maxHamming = 0)
+      val q = pairs.writeStream.format("memory").queryName("neardup_nulls")
+        .outputMode("update").start()
+      mem.addData(
+        (java.lang.Long.valueOf(1L), "same text here"),
+        (null.asInstanceOf[java.lang.Long], "same text here"), // poison row
+        (java.lang.Long.valueOf(2L), "same text here"))
+      q.processAllAvailable() // must not throw on the null id
+      q.stop()
+      val got = spark.table("neardup_nulls").select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)))
     }
   }
 }
