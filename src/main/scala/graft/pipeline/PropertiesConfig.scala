@@ -194,7 +194,12 @@ object PropertiesConfig {
   def jdbcLoadMode(parsed: Parsed,
       props: Map[String, String] = Map.empty): Option[CopyJob.JdbcLoad] =
     parsed.target.map { t =>
-      CopyJob.JdbcLoad(SqlGen.monetDbUrl(t.server, t.database),
+      // `graft.jdbc.url` overrides the MonetDB-derived URL so the same
+      // pipeline drives any JDBC target (and the e2e spec a live
+      // in-container Derby); production MonetDB runs need only the
+      // reference's own monetdb.* block
+      CopyJob.JdbcLoad(
+        props.getOrElse("graft.jdbc.url", SqlGen.monetDbUrl(t.server, t.database)),
         props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000))
     }
 

@@ -119,6 +119,34 @@ class MainSpec extends SparkSpec {
     assert(Publish.readCurrent(spark, s"$base/target", "region_out").count() == 5)
   }
 
+  test("monetdb block routes the load through the JDBC writer (live Derby e2e)") {
+    val url = "jdbc:derby:memory:main_e2e_db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE region_out (r_regionkey BIGINT, r_name VARCHAR(64), r_comment VARCHAR(256))")
+      finally st.close()
+    } finally c.close()
+    val base = Files.createTempDirectory("main_jdbc")
+    val cfg = writeConfig(base, "jdbc.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |graft.jdbc.url = $url
+         |monetdb.server = monet-host
+         |monetdb.database = monet-db
+         |batch.size = 2
+         |table.region.from = region
+         |table.region.to = region_out
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    // the load IS the publish: rows arrived over JDBC, nothing under the
+    // FS publish root for this table
+    val back = spark.read.jdbc(url, "region_out", new java.util.Properties())
+    assert(back.count() == 5)
+    assert(Publish.findNewestVersion(s"$base/target", "region_out").isEmpty)
+  }
+
   test("--resume with zero-row staging for a non-allowEmpty table fails before publish") {
     val base = Files.createTempDirectory("main_resume0")
     val cfg = baseConfig(base)
