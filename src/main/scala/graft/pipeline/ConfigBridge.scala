@@ -67,7 +67,12 @@ object ConfigBridge {
       sourceDir = req("graft.source.dir"),
       stagingRoot = props.getOrElse("graft.staging.dir", s"$targetRoot/_staging"),
       targetRoot = targetRoot,
-      stateDir = props.getOrElse("graft.state.dir", s"$targetRoot/_state"),
+      // `trigger.directory` is the reference's home for the
+      // `<jobId>_lastrun.txt` watermark state (`CopyTool.java:322-323`)
+      // — exactly this pipeline's stateDir, so honor it as the default
+      stateDir = props.getOrElse("graft.state.dir",
+        parsed.trigger.flatMap(_.directory)
+          .getOrElse(s"$targetRoot/_state")),
       trigger = parsed.trigger.map(tr => CopyJob.TriggerSpec(tr.table, tr.column)),
       switchOnly = switchOnly,
       noSwitch = noSwitch,

@@ -52,6 +52,22 @@ class MainSpec extends SparkSpec {
     assert(Main.run(Array("-c", cfg), spark, silent) == 2)
   }
 
+  test("trigger.directory hosts the lastrun state file, like the reference") {
+    val base = Files.createTempDirectory("main_trigdir")
+    val stateHome = Files.createTempDirectory("main_trigstate")
+    val cfg = baseConfig(base,
+      s"""trigger.table = orders
+         |trigger.column = o_orderkey
+         |trigger.directory = $stateHome
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    // the watermark state landed in trigger.directory, not the default
+    val files = stateHome.toFile.listFiles().map(_.getName).toSeq
+    assert(files.exists(_.endsWith("_lastrun.txt")), s"got $files")
+    // and it is honored on re-run: no new data → exit 2
+    assert(Main.run(Array("-c", cfg), spark, silent) == 2)
+  }
+
   test("--no-switch stages+loads but leaves the pointer; --switch-only then publishes") {
     val base = Files.createTempDirectory("main_sw")
     val cfg = baseConfig(base)
