@@ -269,6 +269,67 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= col("budget_tokens"))
   }
 
+  /** DSIR-style importance resampling — hashed-n-gram data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much its
+    * n-gram profile looks like a TARGET corpus, then keep the top
+    * `keep`. Features are word bigrams hashed into `buckets` cells
+    * ([[h60]] mod B — cross-engine); each cell gets an add-one-smoothed
+    * importance weight and a document's score is the sum of its bigram
+    * occurrences' cell weights.
+    *
+    * Determinism: DSIR's per-cell `log((ct_t+1)/(ct_r+1))` is a libm
+    * call that differs by ulps across engines, so the weight here is
+    * the fixed-point LIKELIHOOD RATIO `((ct_t+1)·10⁶) div (ct_r+1)` —
+    * exact integral division (the q117/q122 rule: `div`, never
+    * floor-of-decimal-divide), summed as decimal(38,0) so no float
+    * order-dependence exists anywhere; the one double appears in the
+    * final per-doc cast (exact-integer → correctly-rounded in both
+    * engines). Ranking by Σ-ratio instead of Σ-log favors the same
+    * target-like cells; it is the deterministic surrogate, documented
+    * as such.
+    *
+    * Scale shape: both corpora aggregate onto ≤`buckets` keys —
+    * map-side combine collapses each partition to ≤B partial rows, so
+    * the two count shuffles are O(B·partitions) regardless of corpus
+    * bytes. The weight table (≤B rows) broadcasts; scoring is a map
+    * stage + one per-doc aggregate whose partial combine already sees
+    * a document's bigrams co-located (explode keeps row locality), so
+    * the final shuffle carries ~one row per document. Top-k is
+    * `orderBy.limit` = TakeOrderedAndProject — no global sort. */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int, keep: Int): DataFrame = {
+    import graft.functions.TextFunctions.word_ngrams
+    def bigramCells(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+
+          explode(word_ngrams(tokens(lower(col(textCol))), 2)).as("g"): _*)
+        .select(keep :+ pmod(h60(col("g")), lit(buckets.toLong)).as("b"): _*)
+    val rawCells = bigramCells(raw, Seq(col(idCol)))
+    val ctR = rawCells.groupBy("b").agg(count(lit(1)).as("ct_r"))
+    val ctT = bigramCells(target, Seq.empty)
+      .groupBy("b").agg(count(lit(1)).as("ct_t"))
+    // target ⊆ raw-feature-space is NOT assumed: cells only in the
+    // target never score a raw doc (no raw occurrence probes them), so
+    // a left join from the raw counts is lossless
+    val weights = ctR.join(ctT, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct_t"))
+      .withColumn("r_fp",
+        expr("((ct_t + 1) * cast(1000000 as decimal(38,0))) div (ct_r + 1)"))
+      .select("b", "r_fp")
+    val scored = rawCells.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r_fp").cast(DecimalType(38, 0))).as("score_fp"))
+    raw.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0).cast(DecimalType(38, 0)))
+          .cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(keep)
+  }
+
   /** Per-document rare-token fraction WITHOUT a vocabulary join: probe
     * the [[heavyHitters]] Count-Min sketch for every token occurrence
     * and count those estimated below `threshold`. The frequency table a
@@ -392,6 +453,16 @@ object TextAnalysis {
         .agg(first(col("budget_tokens")).as("budget_tokens"),
           count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sel_tokens"))
         .orderBy("source")
+    },
+
+    // DSIR-style importance resampling: keep the 120 raw documents whose
+    // hashed-bigram profile is most target-like (target = 3 sources'
+    // slice); exact fixed-point likelihood-ratio weights, full oracle
+    "q130_importance_resample" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      importanceResample(docs,
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", buckets = 4096, keep = 120)
     },
 
     // sparse document similarity WITHOUT embeddings: tf-idf cosine over
@@ -741,6 +812,34 @@ object TextAnalysis {
         |JOIN norms nb ON nb.doc_id = d.id_b
         |WHERE d.dot / (na.norm * nb.norm) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // q130: the full DSIR replay — same bigrams, same h60-mod-4096
+    // cells, same HUGEINT `//` likelihood ratios, same top-120 cut
+    "q130_importance_resample" ->
+      """WITH raw AS (SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM raw WHERE len(t) >= 2),
+        |cells AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS b
+        |  FROM bg),
+        |ct_r AS (SELECT b, count(*) AS ct_r FROM cells GROUP BY b),
+        |ct_t AS (SELECT b, count(*) AS ct_t FROM cells
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY b),
+        |w AS (SELECT r.b,
+        |    ((COALESCE(t.ct_t, 0) + 1) * 1000000::HUGEINT) // (r.ct_r + 1)
+        |      AS r_fp
+        |  FROM ct_r r LEFT JOIN ct_t t USING (b)),
+        |scored AS (SELECT c.doc_id, count(*) AS n_bigrams,
+        |    sum(w.r_fp) AS score_fp
+        |  FROM cells c JOIN w USING (b) GROUP BY c.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, 0::BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(s.score_fp, 0) AS DOUBLE) AS score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY score DESC, d.doc_id LIMIT 120""".stripMargin,
     "q117_temperature_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, source, n_chars,

@@ -185,6 +185,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tBig <= bBig && tSmall <= bSmall) // selection honors the budget
   }
 
+  test("importanceResample: target-like docs outrank off-target ones") {
+    // target speaks "cats purr softly"; raw has two target-like docs,
+    // two off-target docs, and one with no bigrams at all
+    val target = Seq((100L, "t", "cats purr softly cats purr"))
+      .toDF("doc_id", "src", "text")
+    val raw = Seq(
+      (1L, "cats purr softly all day"),
+      (2L, "cats purr and purr softly"),
+      (3L, "stock prices fell sharply today"),
+      (4L, "quarterly earnings beat forecasts"),
+      (5L, "single-token")).toDF("doc_id", "text")
+    val sel = TextAnalysis.importanceResample(raw, target.select("doc_id", "text"),
+      "doc_id", "text", buckets = 4096, keep = 5)
+    val rows = sel.collect()
+    assert(rows.length == 5)
+    val score = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // both cat docs above both finance docs; the bigram-less doc is 0
+    assert(score(1L) > score(3L) && score(1L) > score(4L))
+    assert(score(2L) > score(3L) && score(2L) > score(4L))
+    assert(score(5L) == 0.0 &&
+      rows.find(_.getLong(0) == 5L).get.getLong(1) == 0L)
+    // output honors the (score desc, id asc) order and the keep cap
+    assert(rows.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)))
+    assert(TextAnalysis.importanceResample(raw,
+      target.select("doc_id", "text"), "doc_id", "text", 4096, 2)
+      .collect().length == 2)
+  }
+
   test("rareTokenStats: collision-free width gives exact rare counts") {
     val docs = Seq((1L, "a a a b"), (2L, "a a a c"), (3L, "a a a a"))
       .toDF("doc_id", "text")
