@@ -99,6 +99,42 @@ object Similarity {
       .distinct()
   }
 
+  /** Embedding-space decontamination — the SEMANTIC twin of the n-gram
+    * eval-leak passes (q98/q104/q106): flag corpus vectors whose cosine
+    * to ANY eval-set vector reaches `threshold`, catching paraphrased
+    * benchmark leakage that exact/token overlap can't see. Returns one
+    * row per contaminated corpus vector: how many eval vectors it
+    * matched and the strongest match.
+    *
+    * Scale shape: the eval set is the SMALL side by construction (a
+    * benchmark suite, not the corpus), so its multiprobe expansion is
+    * broadcast; the corpus is bucketed by the same [[hyperplaneKey]]
+    * and NEVER shuffled — the check is a map-stage bucket-equality
+    * join plus one aggregate whose shuffle carries only flagged rows.
+    * A (corpus, eval) pair can meet at most once: a corpus vector has
+    * ONE bucket and an eval vector's probe buckets (own + each 1-bit
+    * flip) are pairwise distinct — no dedup pass needed. Recall follows
+    * the LSH trade: cross-bucket-beyond-one-flip pairs are missed;
+    * raise `bits` to cut candidate fan-in on big corpora. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int = 4, multiprobe: Boolean = true): DataFrame = {
+    val key = hyperplaneKey(col(vecCol), dim, bits)
+    val c = corpus.select(col(idCol), col(vecCol).as("c_vec"), key.as("bucket"))
+    val eBase = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("e_vec"), key.as("bucket0"))
+    val probes = if (multiprobe)
+      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
+    else array(lit(0L))
+    val e = broadcast(eBase.select(col("eval_id"), col("e_vec"),
+      explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket")))
+    c.join(e, Seq("bucket"))
+      .withColumn("cos", cosine(col("c_vec"), col("e_vec")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * compression step of an embedding corpus. `scale = max|xᵢ| / 127`,
     * `qᵢ = floor(xᵢ/scale + 0.5)` clamped to ±127 (floor-form rounding:
@@ -227,6 +263,17 @@ object Similarity {
       graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
+        .orderBy("vec_id")
+    },
+
+    // semantic decontamination: eval slice (vec_id % 23 == 0) probed
+    // against the rest of the corpus via LSH buckets + exact cosine
+    "q131_semantic_decontaminate" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      semanticDecontaminate(
+        emb.filter(col("vec_id") % 23 =!= 0),
+        emb.filter(col("vec_id") % 23 === 0),
+        "vec_id", "embedding", dim = 64, threshold = 0.2, bits = 2)
         .orderBy("vec_id")
     },
 
@@ -369,6 +416,7 @@ object Similarity {
     "q63_ann_lsh_topk" -> q63Oracle,
     "q65_ann_ivf_topk" -> q65Oracle,
     "q66_embedding_near_dups" -> q66Oracle,
+    "q131_semantic_decontaminate" -> q131Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
     "q67_cosine_rewrite" -> q66Oracle
@@ -553,6 +601,35 @@ object Similarity {
        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q131 oracle: bucket the eval slice and the corpus remainder with
+    * the literal coefficient matrix, expand each eval vector to its
+    * multiprobe set (own bucket + each 1-bit flip), join on bucket
+    * equality, and replay the exact cosine + threshold + per-corpus-id
+    * aggregate. */
+  private def q131Oracle: String = {
+    val dim = 64; val bits = 2
+    val (ctes, bucket, tables) = lshOracleCtes(dim, bits)
+    val masks = (0L +: (0 until bits).map(b => 1L << b)).mkString("[", ", ", "]")
+    s"""WITH $ctes,
+       |kc AS (SELECT e.vec_id, e.embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings e, $tables WHERE e.vec_id % 23 <> 0),
+       |ke AS (SELECT e.vec_id, e.embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings e, $tables WHERE e.vec_id % 23 = 0),
+       |pe AS (SELECT ke.vec_id, ke.embedding,
+       |    xor(ke.bucket, m.m) AS bucket
+       |  FROM ke, (SELECT unnest($masks) AS m) m),
+       |hits AS (SELECT * FROM (
+       |  SELECT c.vec_id AS vec_id,
+       |    ${cosSql("c.embedding", "p.embedding", dim)} AS cos
+       |  FROM kc c JOIN pe p ON c.bucket = p.bucket)
+       |  WHERE cos >= 0.2)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |  max(cos) AS max_cos
+       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   /** q123 oracle: the q66 LSH-bucket pair replay (restricted to

@@ -269,6 +269,34 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= col("budget_tokens"))
   }
 
+  /** C4-style blocklist safety filter — the "bad-words" cleaning pass
+    * (C4 dropped any page containing a blocklist term; weighted
+    * variants score by severity and cut on flagged-token density so a
+    * single incidental hit in a long document survives). The lexicon
+    * rides inside the plan as a map literal, so the whole filter is a
+    * per-row codegen fold over the token array: ZERO shuffles, zero
+    * joins, no broadcast — the cheapest possible full-corpus pass, and
+    * the lexicon (thousands of terms at most) never becomes a join
+    * side. `kept = flag_density <= maxDensity`; pass 0.0 for C4's
+    * drop-on-any-hit strictness. Weights must be positive. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      lexicon: Seq[(String, Long)], maxDensity: Double): DataFrame = {
+    require(lexicon.nonEmpty && lexicon.forall(_._2 > 0),
+      "lexicon terms need positive weights")
+    val m = map(lexicon.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    docs
+      .withColumn("_toks", tokens(lower(col(textCol))))
+      .withColumn("_ws",
+        transform(col("_toks"), t => coalesce(element_at(m, t), lit(0L))))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_ws"), w => w > 0)).cast("long").as("n_flagged"),
+        aggregate(col("_ws"), lit(0L), (acc, w) => acc + w).as("flag_score"))
+      .withColumn("flag_density",
+        col("n_flagged").cast("double") / col("n_tokens"))
+      .withColumn("kept", col("flag_density") <= maxDensity)
+  }
+
   /** DSIR-style importance resampling — hashed-n-gram data selection
     * (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by how much its
@@ -453,6 +481,14 @@ object TextAnalysis {
         .agg(first(col("budget_tokens")).as("budget_tokens"),
           count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sel_tokens"))
         .orderBy("source")
+    },
+
+    // weighted blocklist safety filter: flagged-token counts, severity
+    // score, and the density cut — zero-shuffle per-row fold
+    "q132_blocklist_filter" -> { (s, d) =>
+      blocklistFilter(Tables(s, d, "documents"), "doc_id", "text",
+        Seq("slow" -> 1L, "dup" -> 5L, "big" -> 2L), maxDensity = 0.05)
+        .orderBy("doc_id")
     },
 
     // DSIR-style importance resampling: keep the 120 raw documents whose
@@ -812,6 +848,25 @@ object TextAnalysis {
         |JOIN norms nb ON nb.doc_id = d.id_b
         |WHERE d.dot / (na.norm * nb.norm) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // q132: per-token LEFT JOIN against the lexicon VALUES — the
+    // relational equivalent of the Spark-side map-literal fold
+    "q132_blocklist_filter" ->
+      """WITH lex(term, w) AS (VALUES
+        |    ('slow', 1::BIGINT), ('dup', 5::BIGINT), ('big', 2::BIGINT)),
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(l.w) AS BIGINT) AS n_flagged,
+        |    CAST(COALESCE(sum(l.w), 0) AS BIGINT) AS flag_score
+        |  FROM tok t LEFT JOIN lex l ON t.tok = l.term
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_flagged, flag_score,
+        |  CAST(n_flagged AS DOUBLE) / n_tokens AS flag_density,
+        |  (CAST(n_flagged AS DOUBLE) / n_tokens) <= 0.05 AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // q130: the full DSIR replay — same bigrams, same h60-mod-4096
     // cells, same HUGEINT `//` likelihood ratios, same top-120 cut
     "q130_importance_resample" ->

@@ -185,6 +185,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tBig <= bBig && tSmall <= bSmall) // selection honors the budget
   }
 
+  test("blocklistFilter: weighted hits, density cut, zero shuffles") {
+    val docs = Seq(
+      (1L, "clean words only here"),                  // no hits
+      (2L, "bad bad bad stuff"),                      // 3/4 flagged
+      (3L, "one bad token in a longer document of many words total")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+      Seq("bad" -> 5L, "stuff" -> 1L), maxDensity = 0.2)
+    val r = q.orderBy("doc_id").collect()
+    assert(r(0).getLong(2) == 0 && r(0).getLong(3) == 0 && r(0).getBoolean(5))
+    assert(r(1).getLong(2) == 4 && r(1).getLong(3) == 16) // 3×5 + 1×1
+    assert(!r(1).getBoolean(5))                           // density 1.0
+    assert(r(2).getLong(2) == 1 && r(2).getBoolean(5))    // 1/11 <= 0.2
+    // lexicon is a plan literal: pure per-row fold, no exchange at all
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+        Seq("bad" -> 0L), 0.0)
+    }
+  }
+
   test("importanceResample: target-like docs outrank off-target ones") {
     // target speaks "cats purr softly"; raw has two target-like docs,
     // two off-target docs, and one with no bigrams at all
@@ -526,6 +547,26 @@ class SimilaritySpec extends SparkSpec {
     val annBest = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 1, dim = 64, bits = 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     annBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-12) }
+  }
+
+  test("semanticDecontaminate: planted near-copy flagged, eval ids never emitted") {
+    import spark.implicits._
+    val dim = 8
+    val base = Array.tabulate(dim)(i => (if (i == 0) 1f else 0.01f * i))
+    val nearCopy = base.map(x => x * 0.999f + 0.0001f) // cos ~ 1
+    val orthogonal = Array.tabulate(dim)(i => (if (i == dim - 1) 1f else 0f))
+    val evalSet = Seq((1000L, base)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, nearCopy), (2L, orthogonal)).toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticDecontaminate(corpus, evalSet,
+      "vec_id", "embedding", dim, threshold = 0.9, bits = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(flagged.contains(1L), s"near-copy not flagged: $flagged")
+    assert(flagged(1L)._1 == 1L && flagged(1L)._2 > 0.99)
+    assert(!flagged.contains(2L), "orthogonal vector wrongly flagged")
+    assert(!flagged.contains(1000L), "eval-side id leaked into output")
+    // multiprobe buckets are distinct → a pair meets at most once, so
+    // one eval vector can contribute at most hit-count 1
+    assert(flagged.values.forall(_._1 == 1L))
   }
 
   test("hyperplane bucket key is deterministic across evaluations") {
