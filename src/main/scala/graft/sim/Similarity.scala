@@ -277,6 +277,20 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // product quantization: train m=4 sub-quantizers (ksub=8, 2 Lloyd
+    // rounds), compress the corpus to 4 codes/vector, ADC top-k scan for
+    // the query slice. FULLY hash-checked: the oracle replays the whole
+    // per-subspace training loop, the encode, and the fixed-point ADC
+    // distance sums (see PqIndex Scaladoc for the determinism contract).
+    "q133_ann_pq_adc" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      PqIndex.searchADC(cb, codes, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // embedding-cosine near-dup pairs via LSH buckets (rows-only)
     "q66_embedding_near_dups" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (random): 0.2 is already
@@ -417,6 +431,7 @@ object Similarity {
     "q65_ann_ivf_topk" -> q65Oracle,
     "q66_embedding_near_dups" -> q66Oracle,
     "q131_semantic_decontaminate" -> q131Oracle,
+    "q133_ann_pq_adc" -> q133Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
     "q67_cosine_rewrite" -> q66Oracle
@@ -581,6 +596,107 @@ object Similarity {
        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
        |  FROM cand)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q133 oracle: replay product quantization end to end in DuckDB —
+    * per-subspace init sample, two unrolled Lloyd iterations over the
+    * exploded (vector × subspace) relation, encode under the trained
+    * double codebook, float-rounded served codebook, fixed-point ADC
+    * distance sums, top-k.
+    *
+    * Every arithmetic step mirrors [[PqIndex]] bit for bit (the q65
+    * discipline, applied per subspace):
+    *  - init: sub-slices of the `ksub` lowest `h60(id:seed)` vectors;
+    *  - assignment distance `|c|² − 2v·c` with double sub-centroids,
+    *    folds index-ascending, ties → lowest cell;
+    *  - update: `floor(x·1e9)` BIGINT sums then the same long→double
+    *    divide chain; empty (sub, cell)s keep the previous sub-centroid;
+    *  - ADC table from the REAL-rounded codebook, each (sub, cell) term
+    *    `floor((|c|²−2q_j·c)·1e9)` fixed-pointed BEFORE the per-pair
+    *    sum, so the total is an exact BIGINT and ranking is unambiguous.
+    */
+  private def q133Oracle: String = {
+    val m = 4; val dsub = 16; val ksub = 8; val maxIter = 2
+    val k = 3; val seed = 42L
+    def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
+    // index-ascending double fold of subvec·c (subvec float list, c double list)
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, ${dsub + 1}), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    val sums = (0 until dsub).map(i =>
+      s"CAST(SUM(CAST(floor(subvec[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n      ")
+    val centroidList = (0 until dsub).map(i =>
+      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
+    // one Lloyd iteration: assign with c_{k-1} (same sub only), re-sum,
+    // keep the previous sub-centroid on empty cells
+    def iteration(kIt: Int): String =
+      s"""a_$kIt AS (
+         |  SELECT vec_id, sub, subvec, cell FROM (
+         |    SELECT v.vec_id, v.sub, v.subvec, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("v.subvec", "c.c")}) ASC,
+         |                 c.cell ASC) AS rn
+         |    FROM sv v JOIN c_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
+         |s_$kIt AS (
+         |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
+         |      $sums
+         |  FROM a_$kIt GROUP BY sub, cell),
+         |c_$kIt AS (
+         |  SELECT p.sub, p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE [$centroidList] END AS c
+         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s
+         |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
+    val iterations = (1 to maxIter).map(iteration).mkString(",\n")
+    s"""WITH subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |init AS (
+       |  SELECT embedding,
+       |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |    FROM embeddings ORDER BY h, vec_id LIMIT $ksub)),
+       |sv AS (
+       |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
+       |  FROM embeddings e CROSS JOIN subs s),
+       |c_0 AS (
+       |  SELECT s.sub, i.cell,
+       |    list_transform(${sliceOf("i.embedding")}, x -> x::DOUBLE) AS c
+       |  FROM init i CROSS JOIN subs s),
+       |$iterations,
+       |codes AS (
+       |  SELECT vec_id, sub, cell AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("v.subvec", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM sv v JOIN c_$maxIter c ON c.sub = v.sub) WHERE rn = 1),
+       |cf AS (
+       |  SELECT sub, cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_$maxIter),
+       |dtab AS (
+       |  SELECT e.vec_id AS query_id, f.sub, f.cell,
+       |    CAST(floor((${normC("f.c")} - 2.0 *
+       |      list_aggregate(list_transform(range(1, ${dsub + 1}),
+       |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
+       |  FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6),
+       |cand AS (
+       |  SELECT d.query_id, co.vec_id AS neighbor_id,
+       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
+       |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
 

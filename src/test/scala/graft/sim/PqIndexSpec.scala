@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class PqIndexSpec extends SparkSpec {
+  private lazy val emb = Tables(spark, sf("sf0.01"), "embeddings")
+  private lazy val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+
+  test("train yields an m × ksub × dsub codebook of finite sub-centroids") {
+    assert(cb.m == 4 && cb.ksub == 8 && cb.dsub == 16)
+    assert(cb.centroids.length == 4)
+    assert(cb.centroids.forall(_.length == 8))
+    assert(cb.centroids.forall(_.forall(c =>
+      c.length == 16 && c.forall(java.lang.Double.isFinite))))
+  }
+
+  test("train is partitioning-invariant (fixed-point sums)") {
+    val shuffled = emb.repartition(7, col("vec_id"))
+    val cb2 = PqIndex.train(shuffled, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb2.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+  }
+
+  test("encode compresses every vector to m in-range codes with zero shuffles") {
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    assert(codes.count() == emb.count())
+    val bad = codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ADC search: k rows per query, exact fixed-point/double agreement, deterministic") {
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 5)
+    def run() = PqIndex.searchADC(cb, codes, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val rows = run()
+    assert(rows.length == 15) // 5 queries × k=3
+    assert(rows == run())
+    // per query: ranks 1..k, fixed-point distances non-decreasing in rank
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2) == Seq(1L, 2L, 3L))
+      assert(rs.map(_._4) == rs.map(_._4).sorted)
+    }
+  }
+
+  test("ADC distance equals the served-codebook reconstruction distance") {
+    // replay one pair by hand: adist_fp must equal the sum over subspaces
+    // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") === 0)
+    val hit = PqIndex.searchADC(cb, codes, queries, "vec_id", "embedding", k = 1)
+      .head()
+    val neighbor = hit.getLong(2)
+    val qVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val nCodes = codes.filter(col("vec_id") === neighbor)
+      .select("codes").head().getSeq[Int](0).toArray
+    val served = cb.served
+    var expect = 0L
+    for (j <- 0 until cb.m) {
+      val cent = served(j)(nCodes(j))
+      var n2 = 0.0; var dot = 0.0
+      for (i <- 0 until cb.dsub) {
+        n2 += cent(i) * cent(i)
+        dot += qVec(j * cb.dsub + i).toDouble * cent(i).toFloat.toDouble
+      }
+      expect += math.floor((n2 - 2.0 * dot) * 1e9).toLong
+    }
+    assert(hit.getLong(3) == expect)
+  }
+}
