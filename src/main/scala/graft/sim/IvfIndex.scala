@@ -90,12 +90,14 @@ object IvfIndex {
   }
 
   /** Per-query probe set: the `nprobe` nearest centroids by exact
-    * Euclidean distance (|c|² − 2q·c, codegen'd dot products). */
-  private def probesFor(model: Model, queries: DataFrame, idCol: String,
+    * Euclidean distance (|c|² − 2q·c, codegen'd dot products). Shared
+    * with [[PqIndex]]'s composed IVF∘PQ search, hence the (float)
+    * centroids relation rather than a full [[Model]]. */
+  private[sim] def probesFor(centroids: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
     queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(model.centroids))
+      .crossJoin(broadcast(centroids))
       .withColumn("cdist",
         vec_dot(col("centroid"), col("centroid")) - lit(2.0) * vec_dot(col("q_vec"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
@@ -118,7 +120,7 @@ object IvfIndex {
   /** Top-k cosine neighbors per query, probing `nprobe` cells. */
   def search(model: Model, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame =
-    topKInProbedCells(model.cells, probesFor(model, queries, idCol, vecCol, nprobe),
+    topKInProbedCells(model.cells, probesFor(model.centroids, queries, idCol, vecCol, nprobe),
       idCol, vecCol, k)
 
   /** Persist the index as parquet PARTITIONED BY cell: at scale the
@@ -163,7 +165,7 @@ object IvfIndex {
   def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val model = load(spark, path)
-    val probesPlan = probesFor(model, queries, idCol, vecCol, nprobe)
+    val probesPlan = probesFor(model.centroids, queries, idCol, vecCol, nprobe)
     // materialize the probe set driver-side ONCE — it is bounded by
     // |queries| × nprobe (the probe side is broadcast anyway, so queries
     // are small by contract) and feeds both the static IN filter and the

@@ -106,16 +106,20 @@ object PqIndex {
     Codebook(dim, m, ksub, cents)
   }
 
+  /** The m-slot code vector of `vecCol` under the trained codebook —
+    * a pure (codegen'd) row expression, usable in any projection. */
+  def codesExpr(cb: Codebook, vecCol: Column): Column =
+    array((0 until cb.m).map(j =>
+      nearest_cell(slice(vecCol, j * cb.dsub + 1, cb.dsub),
+        cb.centroids(j))): _*)
+
   /** Compress the corpus to (id, codes): `m` nearest-sub-centroid ids
     * per vector under the trained codebook. A pure map stage — zero
     * shuffles — and the natural full-corpus rewrite that turns a
     * 100 TB float store into a few TB of codes. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): DataFrame =
-    corpus.select(col(idCol),
-      array((0 until cb.m).map(j =>
-        nearest_cell(slice(col(vecCol), j * cb.dsub + 1, cb.dsub),
-          cb.centroids(j))): _*).as("codes"))
+    corpus.select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"))
 
   /** Per-query ADC distance table as a plan literal: entry
     * `j·ksub + cell` holds `floor((|c|² − 2·q_j·c) · 1e9)` — the
@@ -132,28 +136,115 @@ object PqIndex {
     }): _*)
   }
 
+  /** ADC pair cost over a `codes`/`dtab` pair of columns: `m` array
+    * lookups folded into an exact long sum. */
+  private def adcDistCol(cb: Codebook): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
+        (c, j) => element_at(col("dtab"), j * cb.ksub + c + 1)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-query top-k over `(query_id, neighbor_id, adist_fp)` rows.
+    * `adist_fp` is the fixed-point distance (hash-exact); `adist` its
+    * double form. */
+  private def topKByAdc(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(asc("adist_fp"), asc("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist_fp"),
+        (col("adist_fp").cast("double") / lit(1e9)).as("adist"))
+  }
+
   /** ADC top-k: broadcast the queries (each carrying its distance-table
     * literal plan), stream the CODE column of the corpus once — per
     * pair, `m` array lookups and an exact long sum; the only shuffle is
-    * the per-query top-k window over (query, neighbor, adist) rows.
-    * `adist_fp` is the fixed-point distance (hash-exact); `adist` its
-    * double form. */
+    * the per-query top-k window over (query, neighbor, adist) rows. */
   def searchADC(cb: Codebook, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       dtabFp(cb, col(vecCol)).as("dtab")))
-    val w = Window.partitionBy("query_id").orderBy(asc("adist_fp"), asc("neighbor_id"))
-    codes.withColumnRenamed(idCol, "neighbor_id")
-      .crossJoin(q)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist_fp",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-            (c, j) => element_at(col("dtab"), j * cb.ksub + c + 1)),
-          lit(0L), (acc, x) => acc + x))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist_fp"),
-        (col("adist_fp").cast("double") / lit(1e9)).as("adist"))
+    topKByAdc(
+      codes.withColumnRenamed(idCol, "neighbor_id")
+        .crossJoin(q)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist_fp", adcDistCol(cb)), k)
+  }
+
+  /** The shared IVF∘PQ scan: probe rows (query_id, q_vec, cell) carry
+    * their ADC table into an equi join on `cell`, so each query reads
+    * ONLY its probed cells' code rows — corpus fraction ≈ nprobe/nlist,
+    * and of that only the m-byte code column. */
+  private def adcOverCells(cellCodes: DataFrame, cb: Codebook,
+      probes: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(probes.select(col("query_id"), col("cell"),
+      dtabFp(cb, col("q_vec")).as("dtab")))
+    topKByAdc(
+      cellCodes.join(q, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist_fp", adcDistCol(cb)), k)
+  }
+
+  /** IVF∘PQ search (FAISS `IndexIVFPQ` with `by_residual=false`): the
+    * coarse quantizer picks `nprobe` cells per query, PQ codes pay the
+    * per-pair cost. The two stages compose without re-touching the
+    * corpus: codes are computed from the cells relation in the same
+    * map stage that the cell assignment already produced. */
+  def searchIvfAdc(ivf: IvfIndex.Model, cb: Codebook, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cellCodes = ivf.cells.select(col(idCol).as("neighbor_id"), col("cell"),
+      codesExpr(cb, col(vecCol)).as("codes"))
+    adcOverCells(cellCodes, cb,
+      IvfIndex.probesFor(ivf.centroids, queries, idCol, vecCol, nprobe), k)
+  }
+
+  /** Persist the composed index: PQ codes partitioned by IVF cell (the
+    * 100 TB layout — a probe is a partition-pruned scan over files
+    * 16-32× smaller than the vectors they stand for), plus the coarse
+    * centroids and the codebook (both KiB). */
+  def saveIvfPq(ivf: IvfIndex.Model, cb: Codebook, idCol: String,
+      vecCol: String, path: String): Unit = {
+    val spark = ivf.cells.sparkSession
+    import spark.implicits._
+    ivf.cells.select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (j, c, cb.centroids(j)(c).toSeq, cb.dim))
+      .toDF("sub", "cell", "c", "dim")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+    val dim = rows.head.getAs[Int]("dim")
+    val m = rows.map(_.getAs[Int]("sub")).max + 1
+    val ksub = rows.map(_.getAs[Int]("cell")).max + 1
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      cents(r.getAs[Int]("sub"))(r.getAs[Int]("cell")) =
+        r.getSeq[Double](r.fieldIndex("c")).toArray
+    }
+    Codebook(dim, m, ksub, cents)
+  }
+
+  /** Search a persisted IVF∘PQ index with STATIC partition pruning: the
+    * union of probe cells becomes a literal IN filter (the
+    * [[IvfIndex.searchIndexed]] discipline), so the parquet scan lists
+    * only the probed cell directories AND reads only the code column —
+    * the full memory-and-I/O path of a production ANN serve. */
+  def searchIndexedIvfAdc(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = loadCodebook(spark, path)
+    val probesPlan = IvfIndex.probesFor(centroids, queries, idCol, vecCol, nprobe)
+    val probeRows = probesPlan.collect()
+    val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val cellCodes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .withColumnRenamed(idCol, "neighbor_id")
+    adcOverCells(cellCodes, cb, probes, k)
   }
 }

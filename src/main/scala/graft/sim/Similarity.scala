@@ -291,6 +291,20 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF∘PQ: the q65 coarse quantizer picks nprobe cells, the q133
+    // codes pay the per-pair cost — the production ANN serve layout
+    // (FAISS IndexIVFPQ, by_residual=false), with BOTH training loops
+    // replayed by the oracle plus the probe ranking and the
+    // cell-restricted fixed-point ADC scan.
+    "q134_ann_ivfpq" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      PqIndex.searchIvfAdc(ivf, cb, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // embedding-cosine near-dup pairs via LSH buckets (rows-only)
     "q66_embedding_near_dups" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (random): 0.2 is already
@@ -432,6 +446,7 @@ object Similarity {
     "q66_embedding_near_dups" -> q66Oracle,
     "q131_semantic_decontaminate" -> q131Oracle,
     "q133_ann_pq_adc" -> q133Oracle,
+    "q134_ann_ivfpq" -> q134Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
     "q67_cosine_rewrite" -> q66Oracle
@@ -689,6 +704,146 @@ object Similarity {
        |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
        |  WHERE co.vec_id <> d.query_id
        |  GROUP BY d.query_id, co.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q134 oracle: the q65 and q133 replays COMPOSED — the IVF training
+    * loop (3 unrolled Lloyd iterations, dim 64) gives cells + float
+    * probe centroids; the PQ training loop (2 unrolled per-subspace
+    * iterations) gives codes + the served ADC codebook; candidates are
+    * restricted to each query's nprobe probe cells and scored by the
+    * same fixed-point BIGINT ADC sums as q133. PQ CTEs carry a `p`
+    * prefix to keep the two training namespaces apart. */
+  private def q134Oracle: String = {
+    val nlist = 8; val ivfIter = 3; val dim = 64
+    val m = 4; val dsub = 16; val ksub = 8; val pqIter = 2
+    val k = 3; val nprobe = 3; val seed = 42L
+    val up = dim + 1
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def dotSub(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, ${dsub + 1}), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    val ivfSums = (0 until dim).map(i =>
+      s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n      ")
+    val ivfCentroid = (0 until dim).map(i =>
+      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
+    def ivfIteration(kIt: Int): String =
+      s"""a_$kIt AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+         |                 c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
+         |s_$kIt AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |      $ivfSums
+         |  FROM a_$kIt GROUP BY cell),
+         |c_$kIt AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE [$ivfCentroid] END AS c
+         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
+    val pqSums = (0 until dsub).map(i =>
+      s"CAST(SUM(CAST(floor(subvec[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n      ")
+    val pqCentroid = (0 until dsub).map(i =>
+      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
+    def pqIteration(kIt: Int): String =
+      s"""pa_$kIt AS (
+         |  SELECT vec_id, sub, subvec, cell FROM (
+         |    SELECT v.vec_id, v.sub, v.subvec, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotSub("v.subvec", "c.c")}) ASC,
+         |                 c.cell ASC) AS rn
+         |    FROM psv v JOIN pc_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
+         |ps_$kIt AS (
+         |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
+         |      $pqSums
+         |  FROM pa_$kIt GROUP BY sub, cell),
+         |pc_$kIt AS (
+         |  SELECT p.sub, p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE [$pqCentroid] END AS c
+         |  FROM pc_${kIt - 1} p LEFT JOIN ps_$kIt s
+         |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
+    def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
+    s"""WITH c_0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
+       |${(1 to ivfIter).map(ivfIteration).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c_$ivfIter c) WHERE rn = 1),
+       |cf AS (
+       |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_$ivfIter),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, f.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
+       |                 f.cell ASC) AS pr
+       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |pinit AS (
+       |  SELECT embedding,
+       |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |    FROM embeddings ORDER BY h, vec_id LIMIT $ksub)),
+       |psv AS (
+       |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
+       |  FROM embeddings e CROSS JOIN subs s),
+       |pc_0 AS (
+       |  SELECT s.sub, i.cell,
+       |    list_transform(${sliceOf("i.embedding")}, x -> x::DOUBLE) AS c
+       |  FROM pinit i CROSS JOIN subs s),
+       |${(1 to pqIter).map(pqIteration).mkString(",\n")},
+       |pcodes AS (
+       |  SELECT vec_id, sub, cell AS code FROM (
+       |    SELECT v.vec_id, v.sub, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotSub("v.subvec", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM psv v JOIN pc_$pqIter c ON c.sub = v.sub) WHERE rn = 1),
+       |pcf AS (
+       |  SELECT sub, cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM pc_$pqIter),
+       |dtab AS (
+       |  SELECT e.vec_id AS query_id, f.sub, f.cell,
+       |    CAST(floor((${normC("f.c")} - 2.0 *
+       |      list_aggregate(list_transform(range(1, ${dsub + 1}),
+       |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
+       |  FROM embeddings e CROSS JOIN pcf f WHERE e.vec_id < 6),
+       |cand AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
+       |  FROM probes p
+       |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+       |  JOIN pcodes co ON co.vec_id = cl.vec_id
+       |  JOIN dtab d ON d.query_id = p.query_id AND d.sub = co.sub AND d.cell = co.code
+       |  GROUP BY p.query_id, cl.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, adist_fp,
        |    CAST(row_number() OVER (PARTITION BY query_id

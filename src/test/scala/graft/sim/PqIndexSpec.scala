@@ -48,6 +48,38 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF∘PQ at full probe equals the flat ADC scan exactly") {
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val flat = PqIndex.searchADC(cb,
+      PqIndex.encode(emb, "vec_id", "embedding", cb),
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val composed = PqIndex.searchIvfAdc(ivf, cb, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(composed == flat)
+  }
+
+  test("persisted IVF∘PQ index partition-prunes, reads only codes, matches in-memory") {
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    PqIndex.saveIvfPq(ivf, cb, "vec_id", "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inMem = PqIndex.searchIvfAdc(ivf, cb, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = PqIndex.searchIndexedIvfAdc(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == inMem)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // probe set pushed as a static partition filter; the scan reads the
+    // m-byte code column, never the float vectors
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(!plan.contains("embedding:array"), plan)
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
