@@ -227,6 +227,25 @@ object PqIndex {
     Codebook(dim, m, ksub, cents)
   }
 
+  /** Incremental maintenance of the persisted composed index: arriving
+    * vectors are cell-assigned under the EXISTING coarse centroids and
+    * PQ-encoded under the EXISTING codebook, then appended to the
+    * cell-partitioned code layout — no retraining, no rewrite of the
+    * standing codes (the [[IvfIndex.append]] discipline; at a 100 TB
+    * embedding store, re-encoding the corpus per arriving batch is a
+    * non-starter). Both quantizers staleness-drift as the distribution
+    * moves — retrain when recall decays. */
+  def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cb = loadCodebook(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    newVectors
+      .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
+        nearest_cell(col(vecCol), centroids).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
   /** Search a persisted IVF∘PQ index with STATIC partition pruning: the
     * union of probe cells becomes a literal IN filter (the
     * [[IvfIndex.searchIndexed]] discipline), so the parquet scan lists

@@ -80,6 +80,28 @@ class PqIndexSpec extends SparkSpec {
     assert(!plan.contains("embedding:array"), plan)
   }
 
+  test("append: new vectors join the composed index without retraining; full probe == flat ADC over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    val firstHalf = emb.filter(col("vec_id") % 2 === 0)
+    val secondHalf = emb.filter(col("vec_id") % 2 === 1)
+    PqIndex.saveIvfPq(IvfIndex.build(firstHalf, "vec_id", "embedding", nlist = 8),
+      cb, "vec_id", "embedding", dir)
+    PqIndex.appendIvfPq(spark, dir, secondHalf, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/codes").count() == emb.count())
+    // appended codes are assigned/encoded under the EXISTING quantizers:
+    // at full probe the persisted search reproduces the flat ADC scan
+    // over the UNION — proof the new rows are really in the index
+    val queries = emb.filter(col("vec_id") < 5)
+    val flat = PqIndex.searchADC(cb,
+      PqIndex.encode(emb, "vec_id", "embedding", cb),
+      queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = PqIndex.searchIndexedIvfAdc(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == flat)
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
