@@ -99,6 +99,55 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * corpus scale by confining near-dup discovery to k-means clusters —
+    * pairs are only scored WITHIN a cell, so the quadratic term is
+    * (corpus/nlist)² per cell instead of corpus², and the corpus is
+    * shuffled once (on cell). Within a cell, a vector is dropped when a
+    * lower-id vector sits within `threshold` cosine — the deterministic
+    * keep-the-canonical rule (the paper keeps a per-group
+    * representative; lowest-id is the replayable choice). Returns one
+    * row per vector: its cell and whether it survives.
+    *
+    * The coarse clustering is [[IvfIndex.build]] — deterministic
+    * fixed-point Lloyd — so the ENTIRE pass (training included) is
+    * replayable by the DuckDB oracle. Cross-cell near-dups are missed
+    * by construction: that is SemDeDup's stated recall/cost trade. */
+  def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val ivf = IvfIndex.build(corpus, idCol, vecCol, nlist)
+    val a = ivf.cells.select(col("cell"), col(idCol), col(vecCol).as("vec_a"))
+    val b = ivf.cells.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col(idCol))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col(idCol)).distinct()
+    ivf.cells.select(col(idCol), col("cell"))
+      .join(dropped.withColumn("_dropped", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("_dropped").isNull.cast("int").as("keep"))
+  }
+
+  /** Cluster-balanced sampling: k-means cells as topic strata, an exact
+    * deterministic `perCell` bottom-k by content hash inside each — the
+    * cluster-then-sample recipe for balancing a skewed corpus (a giant
+    * topic cluster contributes the same `perCell` rows as a niche one).
+    * One extra window shuffle on top of the [[IvfIndex.build]] pass;
+    * the h60 order key makes the within-cell sample uniform and
+    * engine-replayable (the q114 discipline, grouped by a TRAINED
+    * cluster id instead of a static column). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCell: Int, seed: String = "cbs"): DataFrame = {
+    val ivf = IvfIndex.build(corpus, idCol, vecCol, nlist)
+    val h = graft.text.TextAnalysis.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed)))
+    val w = Window.partitionBy("cell").orderBy(asc("_h"), asc(idCol))
+    ivf.cells.select(col(idCol), col("cell"), h.as("_h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perCell)
+      .select(col(idCol), col("cell"), col("rn"))
+  }
+
   /** Embedding-space decontamination — the SEMANTIC twin of the n-gram
     * eval-leak passes (q98/q104/q106): flag corpus vectors whose cosine
     * to ANY eval-set vector reaches `threshold`, catching paraphrased
@@ -305,6 +354,24 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // cluster-balanced sampling: trained k-means cells as topic strata,
+    // exact h60 bottom-k inside each — the cluster-then-sample corpus
+    // balance recipe, training loop replayed by the oracle
+    "q135_cluster_balanced_sample" -> { (s, d) =>
+      clusterBalancedSample(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", nlist = 8, perCell = 5)
+        .orderBy("vec_id")
+    },
+
+    // SemDeDup: within-cluster semantic near-dup removal (lowest-id
+    // survivor); the full pass — Lloyd training included — replays in
+    // the oracle
+    "q136_semdedup" -> { (s, d) =>
+      semDeDup(Tables(s, d, "embeddings"),
+        "vec_id", "embedding", nlist = 8, threshold = 0.2)
+        .orderBy("vec_id")
+    },
+
     // embedding-cosine near-dup pairs via LSH buckets (rows-only)
     "q66_embedding_near_dups" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (random): 0.2 is already
@@ -447,6 +514,8 @@ object Similarity {
     "q131_semantic_decontaminate" -> q131Oracle,
     "q133_ann_pq_adc" -> q133Oracle,
     "q134_ann_ivfpq" -> q134Oracle,
+    "q135_cluster_balanced_sample" -> q135Oracle,
+    "q136_semdedup" -> q136Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
     "q67_cosine_rewrite" -> q66Oracle
@@ -713,6 +782,88 @@ object Similarity {
        |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Reusable replay of the [[IvfIndex.build]] training loop + final
+    * cell assignment (the q65 discipline) as a WITH-body fragment:
+    * defines CTEs `c_0..c_maxIter` and `cells (vec_id, embedding,
+    * cell)`. Shared by the q135/q136 oracles, which consume the TRAINED
+    * cells rather than the probe path. */
+  private def ivfCellsCtes(nlist: Int, maxIter: Int, dim: Int, seed: Long): String = {
+    val up = dim + 1
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    val sums = (0 until dim).map(i =>
+      s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
+      .mkString(",\n      ")
+    val centroidList = (0 until dim).map(i =>
+      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
+    def iteration(kIt: Int): String =
+      s"""a_$kIt AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+         |                 c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
+         |s_$kIt AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |      $sums
+         |  FROM a_$kIt GROUP BY cell),
+         |c_$kIt AS (
+         |  SELECT p.cell,
+         |    CASE WHEN s.n IS NULL THEN p.c
+         |         ELSE [$centroidList] END AS c
+         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
+    s"""c_0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
+       |${(1 to maxIter).map(iteration).mkString(",\n")},
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c_$maxIter c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** q136 oracle: the IVF training replay, then SemDeDup's within-cell
+    * pair scan — a vector is dropped when a lower-id cellmate reaches
+    * the cosine threshold. */
+  private def q136Oracle: String = {
+    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = 3, dim = 64, seed = 42L)},
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding", 64)} >= 0.2),
+       |out AS (
+       |  SELECT c.vec_id, c.cell,
+       |    CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+       |  FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id)
+       |SELECT vec_id, cell, keep FROM out ORDER BY vec_id""".stripMargin
+  }
+
+  /** q135 oracle: the IVF training replay, then the exact bottom-k
+    * (h60 order) inside each trained cell. */
+  private def q135Oracle: String = {
+    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = 3, dim = 64, seed = 42L)},
+       |h AS (
+       |  SELECT vec_id, cell,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':cbs'), 1, 15) AS BIGINT) AS hh
+       |  FROM cells),
+       |r AS (
+       |  SELECT vec_id, cell,
+       |    CAST(row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS BIGINT) AS rn
+       |  FROM h)
+       |SELECT vec_id, cell, rn FROM r WHERE rn <= 5 ORDER BY vec_id""".stripMargin
   }
 
   /** q134 oracle: the q65 and q133 replays COMPOSED — the IVF training

@@ -549,6 +549,32 @@ class SimilaritySpec extends SparkSpec {
     annBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-12) }
   }
 
+  test("semDeDup: lowest id per cell always survives; survivors are pairwise below threshold within a cell") {
+    val out = Similarity.semDeDup(emb, "vec_id", "embedding", nlist = 8, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == emb.count())
+    val kept = out.count(_._3 == 1)
+    assert(kept > 0 && kept < out.length, s"kept=$kept")
+    // the canonical rule: the lowest id in every cell has no lower-id
+    // mate, so it can never be dropped
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._3 == 1)
+    }
+  }
+
+  test("clusterBalancedSample: exactly perCell per cell, deterministic") {
+    def run() = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist = 8, perCell = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val got = run()
+    // 500 near-uniform vectors over 8 cells: every cell has >= 5 members
+    assert(got.length == 40)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to 5L))
+    }
+    assert(got == run())
+  }
+
   test("semanticDecontaminate: planted near-copy flagged, eval ids never emitted") {
     import spark.implicits._
     val dim = 8
