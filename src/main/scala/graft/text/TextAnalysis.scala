@@ -382,6 +382,48 @@ object TextAnalysis {
       .withColumn("rare_frac", col("n_rare").cast("double") / col("n_tokens"))
   }
 
+  /** Train a closed-form domain/quality classifier from a labeled
+    * slice — the CCNet/fastText filter recipe in exactly-replayable
+    * arithmetic: per token, the target-purity weight
+    * `w(t) = (10⁶ · occurrences-in-target) div occurrences-total`,
+    * integer-exact in both engines (a log-odds NB weight differs by
+    * libm ulps; the purity ratio is its monotone, division-free twin).
+    * Tokens below `minCount` are dropped (no evidence), and fall back
+    * to the neutral prior at scoring time. One token-explode +
+    * aggregation; the result is a vocabulary-sized weight table. */
+  def trainTokenWeights(labeled: DataFrame, textCol: String,
+      targetCol: Column, minCount: Long = 2L): DataFrame =
+    labeled.select(targetCol.as("_target"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("_target"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("tok"), expr("cnt_t * 1000000L div cnt").as("w"))
+
+  /** Score documents with a trained weight table: the integer mean
+    * token weight (`sum div n`, in [0, 10⁶]), out-of-vocabulary tokens
+    * at the neutral prior. `predicted_target` gates at the midpoint.
+    *
+    * Scale shape: the weight table is vocabulary-sized, orders of
+    * magnitude under the corpus — broadcast it (the default), and the
+    * token stream is never shuffled on token; only the per-doc
+    * aggregate shuffles, keyed by the id the corpus is already
+    * distributed by. Set `broadcastWeights=false` when the vocabulary
+    * outgrows executor memory. */
+  def scoreByTokenWeights(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, neutral: Long = 500000L,
+      broadcastWeights: Boolean = true): DataFrame = {
+    val w = if (broadcastWeights) broadcast(weights) else weights
+    docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .join(w, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w"), lit(neutral))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col(idCol), expr("s div n").as("score_fp"),
+        (expr("s div n") >= lit(500000L)).cast("int").as("predicted_target"))
+  }
+
   /** Shared tf-idf weight table of q97/q126: tokenize (lowercased),
     * per-(doc, term) tf, per-term df over the given corpus, and the
     * integer idf-surrogate weight `tf·10⁶ div df` (exact in both
@@ -488,6 +530,18 @@ object TextAnalysis {
     "q132_blocklist_filter" -> { (s, d) =>
       blocklistFilter(Tables(s, d, "documents"), "doc_id", "text",
         Seq("slow" -> 1L, "dup" -> 5L, "big" -> 2L), maxDensity = 0.05)
+        .orderBy("doc_id")
+    },
+
+    // trained domain classifier (CCNet-style filter, closed form):
+    // token purity weights from a labeled slice (doc_id % 5 != 0,
+    // target = English), scored over the WHOLE corpus — train and
+    // serve compose from the two stages
+    "q137_domain_classifier" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      scoreByTokenWeights(docs, "doc_id", "text",
+        trainTokenWeights(docs.filter(col("doc_id") % 5 =!= 0),
+          "text", col("lang") === "en"))
         .orderBy("doc_id")
     },
 
@@ -865,6 +919,30 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, n_flagged, flag_score,
         |  CAST(n_flagged AS DOUBLE) / n_tokens AS flag_density,
         |  (CAST(n_flagged AS DOUBLE) / n_tokens) <= 0.05 AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // q137: train + score replay — same tokens, same integral-division
+    // purity weights, same neutral-prior fallback and midpoint gate
+    "q137_domain_classifier" ->
+      """WITH lab AS (SELECT doc_id, text, (lang = 'en') AS tgt
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |ltok AS (SELECT tgt,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM lab),
+        |w AS (SELECT tok,
+        |    CAST((SUM(CASE WHEN tgt THEN 1 ELSE 0 END) * 1000000::HUGEINT)
+        |      // COUNT(*) AS BIGINT) AS w
+        |  FROM ltok GROUP BY tok HAVING COUNT(*) >= 2),
+        |atok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |sc AS (SELECT a.doc_id,
+        |    CAST(SUM(COALESCE(w.w, 500000)) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM atok a LEFT JOIN w USING (tok)
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, CAST(s // n AS BIGINT) AS score_fp,
+        |  CASE WHEN s // n >= 500000 THEN 1 ELSE 0 END AS predicted_target
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // q130: the full DSIR replay — same bigrams, same h60-mod-4096

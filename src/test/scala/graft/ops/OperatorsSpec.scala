@@ -206,6 +206,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {
+    val labeled = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta alpha", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "gamma delta delta gamma", false)
+    ).toDF("doc_id", "text", "is_target")
+    val w = TextAnalysis.trainTokenWeights(labeled, "text", col("is_target"))
+    // pure-target tokens hit 10⁶, pure-background 0
+    val byTok = w.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTok("alpha") == 1000000L && byTok("gamma") == 0L)
+    val scored = TextAnalysis.scoreByTokenWeights(Seq(
+      (10L, "alpha beta"),            // all target vocabulary
+      (11L, "gamma delta"),           // all background
+      (12L, "alpha gamma"),           // split — exactly the midpoint
+      (13L, "zulu xray")              // fully OOV — neutral prior
+    ).toDF("doc_id", "text"), "doc_id", "text", w)
+    val r = scored.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(r(0) == ((10L, 1000000L, 1)))
+    assert(r(1) == ((11L, 0L, 0)))
+    assert(r(2) == ((12L, 500000L, 1)))
+    assert(r(3) == ((13L, 500000L, 1)))
+    // scoring never shuffles the token stream on token: the weight side
+    // is broadcast, the only exchanges key on doc_id
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("importanceResample: target-like docs outrank off-target ones") {
     // target speaks "cats purr softly"; raw has two target-like docs,
     // two off-target docs, and one with no bigrams at all
