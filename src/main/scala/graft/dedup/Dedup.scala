@@ -805,6 +805,27 @@ object Dedup {
         (col("id") === col("label")).as("keep"))
   }
 
+  /** Canonical-document selection — the survivorship rule a production
+    * dedup actually wants: within each duplicate cluster keep the
+    * BEST member by a quality attribute (longest / highest-scoring),
+    * not the accidental lowest id. `clusters` is
+    * [[connectedComponents]] output; `attrs` supplies the score
+    * (ties → lowest id, so selection is total and replayable).
+    *
+    * Scale shape: one equi join on id (both sides id-distributed) and
+    * one window keyed by component — cluster sizes are small by
+    * construction (near-dup groups), so the window partitions are
+    * tiny; nothing global. */
+  def canonicalPerCluster(clusters: DataFrame, attrs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("component").orderBy(desc("_score"), asc("id"))
+    clusters.join(
+        attrs.select(col(idCol).as("id"), col(scoreCol).as("_score")), Seq("id"))
+      .withColumn("canonical", (row_number().over(w) === 1).cast("int"))
+      .select(col("id"), col("component"), col("cluster_size"),
+        col("_score").as("score"), col("canonical"))
+  }
+
   // ---------------------------------------------------------------------
   // Queries + oracles
   // ---------------------------------------------------------------------
@@ -986,6 +1007,18 @@ object Dedup {
       connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // canonical selection: the q101 clusters re-ranked by document
+    // length — keep the most complete member, not the lowest id
+    "q138_canonical_selection" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val pairs = simHashNearDups(docs, "text", "doc_id", maxHamming = 2)
+      canonicalPerCluster(connectedComponents(pairs, "id_a", "id_b"),
+        docs, "doc_id", "n_chars")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("score").as("n_chars"), col("canonical"))
         .orderBy("doc_id")
     }
   )
@@ -1242,6 +1275,36 @@ object Dedup {
          |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM lbl l JOIN sizes s USING (component)
          |ORDER BY doc_id""".stripMargin,
+    // q138: the q101 closure re-ranked by n_chars (ties → lowest id)
+    "q138_canonical_selection" ->
+      s"""WITH RECURSIVE $simHashOracleCore,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY component),
+         |rk AS (
+         |  SELECT l.doc_id, l.component, s.cluster_size, d.n_chars,
+         |    row_number() OVER (PARTITION BY l.component
+         |      ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn
+         |  FROM lbl l JOIN sizes s USING (component)
+         |    JOIN documents d USING (doc_id))
+         |SELECT doc_id, component, cluster_size, n_chars,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS canonical
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "q98_decontaminate" ->
       """WITH ev AS (
         |  SELECT regexp_split_to_array(trim(text), '\s+') AS t

@@ -313,6 +313,18 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 11)
   }
 
+  test("canonicalPerCluster: highest score survives, ties break to lowest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val attrs = Seq(
+      (1L, 40L), (2L, 90L), (3L, 90L), // 2 and 3 tie at 90 → 2 wins
+      (10L, 5L), (11L, 7L)             // 11 wins outright
+    ).toDF("doc_id", "len")
+    val got = Dedup.canonicalPerCluster(
+      Dedup.connectedComponents(pairs, "id_a", "id_b"), attrs, "doc_id", "len")
+      .collect().map(r => (r.getLong(0), r.getInt(4))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0, 10L -> 0, 11L -> 1))
+  }
+
   test("connectedComponents: 120-vertex chain forces multi-generation convergence") {
     // a single path 1-2-3-…-120: diameter 119, so the min label must
     // travel the whole chain through several double-jump+neighbor-min
