@@ -41,7 +41,16 @@ class PlanDriftSpec extends SparkSpec {
     "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
     "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
     // 3 = gh-rank window + per-doc merge window + output range sort
-    "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true)
+    "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true),
+    "q130_importance_resample" -> PlanMetrics(3, 3, pushedFilters = true, prunedSchema = true),
+    // PQ ADC: 1 broadcast (per-query distance tables), top-k window +
+    // output sort — the corpus code scan itself is shuffle-free
+    "q133_ann_pq_adc"         -> PlanMetrics(2, 1, pushedFilters = true,  prunedSchema = true),
+    // IVF∘PQ adds the probe-ranking window over queries×centroids
+    "q134_ann_ivfpq"          -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
+    "q136_semdedup"           -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
+    // classifier: train agg + score agg + output sort; weights broadcast
+    "q137_domain_classifier"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
