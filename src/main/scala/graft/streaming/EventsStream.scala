@@ -334,6 +334,37 @@ object EventsStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming quality gate at ingest — the serving half of the
+    * train-offline/score-online classifier cycle
+    * ([[graft.text.TextAnalysis.trainTokenWeights]] builds the weight
+    * table in batch; this gate applies it to arriving documents). The
+    * weights become a map LITERAL in the streaming plan — each row
+    * scores with a pure codegen'd HOF fold (same arithmetic as the
+    * batch scorer: integer mean token weight, OOV at the neutral
+    * prior) and rows under `minScore` drop at the door. STATELESS by
+    * construction: no groupBy, no watermark, zero state store — the
+    * gate runs indefinitely at ingest scale. The literal embed bounds
+    * the vocabulary (`maxVocab`); prune the weight table to its
+    * discriminative tokens when the trained vocabulary outgrows it. */
+  def classifierGateStream(docs: DataFrame, textCol: String,
+      weights: DataFrame, minScore: Long, neutral: Long = 500000L,
+      maxVocab: Int = 1000000): DataFrame = {
+    val rows = weights.collect()
+    require(rows.length <= maxVocab,
+      s"weight table ${rows.length} exceeds maxVocab=$maxVocab — prune " +
+        "the vocabulary before embedding it in the streaming plan")
+    val m = typedLit(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
+    docs
+      .withColumn("_s", aggregate(
+        transform(toks, t => coalesce(element_at(m, t), lit(neutral))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("_n", size(toks).cast("long"))
+      .withColumn("score_fp", expr("_s div _n"))
+      .filter(col("score_fp") >= minScore)
+      .drop("_s", "_n")
+  }
+
   /** Stream-stream interval join: each event joins lookup rows for the
     * same key whose event time falls within `[event.ts - horizon,
     * event.ts]` — the streaming enrich pattern (click ↔ impression,

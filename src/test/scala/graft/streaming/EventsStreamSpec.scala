@@ -142,6 +142,40 @@ class EventsStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("classifier gate: offline-trained weights filter the stream, scores == batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    // offline half: train on a planted labeled batch
+    val labeled = Seq(
+      ("alpha beta alpha beta", true), ("alpha beta beta alpha", true),
+      ("gamma delta gamma delta", false), ("gamma delta delta gamma", false)
+    ).toDF("text", "is_target")
+    val w = graft.text.TextAnalysis.trainTokenWeights(labeled, "text", col("is_target"))
+    // online half: gate a stream at the midpoint
+    val mem = MemoryStream[(Long, String)]
+    val gated = EventsStream.classifierGateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", w, minScore = 500000L)
+    val q = gated.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "zulu xray"))
+    q.processAllAvailable()
+    mem.addData((4L, "alpha gamma"), (5L, "delta delta gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_stream").select("doc_id", "score_fp")
+      .as[(Long, Long)].collect().toMap
+    // survivors: pure-target (1), OOV-neutral (3), midpoint split (4);
+    // background-heavy rows 2 and 5 drop
+    assert(got == Map(1L -> 1000000L, 3L -> 500000L, 4L -> 500000L))
+    // the stateless gate's scores equal the batch scorer's on the same rows
+    val batch = graft.text.TextAnalysis.scoreByTokenWeights(
+      Seq((1L, "alpha beta"), (3L, "zulu xray"), (4L, "alpha gamma"))
+        .toDF("doc_id", "text"), "doc_id", "text", w)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    assert(batch == got)
+    // no state store: the streaming plan is stateless (no StateStore ops)
+    assert(!gated.queryExecution.analyzed.toString.toLowerCase.contains("statestore"))
+  }
+
   test("streaming near-dup pairs == batch simHashNearDups over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
