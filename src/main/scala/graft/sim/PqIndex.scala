@@ -170,6 +170,28 @@ object PqIndex {
         .withColumn("adist_fp", adcDistCol(cb)), k)
   }
 
+  /** Two-stage serve: ADC shortlist of `shortlist` candidates per
+    * query, then EXACT cosine re-rank of only those rows — the standard
+    * compressed-index accuracy recovery. The corpus-wide pass still
+    * touches only the code column; full vectors are fetched for just
+    * |queries| × shortlist rows, via an equi join with the BROADCAST
+    * shortlist, so the vector store is scanned once and never
+    * shuffled. */
+  def searchAdcRerank(cb: Codebook, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
+    val short = searchADC(cb, codes, queries, idCol, vecCol, shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    nv.join(broadcast(short.join(qv, Seq("query_id"))), Seq("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
   /** The shared IVF∘PQ scan: probe rows (query_id, q_vec, cell) carry
     * their ADC table into an equi join on `cell`, so each query reads
     * ONLY its probed cells' code rows — corpus fraction ≈ nprobe/nlist,

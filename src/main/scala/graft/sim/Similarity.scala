@@ -354,6 +354,17 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
+    // of only those rows — both stages replayed by the oracle
+    "q139_pq_rerank" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      PqIndex.searchAdcRerank(cb, codes, emb, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, shortlist = 10)
+        .orderBy("query_id", "rnk")
+    },
+
     // cluster-balanced sampling: trained k-means cells as topic strata,
     // exact h60 bottom-k inside each — the cluster-then-sample corpus
     // balance recipe, training loop replayed by the oracle
@@ -515,6 +526,7 @@ object Similarity {
     "q133_ann_pq_adc" -> q133Oracle,
     "q134_ann_ivfpq" -> q134Oracle,
     "q135_cluster_balanced_sample" -> q135Oracle,
+    "q139_pq_rerank" -> q139Oracle,
     "q136_semdedup" -> q136Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
@@ -700,9 +712,40 @@ object Similarity {
     *    `floor((|c|²−2q_j·c)·1e9)` fixed-pointed BEFORE the per-pair
     *    sum, so the total is an exact BIGINT and ranking is unambiguous.
     */
-  private def q133Oracle: String = {
+  private def q133Oracle: String =
+    s"""WITH ${pqAdcCtes()}
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** q139 oracle: the q133 replay truncated to a `shortlist`-deep ADC
+    * candidate set, then EXACT cosine re-ranking of only those rows —
+    * the two-stage serve. */
+  private def q139Oracle: String =
+    s"""WITH ${pqAdcCtes()},
+       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 10),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("q.embedding", "n.embedding", 64)} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings n ON n.vec_id = s.neighbor_id),
+       |rranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM rr)
+       |SELECT query_id, rnk, neighbor_id, cos
+       |FROM rranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The q133 WITH-body: full PQ training replay, encode, fixed-point
+    * ADC scan, ending in CTE `ranked (query_id, neighbor_id, adist_fp,
+    * rnk)` over all candidate pairs. */
+  private def pqAdcCtes(): String = {
     val m = 4; val dsub = 16; val ksub = 8; val maxIter = 2
-    val k = 3; val seed = 42L
+    val seed = 42L
     def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
     // index-ascending double fold of subvec·c (subvec float list, c double list)
     def dotVC(v: String, c: String) =
@@ -735,7 +778,7 @@ object Similarity {
          |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s
          |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
     val iterations = (1 to maxIter).map(iteration).mkString(",\n")
-    s"""WITH subs AS (SELECT unnest(range(0, $m)) AS sub),
+    s"""subs AS (SELECT unnest(range(0, $m)) AS sub),
        |init AS (
        |  SELECT embedding,
        |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
@@ -777,11 +820,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id, adist_fp,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
-       |  FROM cand)
-       |SELECT query_id, rnk, neighbor_id, adist_fp,
-       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
-       |FROM ranked WHERE rnk <= $k
-       |ORDER BY query_id, rnk""".stripMargin
+       |  FROM cand)""".stripMargin
   }
 
   /** Reusable replay of the [[IvfIndex.build]] training loop + final

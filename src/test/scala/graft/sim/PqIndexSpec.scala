@@ -102,6 +102,34 @@ class PqIndexSpec extends SparkSpec {
     assert(got == flat)
   }
 
+  test("two-stage re-rank: exact cosines, recall >= plain ADC, shortlist broadcast") {
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect()
+    val brutePairs = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteCos = brute.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adc = pairsOf(PqIndex.searchADC(cb, codes, queries, "vec_id", "embedding", 3))
+    val rr = PqIndex.searchAdcRerank(cb, codes, emb, queries,
+      "vec_id", "embedding", k = 3, shortlist = 50)
+    val rrRows = rr.collect()
+    val rrPairs = rrRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallAdc = (brutePairs & adc).size.toDouble / brutePairs.size
+    val recallRr = (brutePairs & rrPairs).size.toDouble / brutePairs.size
+    assert(recallRr >= recallAdc, s"rerank $recallRr < adc $recallAdc")
+    // re-ranked cosines are EXACT (identical to brute force on shared pairs)
+    rrRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteCos.get(key).foreach(c => assert(r.getDouble(3) == c, s"$key"))
+    }
+    // the vector fetch joins against a broadcast shortlist — the corpus
+    // is never shuffled for it
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
