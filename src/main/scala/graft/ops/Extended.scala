@@ -156,6 +156,27 @@ object Extended {
     when(h < "c", "train").when(h < "e", "val").otherwise("test")
   }
 
+  /** Deterministic training-order assignment: every row gets a shard
+    * (`h60(id:seed) % nShards`) and a position within its shard
+    * (rank by the same hash, id tie-break) — a reproducible global
+    * shuffle of the corpus into training shards. Rerunning on the same
+    * ids yields the same order on any cluster/partitioning (the
+    * property a pretraining run needs to resume or replay); adding
+    * rows perturbs only positions after the insertion points of their
+    * shards. No global sort: the only shuffle is the per-shard window,
+    * and shards are balanced by the uniform hash. */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int,
+      seed: String = "ord"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = graft.text.TextAnalysis.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed)))
+    val w = Window.partitionBy("shard").orderBy(asc("_h"), asc(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Offset-based sequence packing: documents are packed, in id order,
     * into fixed-capacity token sequences; a document's sequence is chosen
     * by its start offset (docs may straddle a boundary — the streaming-
@@ -489,6 +510,15 @@ object Extended {
         .orderBy("split")
     },
 
+    // deterministic training order: reproducible shard + position for
+    // every document — the data-ordering step of a pretraining run
+    "q140_training_order" -> { (s, d) =>
+      trainingOrder(Tables(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    },
+
     // sequence packing for training shards
     "q83_pack_sequences" -> { (s, d) =>
       packSequences(Tables(s, d, "documents"), "doc_id", "text", maxTokens = 4096)
@@ -733,6 +763,16 @@ object Extended {
     "q81_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(text), 32, 1) < '4' ORDER BY doc_id""".stripMargin,
+    // q140: same h60, same pmod shard, same per-shard rank
+    "q140_training_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ord'), 1, 15) AS BIGINT) AS hh
+        |  FROM documents),
+        |s AS (SELECT doc_id, hh, CAST(hh % 8 AS INTEGER) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q100_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs FROM documents
         |WHERE substr(md5(text), 32, 1) <

@@ -122,6 +122,32 @@ class ExtendedSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("trainingOrder: total per-shard order, layout-invariant, shards balanced") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+      .select("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Extended.trainingOrder(df, "doc_id", nShards = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(docs)
+    assert(got.length == 500)
+    // within each shard: positions are exactly 1..n, no gaps or dupes
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.length), s"shard $sh")
+      // uniform hash keeps shards near 500/8
+      assert(rows.length > 30 && rows.length < 95, s"shard $sh: ${rows.length}")
+    }
+    // the order is a function of ids only — partition layout irrelevant
+    assert(run(docs.repartition(13)) == got)
+    // appending rows never reorders existing members relative to each other
+    val extended = run(docs.unionAll(
+      spark.range(100000, 100050).toDF("doc_id")))
+    val before = got.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    val after = extended.filter(t => t._2 == 0 && t._1 < 100000L)
+      .sortBy(_._3).map(_._1)
+    assert(before == after)
+  }
+
   test("asofJoin: strict inequality, per-key isolation, null when no match") {
     val left = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "L1"),
