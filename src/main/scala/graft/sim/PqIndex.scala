@@ -75,15 +75,19 @@ object PqIndex {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
+    // a null vector would assign to a NULL cell, which Row.getAs[Int]
+    // silently unboxes to 0 — corrupting cell 0's centroid instead of
+    // failing; drop nulls like every other embedding pass does
+    val clean = corpus.filter(col(vecCol).isNotNull)
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
-    val initRows = corpus.select(col(vecCol)).orderBy(initHash, col(idCol))
+    val initRows = clean.select(col(vecCol)).orderBy(initHash, col(idCol))
       .limit(ksub).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(initRows.length == ksub, s"corpus smaller than ksub=$ksub")
     val cents: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => initRows(c).slice(j * dsub, (j + 1) * dsub))
-    val subs = corpus
+    val subs = clean
       .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col(vecCol))
       .select(col(idCol), col("sub"),
@@ -119,7 +123,10 @@ object PqIndex {
     * 100 TB float store into a few TB of codes. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebook): DataFrame =
-    corpus.select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"))
+    // null vectors drop (a NULL code row would otherwise sort FIRST in
+    // every ADC ranking — asc puts null distances ahead of real ones)
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"))
 
   /** Per-query ADC distance table as a plan literal: entry
     * `j·ksub + cell` holds `floor((|c|² − 2·q_j·c) · 1e9)` — the
@@ -213,8 +220,9 @@ object PqIndex {
     * map stage that the cell assignment already produced. */
   def searchIvfAdc(ivf: IvfIndex.Model, cb: Codebook, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cellCodes = ivf.cells.select(col(idCol).as("neighbor_id"), col("cell"),
-      codesExpr(cb, col(vecCol)).as("codes"))
+    val cellCodes = ivf.cells.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        codesExpr(cb, col(vecCol)).as("codes"))
     adcOverCells(cellCodes, cb,
       IvfIndex.probesFor(ivf.centroids, queries, idCol, vecCol, nprobe), k)
   }
@@ -227,7 +235,8 @@ object PqIndex {
       vecCol: String, path: String): Unit = {
     val spark = ivf.cells.sparkSession
     import spark.implicits._
-    ivf.cells.select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell"))
+    ivf.cells.filter(col(vecCol).isNotNull)
+      .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
@@ -262,7 +271,7 @@ object PqIndex {
     val cb = loadCodebook(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    newVectors
+    newVectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
         nearest_cell(col(vecCol), centroids).as("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")

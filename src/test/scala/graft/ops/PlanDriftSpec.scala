@@ -50,7 +50,10 @@ class PlanDriftSpec extends SparkSpec {
     "q134_ann_ivfpq"          -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
     "q136_semdedup"           -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     // classifier: train agg + score agg + output sort; weights broadcast
-    "q137_domain_classifier"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true)
+    "q137_domain_classifier"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
+    // re-rank: ADC window + re-rank window + sort; shortlist/query/dtab bcast
+    "q139_pq_rerank"          -> PlanMetrics(3, 3, pushedFilters = true,  prunedSchema = true),
+    "q140_training_order"     -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {

@@ -130,6 +130,22 @@ class PqIndexSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("null vectors drop everywhere instead of corrupting training or ranking first") {
+    import spark.implicits._
+    val withNull = emb.select("vec_id", "embedding").unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    // train ignores the null row: identical codebook
+    val cb2 = PqIndex.train(withNull, "vec_id", "embedding", m = 4, ksub = 8)
+    assert(cb2.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+    // encode drops it (a NULL code row would rank first in every ADC scan)
+    val codes = PqIndex.encode(withNull, "vec_id", "embedding", cb)
+    assert(codes.filter(col("vec_id") === 999999L).count() == 0)
+    val got = PqIndex.searchADC(cb, codes, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(2))
+    assert(!got.contains(999999L) && got.length == 9)
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
