@@ -52,10 +52,15 @@ object IvfIndex {
       nlist: Int, seed: Long = 42L, maxIter: Int = 3): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // a null vector would assign to a NULL cell, which getAs[Int]
+    // silently unboxes to 0 — zeroing centroid 0's sums and skewing
+    // every downstream assignment (semDeDup, balanced sampling, IVF∘PQ)
+    // with no error; drop nulls at the shared quantizer, once
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val dim = clean.select(size(col(vecCol))).head().getInt(0)
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
-    var centroids: Array[Array[Double]] = corpus
+    var centroids: Array[Array[Double]] = clean
       .select(col(vecCol)).orderBy(initHash, col(idCol))
       .limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -68,7 +73,7 @@ object IvfIndex {
       sum(floor(element_at(col(vecCol), i + 1).cast("double") * lit(1e9))
         .cast("long")).as(s"s_$i"))
     for (_ <- 0 until maxIter) {
-      val stats = corpus
+      val stats = clean
         .withColumn("cell", assignExpr(col(vecCol), centroids))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -80,7 +85,7 @@ object IvfIndex {
         centroids(j) = Array.tabulate(dim)(i => r.getAs[Long](s"s_$i") / n / 1e9)
       }
     }
-    val cells = corpus
+    val cells = clean
       .select(col(idCol), col(vecCol),
         assignExpr(col(vecCol), centroids).as("cell"))
     val centroidDf = centroids.zipWithIndex.toSeq
@@ -89,6 +94,14 @@ object IvfIndex {
     Model(cells, centroidDf, nlist)
   }
 
+  /** The persisted float centroid relation as the double matrix the
+    * assignment expression wants — index == cell (rows are dense
+    * 0..nlist-1 by construction). Shared by both append paths so the
+    * IVF and IVF∘PQ layouts can never drift on assignment discipline. */
+  private[sim] def centroidMatrix(centroids: DataFrame): Array[Array[Double]] =
+    centroids.orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).map(_.toDouble).toArray)
+
   /** Per-query probe set: the `nprobe` nearest centroids by exact
     * Euclidean distance (|c|² − 2q·c, codegen'd dot products). Shared
     * with [[PqIndex]]'s composed IVF∘PQ search, hence the (float)
@@ -96,7 +109,10 @@ object IvfIndex {
   private[sim] def probesFor(centroids: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
-    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // a null query vector yields null cdist, which asc ranks FIRST —
+    // the query would probe arbitrary cells and return garbage; drop it
+    queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("cdist",
         vec_dot(col("centroid"), col("centroid")) - lit(2.0) * vec_dot(col("q_vec"), col("centroid")))
@@ -148,9 +164,8 @@ object IvfIndex {
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val model = load(spark, path)
-    val centroids = model.centroids.orderBy("cell").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    newVectors
+    val centroids = centroidMatrix(model.centroids)
+    newVectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         assignExpr(col(vecCol), centroids).as("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")

@@ -72,13 +72,15 @@ object PqIndex {
     * state is KiB regardless of corpus size). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, seed: Long = 42L, maxIter: Int = 2): Codebook = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val dsub = dim / m
     // a null vector would assign to a NULL cell, which Row.getAs[Int]
     // silently unboxes to 0 — corrupting cell 0's centroid instead of
-    // failing; drop nulls like every other embedding pass does
+    // failing; drop nulls like every other embedding pass does (and
+    // probe dim from the CLEAN relation, so a null landing in the head
+    // row can't null out the probe either)
     val clean = corpus.filter(col(vecCol).isNotNull)
+    val dim = clean.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
     val initRows = clean.select(col(vecCol)).orderBy(initHash, col(idCol))
@@ -168,8 +170,11 @@ object PqIndex {
     * the per-query top-k window over (query, neighbor, adist) rows. */
   def searchADC(cb: Codebook, codes: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      dtabFp(cb, col(vecCol)).as("dtab")))
+    // a null query vector builds a null distance table → every adist_fp
+    // null → asc ranks the k lowest-id rows as "nearest"; drop it
+    val q = broadcast(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        dtabFp(cb, col(vecCol)).as("dtab")))
     topKByAdc(
       codes.withColumnRenamed(idCol, "neighbor_id")
         .crossJoin(q)
@@ -269,8 +274,7 @@ object PqIndex {
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val cb = loadCodebook(spark, path)
-    val centroids = spark.read.parquet(s"$path/centroids").orderBy("cell").collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val centroids = IvfIndex.centroidMatrix(spark.read.parquet(s"$path/centroids"))
     newVectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
         nearest_cell(col(vecCol), centroids).as("cell"))

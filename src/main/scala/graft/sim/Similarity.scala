@@ -743,7 +743,26 @@ object Similarity {
   /** The q133 WITH-body: full PQ training replay, encode, fixed-point
     * ADC scan, ending in CTE `ranked (query_id, neighbor_id, adist_fp,
     * rnk)` over all candidate pairs. */
-  private def pqAdcCtes(): String = {
+  private def pqAdcCtes(): String =
+    s"""${pqTrainCtes("")},
+       |cand AS (
+       |  SELECT d.query_id, co.vec_id AS neighbor_id,
+       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
+       |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)""".stripMargin
+
+  /** The PQ replay fragment with `p`-prefixed CTE names: full
+    * per-subspace training, encode, and the per-(query, sub, cell) ADC
+    * table — ending in `${p}codes (vec_id, sub, code)` and `${p}dtab
+    * (query_id, sub, cell, d)`. The prefix keeps the namespace apart
+    * when composed with the IVF replay (q134). */
+  private def pqTrainCtes(p: String): String = {
     val m = 4; val dsub = 16; val ksub = 8; val maxIter = 2
     val seed = 42L
     def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
@@ -760,67 +779,56 @@ object Similarity {
     // one Lloyd iteration: assign with c_{k-1} (same sub only), re-sum,
     // keep the previous sub-centroid on empty cells
     def iteration(kIt: Int): String =
-      s"""a_$kIt AS (
+      s"""${p}a_$kIt AS (
          |  SELECT vec_id, sub, subvec, cell FROM (
          |    SELECT v.vec_id, v.sub, v.subvec, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id, v.sub
          |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("v.subvec", "c.c")}) ASC,
          |                 c.cell ASC) AS rn
-         |    FROM sv v JOIN c_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
-         |s_$kIt AS (
+         |    FROM ${p}sv v JOIN ${p}c_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
+         |${p}s_$kIt AS (
          |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
          |      $sums
-         |  FROM a_$kIt GROUP BY sub, cell),
-         |c_$kIt AS (
+         |  FROM ${p}a_$kIt GROUP BY sub, cell),
+         |${p}c_$kIt AS (
          |  SELECT p.sub, p.cell,
          |    CASE WHEN s.n IS NULL THEN p.c
          |         ELSE [$centroidList] END AS c
-         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s
+         |  FROM ${p}c_${kIt - 1} p LEFT JOIN ${p}s_$kIt s
          |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
     val iterations = (1 to maxIter).map(iteration).mkString(",\n")
-    s"""subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |init AS (
+    s"""${p}subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |${p}init AS (
        |  SELECT embedding,
        |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
        |  FROM (
        |    SELECT vec_id, embedding,
        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
        |    FROM embeddings ORDER BY h, vec_id LIMIT $ksub)),
-       |sv AS (
+       |${p}sv AS (
        |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
-       |  FROM embeddings e CROSS JOIN subs s),
-       |c_0 AS (
+       |  FROM embeddings e CROSS JOIN ${p}subs s),
+       |${p}c_0 AS (
        |  SELECT s.sub, i.cell,
        |    list_transform(${sliceOf("i.embedding")}, x -> x::DOUBLE) AS c
-       |  FROM init i CROSS JOIN subs s),
+       |  FROM ${p}init i CROSS JOIN ${p}subs s),
        |$iterations,
-       |codes AS (
+       |${p}codes AS (
        |  SELECT vec_id, sub, cell AS code FROM (
        |    SELECT v.vec_id, v.sub, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id, v.sub
        |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("v.subvec", "c.c")}) ASC,
        |                 c.cell ASC) AS rn
-       |    FROM sv v JOIN c_$maxIter c ON c.sub = v.sub) WHERE rn = 1),
-       |cf AS (
+       |    FROM ${p}sv v JOIN ${p}c_$maxIter c ON c.sub = v.sub) WHERE rn = 1),
+       |${p}cf AS (
        |  SELECT sub, cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
-       |  FROM c_$maxIter),
-       |dtab AS (
+       |  FROM ${p}c_$maxIter),
+       |${p}dtab AS (
        |  SELECT e.vec_id AS query_id, f.sub, f.cell,
        |    CAST(floor((${normC("f.c")} - 2.0 *
        |      list_aggregate(list_transform(range(1, ${dsub + 1}),
        |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
-       |  FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6),
-       |cand AS (
-       |  SELECT d.query_id, co.vec_id AS neighbor_id,
-       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
-       |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
-       |  WHERE co.vec_id <> d.query_id
-       |  GROUP BY d.query_id, co.vec_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, adist_fp,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
-       |  FROM cand)""".stripMargin
+       |  FROM embeddings e CROSS JOIN ${p}cf f WHERE e.vec_id < 6)""".stripMargin
   }
 
   /** Reusable replay of the [[IvfIndex.build]] training loop + final
@@ -913,77 +921,14 @@ object Similarity {
     * same fixed-point BIGINT ADC sums as q133. PQ CTEs carry a `p`
     * prefix to keep the two training namespaces apart. */
   private def q134Oracle: String = {
-    val nlist = 8; val ivfIter = 3; val dim = 64
-    val m = 4; val dsub = 16; val ksub = 8; val pqIter = 2
-    val k = 3; val nprobe = 3; val seed = 42L
+    val ivfIter = 3; val dim = 64
+    val k = 3; val nprobe = 3
     val up = dim + 1
     def dotVC(v: String, c: String) =
       s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
-    def dotSub(v: String, c: String) =
-      s"list_aggregate(list_transform(range(1, ${dsub + 1}), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
     def normC(c: String) =
       s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
-    val ivfSums = (0 until dim).map(i =>
-      s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
-      .mkString(",\n      ")
-    val ivfCentroid = (0 until dim).map(i =>
-      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
-    def ivfIteration(kIt: Int): String =
-      s"""a_$kIt AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
-         |                 c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
-         |s_$kIt AS (
-         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
-         |      $ivfSums
-         |  FROM a_$kIt GROUP BY cell),
-         |c_$kIt AS (
-         |  SELECT p.cell,
-         |    CASE WHEN s.n IS NULL THEN p.c
-         |         ELSE [$ivfCentroid] END AS c
-         |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
-    val pqSums = (0 until dsub).map(i =>
-      s"CAST(SUM(CAST(floor(subvec[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
-      .mkString(",\n      ")
-    val pqCentroid = (0 until dsub).map(i =>
-      s"CAST(s.s_$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1e9").mkString(", ")
-    def pqIteration(kIt: Int): String =
-      s"""pa_$kIt AS (
-         |  SELECT vec_id, sub, subvec, cell FROM (
-         |    SELECT v.vec_id, v.sub, v.subvec, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.sub
-         |        ORDER BY (${normC("c.c")} - 2.0 * ${dotSub("v.subvec", "c.c")}) ASC,
-         |                 c.cell ASC) AS rn
-         |    FROM psv v JOIN pc_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
-         |ps_$kIt AS (
-         |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
-         |      $pqSums
-         |  FROM pa_$kIt GROUP BY sub, cell),
-         |pc_$kIt AS (
-         |  SELECT p.sub, p.cell,
-         |    CASE WHEN s.n IS NULL THEN p.c
-         |         ELSE [$pqCentroid] END AS c
-         |  FROM pc_${kIt - 1} p LEFT JOIN ps_$kIt s
-         |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
-    def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
-    s"""WITH c_0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
-       |         list_transform(embedding, x -> x::DOUBLE) AS c
-       |  FROM (
-       |    SELECT vec_id, embedding,
-       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
-       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
-       |${(1 to ivfIter).map(ivfIteration).mkString(",\n")},
-       |cells AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
-       |                 c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c_$ivfIter c) WHERE rn = 1),
+    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = ivfIter, dim = dim, seed = 42L)},
        |cf AS (
        |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
        |  FROM c_$ivfIter),
@@ -994,45 +939,14 @@ object Similarity {
        |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
        |                 f.cell ASC) AS pr
        |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
-       |subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |pinit AS (
-       |  SELECT embedding,
-       |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
-       |  FROM (
-       |    SELECT vec_id, embedding,
-       |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
-       |    FROM embeddings ORDER BY h, vec_id LIMIT $ksub)),
-       |psv AS (
-       |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
-       |  FROM embeddings e CROSS JOIN subs s),
-       |pc_0 AS (
-       |  SELECT s.sub, i.cell,
-       |    list_transform(${sliceOf("i.embedding")}, x -> x::DOUBLE) AS c
-       |  FROM pinit i CROSS JOIN subs s),
-       |${(1 to pqIter).map(pqIteration).mkString(",\n")},
-       |pcodes AS (
-       |  SELECT vec_id, sub, cell AS code FROM (
-       |    SELECT v.vec_id, v.sub, c.cell,
-       |      row_number() OVER (PARTITION BY v.vec_id, v.sub
-       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotSub("v.subvec", "c.c")}) ASC,
-       |                 c.cell ASC) AS rn
-       |    FROM psv v JOIN pc_$pqIter c ON c.sub = v.sub) WHERE rn = 1),
-       |pcf AS (
-       |  SELECT sub, cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
-       |  FROM pc_$pqIter),
-       |dtab AS (
-       |  SELECT e.vec_id AS query_id, f.sub, f.cell,
-       |    CAST(floor((${normC("f.c")} - 2.0 *
-       |      list_aggregate(list_transform(range(1, ${dsub + 1}),
-       |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
-       |  FROM embeddings e CROSS JOIN pcf f WHERE e.vec_id < 6),
+       |${pqTrainCtes("p")},
        |cand AS (
        |  SELECT p.query_id, cl.vec_id AS neighbor_id,
        |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
        |  FROM probes p
        |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
        |  JOIN pcodes co ON co.vec_id = cl.vec_id
-       |  JOIN dtab d ON d.query_id = p.query_id AND d.sub = co.sub AND d.cell = co.code
+       |  JOIN pdtab d ON d.query_id = p.query_id AND d.sub = co.sub AND d.cell = co.code
        |  GROUP BY p.query_id, cl.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, adist_fp,

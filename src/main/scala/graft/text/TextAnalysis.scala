@@ -413,6 +413,7 @@ object TextAnalysis {
     * outgrows executor memory. */
   def scoreByTokenWeights(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, neutral: Long = 500000L,
+      threshold: Long = 500000L,
       broadcastWeights: Boolean = true): DataFrame = {
     val w = if (broadcastWeights) broadcast(weights) else weights
     docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
@@ -420,8 +421,9 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("w"), lit(neutral))).as("s"),
         count(lit(1)).as("n"))
-      .select(col(idCol), expr("s div n").as("score_fp"),
-        (expr("s div n") >= lit(500000L)).cast("int").as("predicted_target"))
+      .withColumn("score_fp", expr("s div n"))
+      .select(col(idCol), col("score_fp"),
+        (col("score_fp") >= lit(threshold)).cast("int").as("predicted_target"))
   }
 
   /** Shared tf-idf weight table of q97/q126: tokenize (lowercased),
