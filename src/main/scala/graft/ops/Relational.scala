@@ -30,6 +30,42 @@ object Relational {
   /** Exact, order-independent sum of a double expression, as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Time-grid gap fill + forward fill (resample): per key, an hourly
+    * grid spanning that key's [first, last] observed bucket; each grid
+    * row carries the last observed value at or before it
+    * (`value_filled`), with `is_gap` marking synthesized rows. The
+    * per-bucket observation is picked under a TOTAL order
+    * (ts desc, tie desc), so the fill is deterministic even with
+    * multiple events in one bucket.
+    *
+    * Scale shape: the grid explodes per key (bounded by span/bucket,
+    * never a global calendar), the observation pick and the running
+    * fill are per-key windows — nothing leaves its key's partition,
+    * and no state is global. */
+  def gapFillForward(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val ev = df.select(col(keyCol), col(tsCol).cast("timestamp").as("_ts"),
+        col(tieCol).as("_tie"), col(valueCol).as("_v"))
+      .withColumn("_bucket", date_trunc("hour", col("_ts")))
+    val wObs = Window.partitionBy(keyCol, "_bucket")
+      .orderBy(desc("_ts"), desc("_tie"))
+    val observed = ev.withColumn("_rn", row_number().over(wObs))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col("_bucket"), col("_v").as("_obs"))
+    val grid = ev.groupBy(keyCol)
+      .agg(min(col("_bucket")).as("_mn"), max(col("_bucket")).as("_mx"))
+      .select(col(keyCol),
+        explode(sequence(col("_mn"), col("_mx"), expr("INTERVAL 1 HOUR")))
+          .as("_bucket"))
+    val wFill = Window.partitionBy(keyCol).orderBy("_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(keyCol, "_bucket"), "left")
+      .withColumn("value_filled", last(col("_obs"), ignoreNulls = true).over(wFill))
+      .withColumn("is_gap", col("_obs").isNull.cast("int"))
+      .select(col(keyCol), col("_bucket").as("bucket"),
+        col("value_filled"), col("is_gap"))
+  }
+
   val queries: Map[String, Q] = Map(
     // A5: count aggregate (pre-flight cardinality / COPY n RECORDS hint)
     "q01_count_star" -> { (s, d) =>
@@ -378,6 +414,18 @@ object Relational {
         .select(col("window.start").cast("timestamp_ntz").as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
+    },
+
+    // time-grid gap fill + forward fill (resample): per user, an hourly
+    // grid spanning [first, last] observed bucket; each grid row carries
+    // the last observed value at or before it — the sensor/metrics
+    // resample every analytics stack needs
+    "q141_gap_fill_forward" -> { (s, d) =>
+      gapFillForward(Tables(s, d, "events").filter(col("user_id") < 10),
+        "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("bucket").cast("timestamp_ntz").as("bucket"),
+          col("value_filled"), col("is_gap"))
+        .orderBy("user_id", "bucket")
     },
 
     // KMV (k-minimum-values) distinct sketch — the DETERMINISTIC cousin
@@ -757,6 +805,31 @@ object Relational {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // q141: same grid (generate_series per user span), same total-order
+    // observation pick, same IGNORE NULLS running fill
+    "q141_gap_fill_forward" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b
+        |  FROM events WHERE user_id < 10),
+        |obs AS (
+        |  SELECT user_id, b, value FROM (
+        |    SELECT user_id, b, value,
+        |      row_number() OVER (PARTITION BY user_id, b
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.b, o.value
+        |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b)
+        |SELECT user_id, b AS bucket,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "q121_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -122,6 +122,28 @@ class ExtendedSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("gapFillForward: grid spans per key, gaps carry last value, total-order pick") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: two events in hour 0 (later ts wins), nothing for hours
+      // 1-2, one event in hour 3 → 4 grid rows
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 100L, 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:50:00"), 101L, 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 03:20:00"), 102L, 9.0),
+      // user 2: single event → 1 grid row, no gaps
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00"), 103L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Relational.gapFillForward(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getDouble(2), r.getInt(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2.0, 0), // later event in the bucket wins
+      (1L, "2024-01-01 01:00:00.0", 2.0, 1), // gap: carried forward
+      (1L, "2024-01-01 02:00:00.0", 2.0, 1),
+      (1L, "2024-01-01 03:00:00.0", 9.0, 0),
+      (2L, "2024-01-01 05:00:00.0", 7.0, 0)))
+  }
+
   test("trainingOrder: total per-shard order, layout-invariant, shards balanced") {
     val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
       .select("doc_id")
