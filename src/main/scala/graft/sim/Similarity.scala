@@ -99,6 +99,32 @@ object Similarity {
       .distinct()
   }
 
+  /** Hard-negative mining for retrieval training: each query's top-k
+    * most-similar NON-duplicate neighbors — similar enough to be hard,
+    * excluded if so similar they're the same document (a near-dup
+    * "negative" would teach the model to push apart copies). The dup
+    * mask is the [[cosineNearDupPairs]] graph; ranking is brute cosine
+    * over the query slice (swap in [[lshTopK]]/[[PqIndex]] at corpus
+    * scale — the mask logic is unchanged). The anti-join keys on the
+    * (query, neighbor) pair, both orientations of the undirected dup
+    * pair. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dupThreshold: Double, dim: Int,
+      bits: Int = 2): DataFrame = {
+    val dups = cosineNearDupPairs(corpus, idCol, vecCol, dim, dupThreshold, bits)
+    val mask = dups.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .unionByName(dups.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    // over-fetch k + mask-size headroom, then re-rank after the mask:
+    // a masked row must PROMOTE the next candidate, not shorten the list
+    val fetched = bruteForceTopK(queries, corpus, idCol, vecCol, k + 8)
+      .join(mask, Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    fetched
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     * corpus scale by confining near-dup discovery to k-means clusters —
     * pairs are only scored WITHIN a cell, so the quadratic term is
@@ -365,6 +391,16 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // hard-negative mining: top-3 most-similar NON-duplicate neighbors
+    // per query (near-dups masked via the LSH pair graph); both the
+    // ranking and the mask replay in the oracle
+    "q142_hard_negatives" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      hardNegatives(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 3, dupThreshold = 0.2, dim = 64, bits = 2)
+        .orderBy("query_id", "rnk")
+    },
+
     // cluster-balanced sampling: trained k-means cells as topic strata,
     // exact h60 bottom-k inside each — the cluster-then-sample corpus
     // balance recipe, training loop replayed by the oracle
@@ -527,6 +563,7 @@ object Similarity {
     "q134_ann_ivfpq" -> q134Oracle,
     "q135_cluster_balanced_sample" -> q135Oracle,
     "q139_pq_rerank" -> q139Oracle,
+    "q142_hard_negatives" -> q142Oracle,
     "q136_semdedup" -> q136Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
@@ -976,6 +1013,42 @@ object Similarity {
        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q142 oracle: the q61 brute ranking over-fetched to k+8, the q66
+    * LSH dup-pair graph as a both-orientations mask, anti-join,
+    * re-rank, top-k — the same over-fetch semantics as the Spark op. */
+  private def q142Oracle: String = {
+    val dim = 64
+    val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)
+    s"""WITH $ctes,
+       |kk AS (SELECT e.vec_id, e.embedding, $bucket AS bucket
+       |  FROM embeddings e, $tables),
+       |dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM kk a JOIN kk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding", dim)} >= 0.2),
+       |mask AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM dup
+       |  UNION ALL SELECT id_b, id_a FROM dup),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.q_vec", "e.embedding", dim)} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |fetched AS (SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |    FROM pairs) WHERE rn <= 11),
+       |nn AS (SELECT f.query_id, f.neighbor_id, f.cos FROM fetched f
+       |  LEFT JOIN mask m ON m.query_id = f.query_id
+       |    AND m.neighbor_id = f.neighbor_id
+       |  WHERE m.query_id IS NULL),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM nn)
+       |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   /** q131 oracle: bucket the eval slice and the corpus remainder with

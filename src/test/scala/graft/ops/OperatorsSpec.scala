@@ -590,6 +590,27 @@ class SimilaritySpec extends SparkSpec {
     annBest.foreach { case (q, c) => assert(c <= bruteBest(q) + 1e-12) }
   }
 
+  test("hardNegatives: planted near-copy masked, list stays at k via promotion") {
+    import spark.implicits._
+    val dim = 8
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val base = v(1, 0.1, 0.2, 0.3, 0, 0, 0, 0)
+    val nearCopy = base.map(x => (x * 0.999f + 0.0001f))     // cos ~ 1 → dup
+    val similar = v(0.9, 0.3, 0.1, 0.2, 0.1, 0, 0, 0)        // hard negative
+    val medium = v(0.5, 0.5, 0.5, 0, 0, 0, 0, 0)
+    val far = v(0, 0, 0, 0, 0, 0, 0.5, 1)
+    val corpus = Seq((1L, base), (2L, nearCopy), (3L, similar),
+      (4L, medium), (5L, far)).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(corpus.filter(col("vec_id") === 1),
+      corpus, "vec_id", "embedding", k = 3, dupThreshold = 0.99, dim = dim)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // the near-copy (2) is masked; the next candidates promote so the
+    // list still has k entries, hardest first
+    assert(got.map(_._2).toSeq == Seq(3L, 4L, 5L), got.toSeq.toString)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("semDeDup: lowest id per cell always survives; survivors are pairwise below threshold within a cell") {
     val out = Similarity.semDeDup(emb, "vec_id", "embedding", nlist = 8, threshold = 0.2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
