@@ -53,7 +53,10 @@ class PlanDriftSpec extends SparkSpec {
     "q137_domain_classifier"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     // re-rank: ADC window + re-rank window + sort; shortlist/query/dtab bcast
     "q139_pq_rerank"          -> PlanMetrics(3, 3, pushedFilters = true,  prunedSchema = true),
-    "q140_training_order"     -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true)
+    "q140_training_order"     -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
+    // gap fill: observation window + span agg + fill window on one key
+    "q141_gap_fill_forward"   -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
+    "q142_hard_negatives"     -> PlanMetrics(7, 3, pushedFilters = true,  prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
