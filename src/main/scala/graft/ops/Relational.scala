@@ -500,11 +500,36 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // approximate count distinct (HLL++) — rows-only check (impl-specific values)
+    // approximate count distinct — deterministic HLL-shaped estimator.
+    // Stochastic averaging over the shared h60 space: top 8 bits pick one
+    // of m=256 buckets, each bucket keeps the MIN of its 52-bit remainder
+    // (an order statistic, like q121's KMV), and the group estimate is the
+    // harmonic combination m²·W / Σ_buckets(min) − m — the same light-
+    // tailed form HLL uses (2^-register ≈ min/W), which keeps one lucky
+    // bucket from dominating. The only non-integer step is a single final
+    // double division over an exact BIGINT sum, so unlike HLL's
+    // engine-internal registers the oracle replays it bit-for-bit. Exact
+    // countDistinct alongside. Scale: min() combines map-side; the only
+    // shuffled state is ≤256 (flag, bucket) rows per group — same O(m)
+    // footprint as HLL.
     "q36_approx_count_distinct" -> { (s, d) =>
-      Tables(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag")
+      val W = 4503599627370496L // 2^52 remainder space under the 60-bit hash
+      val m = 256
+      val li = Tables(s, d, "lineitem")
+      val hb = li.select(col("l_returnflag"),
+          graft.text.TextAnalysis.h60(col("l_partkey").cast("string")).as("h"))
+        .select(col("l_returnflag"), expr(s"h div $W").as("bucket"),
+          (col("h") % W + 1).as("w"))
+      val est = hb.groupBy(col("l_returnflag"), col("bucket"))
+        .agg(min("w").as("mn"))
+        .groupBy("l_returnflag")
+        .agg(sum("mn").as("s"))
+        .select(col("l_returnflag"),
+          (lit(m.toDouble * m * W) / col("s").cast("double") -
+            lit(m.toDouble)).as("approx_parts"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      est.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
     },
 
     // unpivot / melt: wide measure columns → long (id, measure, value)
@@ -879,8 +904,28 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q36_approx_count_distinct: intentionally no oracle (HLL values are
-    // implementation-specific) → driver records rows-only check.
+    "q36_approx_count_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, h // 4503599627370496 AS bucket,
+        |    min(h % 4503599627370496 + 1) AS mn
+        |  FROM h GROUP BY 1, 2),
+        |est AS (
+        |  SELECT l_returnflag,
+        |    CAST(65536 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |      / CAST(SUM(mn) AS DOUBLE) - 256.0 AS approx_parts
+        |  FROM b GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    AS n_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT est.l_returnflag, approx_parts, n_parts
+        |FROM est JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q37_unpivot" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |    l_extendedprice, l_discount, l_tax
