@@ -373,6 +373,44 @@ object Extended {
       .drop("_zkey")
   }
 
+  /** Exact interpolated quantiles per group, DISTRIBUTED form. Spark's
+    * `percentile` ImperativeAggregate buffers a value→count map per
+    * group on the reducer; distinct values grow with data size, so at
+    * 100× that map is the bottleneck. This form instead ranks each
+    * group with row_number over a window sort (spillable, memory-
+    * bounded), broadcasts the tiny per-group counts, keeps only the
+    * two rows flanking each target rank pos = q·(n−1), and
+    * interpolates lo + (hi − lo)·(pos − ⌊pos⌋) — quantile_cont's
+    * formula, no unbounded aggregation buffer anywhere in the plan.
+    * When pos lands exactly on a rank (including every single-row
+    * group, where pos = 0 and rank ⌊pos⌋+2 does not exist), frac is 0
+    * and hi is coalesced to lo so the result is lo itself — the same
+    * answer quantile_cont gives. Output: one row per group with one
+    * column per (name, q) pair. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol).orderBy(col("v"))
+    var ranked = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq(groupCol))
+    for ((name, q) <- qs) {
+      ranked = ranked
+        .withColumn(s"pos_$name", lit(q) * (col("n") - 1).cast("double"))
+        .withColumn(s"lo_$name", floor(col(s"pos_$name")))
+    }
+    val keep = qs.map { case (name, _) =>
+      col("rn") === col(s"lo_$name") + 1 || col("rn") === col(s"lo_$name") + 2
+    }.reduce(_ || _)
+    val aggs = qs.map { case (name, _) =>
+      val vLo = max(when(col("rn") === col(s"lo_$name") + 1, col("v")))
+      val vHi = max(when(col("rn") === col(s"lo_$name") + 2, col("v")))
+      val frac = max(col(s"pos_$name") - col(s"lo_$name"))
+      (vLo + (coalesce(vHi, vLo) - vLo) * frac).as(name)
+    }
+    ranked.filter(keep).groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // z-order clustering effectiveness: bucket lineitem by the top bits
     // of the interleaved (l_partkey, l_suppkey) key; each bucket's
@@ -535,48 +573,17 @@ object Extended {
         .stripMargin)
     },
 
-    // exact percentiles (interpolated), grouped — DISTRIBUTED form.
-    // Spark's `percentile` ImperativeAggregate buffers a value→count map
-    // per group on the reducer; distinct values grow with data size, so
-    // at 100× that map is the bottleneck. This form instead ranks each
-    // group with row_number over a window sort (spillable, memory-
-    // bounded), broadcasts the 3-row per-group counts, keeps only the
-    // two rows flanking each target rank, and interpolates with the
-    // same lo + (hi − lo)·frac formula quantile_cont uses — identical
-    // result, no unbounded aggregation buffer anywhere in the plan.
+    // exact percentiles (interpolated), grouped — the distributed
+    // window-rank form; see [[groupedQuantiles]] for the scale story
     "q85_percentiles" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").cast("double").as("qty"),
           col("l_extendedprice").cast("double").as("price"))
-      val counts = li.groupBy("flag").agg(count(lit(1)).as("n"))
-      // rank one value column within each group, pick the rows flanking
-      // pos = q·(n−1), and interpolate: lo + (hi − lo)·(pos − ⌊pos⌋).
-      // For q < 1 the ⌊pos⌋+2 rank always exists, so the hi term never
-      // goes null and a zero frac reproduces lo exactly.
-      def quantiles(vcol: String, qs: Seq[(String, Double)]): DataFrame = {
-        val w = Window.partitionBy("flag").orderBy(col("v"))
-        var ranked = li.select(col("flag"), col(vcol).as("v"))
-          .withColumn("rn", row_number().over(w))
-          .join(broadcast(counts), Seq("flag"))
-        for ((name, q) <- qs) {
-          ranked = ranked
-            .withColumn(s"pos_$name", lit(q) * (col("n") - 1).cast("double"))
-            .withColumn(s"lo_$name", floor(col(s"pos_$name")))
-        }
-        val keep = qs.map { case (name, _) =>
-          col("rn") === col(s"lo_$name") + 1 || col("rn") === col(s"lo_$name") + 2
-        }.reduce(_ || _)
-        val aggs = qs.map { case (name, _) =>
-          val vLo = max(when(col("rn") === col(s"lo_$name") + 1, col("v")))
-          val vHi = max(when(col("rn") === col(s"lo_$name") + 2, col("v")))
-          val frac = max(col(s"pos_$name") - col(s"lo_$name"))
-          (vLo + (vHi - vLo) * frac).as(name)
-        }
-        ranked.filter(keep).groupBy("flag").agg(aggs.head, aggs.tail: _*)
-      }
-      quantiles("qty", Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
-        .join(quantiles("price", Seq("p25_price" -> 0.25)), Seq("flag"))
+      groupedQuantiles(li, "flag", "qty",
+          Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
+        .join(groupedQuantiles(li, "flag", "price",
+          Seq("p25_price" -> 0.25)), Seq("flag"))
         .select(col("flag").as("l_returnflag"), col("p50_qty"),
           col("p90_qty"), col("p25_price"))
         .orderBy("l_returnflag")

@@ -18,17 +18,24 @@ object Tables {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; we read nanos as long and rebuild a
-    * microsecond TIMESTAMP_NTZ (session TZ is pinned UTC, so wall-clock is
-    * preserved and matches DuckDB's naive-timestamp view of the same file).
+    * `events.parquet` has stored `ts` either as INT64 TIMESTAMP(NANOS)
+    * (which Spark's parquet reader rejects — read nanos as long, rebuild
+    * a microsecond timestamp) or, in newer generator versions, as a
+    * native TIMESTAMP(MICROS). Both normalize to TIMESTAMP_NTZ here
+    * (session TZ is pinned UTC, so wall-clock is preserved and matches
+    * DuckDB's naive-timestamp view of the same file).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else df
+    if (name == "events") {
+      val normalized = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        case _ => expr("cast(ts as timestamp_ntz)")
+      }
+      df.withColumn("ts", normalized)
+    } else df
   }
 
   /** Register every table as a temp view (for the spark.sql query surface). */

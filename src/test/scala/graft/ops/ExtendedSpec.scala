@@ -26,6 +26,21 @@ class ExtendedSpec extends SparkSpec {
     assert(got.length == got.distinct.length)
   }
 
+  test("groupedQuantiles: singleton and exact-rank groups return the value, not null") {
+    // group a: n=1 (pos=0, rank ⌊pos⌋+2 absent — the null trap);
+    // group b: n=3 with q=0.5 landing exactly on rank 2 (frac=0);
+    // group c: n=2 with a genuinely interpolated midpoint
+    val df = Seq(("a", 7.0), ("b", 1.0), ("b", 2.0), ("b", 3.0),
+      ("c", 10.0), ("c", 20.0)).toDF("g", "v")
+    val got = Extended.groupedQuantiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got("a") == ((7.0, 7.0)))       // single value, never null
+    assert(got("b") == ((2.0, 2.8)))       // exact rank; 0.9·2=1.8 → 2+0.8·1
+    assert(got("c") == ((15.0, 19.0)))     // midpoint; 10+0.9·10
+  }
+
   test("intervalJoinBinned: oversized span fails fast, not OOM") {
     val points = Seq((1L, 5L)).toDF("pid", "t")
     val ivs = Seq((100L, 0L, Long.MaxValue - 1)).toDF("iv", "s", "e") // sentinel
