@@ -53,13 +53,17 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // freshName on EVERY local: two VectorDots in one codegen scope
+      // (vec_cosine has three) otherwise redefine the variable, janino
+      // rejects the stage, and Spark silently runs it interpreted
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -124,14 +128,15 @@ case class HyperplaneLshKey(child: Expression, dim: Int, bits: Int)
       val i = ctx.freshName("i")
       val proj = ctx.freshName("proj")
       val key = ctx.freshName("key")
+      val c = ctx.freshName("c")
       s"""
          |int $n = java.lang.Math.min($dim, $v.numElements());
          |long $key = 0L;
          |for (int $p = 0; $p < $bits; $p++) {
-         |  double[] c = $cf[$p];
+         |  double[] $c = $cf[$p];
          |  double $proj = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $proj += ((double) $v.getFloat($i)) * c[$i];
+         |    $proj += ((double) $v.getFloat($i)) * $c[$i];
          |  }
          |  if ($proj > 0) $key |= (1L << $p);
          |}
@@ -246,15 +251,16 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
       val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
       val dist = ctx.freshName("dist")
       val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
+      val c = ctx.freshName("c")
       s"""
          |int $best = 0;
          |double $bestDist = Double.MAX_VALUE;
          |for (int $j = 0; $j < $cf.length; $j++) {
-         |  double[] c = $cf[$j];
-         |  int $n = java.lang.Math.min(c.length, $v.numElements());
+         |  double[] $c = $cf[$j];
+         |  int $n = java.lang.Math.min($c.length, $v.numElements());
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $v.getFloat($i)) * c[$i];
+         |    $dot += ((double) $v.getFloat($i)) * $c[$i];
          |  }
          |  double $dist = $nm[$j] - 2.0 * $dot;
          |  if ($dist < $bestDist) { $bestDist = $dist; $best = $j; }

@@ -574,7 +574,12 @@ object Extended {
     },
 
     // exact percentiles (interpolated), grouped — the distributed
-    // window-rank form; see [[groupedQuantiles]] for the scale story
+    // window-rank form; see [[groupedQuantiles]] for the scale story.
+    // Outputs are rounded at scale 6 on BOTH sides: the true values
+    // carry ≤4 decimals (2-decimal measures × {0,.1,.25,.5,.75,.9}
+    // fracs), so rounding never lands on a tie and erases the last-ulp
+    // drift between our lo+(hi−lo)·frac and DuckDB's quantile_cont
+    // interpolation order.
     "q85_percentiles" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
@@ -584,8 +589,10 @@ object Extended {
           Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
         .join(groupedQuantiles(li, "flag", "price",
           Seq("p25_price" -> 0.25)), Seq("flag"))
-        .select(col("flag").as("l_returnflag"), col("p50_qty"),
-          col("p90_qty"), col("p25_price"))
+        .select(col("flag").as("l_returnflag"),
+          round(col("p50_qty"), 6).as("p50_qty"),
+          round(col("p90_qty"), 6).as("p90_qty"),
+          round(col("p25_price"), 6).as("p25_price"))
         .orderBy("l_returnflag")
     },
 
@@ -851,9 +858,9 @@ object Extended {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q85_percentiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
-        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q86_approx_percentiles" ->
       """WITH s AS (

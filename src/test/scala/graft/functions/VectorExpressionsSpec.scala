@@ -41,6 +41,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("array<float>"))
   }
 
+  test("multiple vector expressions in one codegen scope compile (no janino fallback)") {
+    // vec_cosine expands to three VectorDots in a single projection;
+    // two NearestCell/HyperplaneLshKey instances ride along. With any
+    // bare (non-freshName) local in doGenCode, janino rejects the
+    // generated class and Spark silently drops to interpreted eval —
+    // fallback=false turns that silent degradation into a test failure.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = Tables(spark, sf(), "embeddings").limit(8)
+      val cents = Array(Array(0.1, 0.2, 0.3), Array(0.3, 0.2, 0.1))
+      val r = emb.select(
+          vec_cosine(col("embedding"), col("embedding")).as("c"),
+          vec_dot(col("embedding"), col("embedding")).as("d"),
+          nearest_cell(col("embedding"), cents).as("n1"),
+          nearest_cell(col("embedding"), cents.reverse).as("n2"),
+          vec_lsh_key(col("embedding"), 16, 4).as("k1"),
+          vec_lsh_key(col("embedding"), 16, 2).as("k2"))
+        .collect()
+      assert(r.length == 8 && r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
   test("vec_cosine self-similarity is 1") {
     val r = Tables(spark, sf(), "embeddings").limit(3)
       .select(vec_cosine(col("embedding"), col("embedding")).as("c"))
