@@ -15,12 +15,14 @@ package graft.pipeline
   *   - `graft.staging.dir` / `graft.state.dir` — optional; default to
   *     `<target>/_staging` and `<target>/_state`.
   *
-  * When the file has a `monetdb.*` block, every table publishes through
-  * the distributed `graft-jdbc` batched-INSERT writer (C3), exactly as
-  * every reference run loads into MonetDB; without it, tables publish
-  * to the filesystem twin — fast view switch (E1+E3) or temp-swap (E2)
-  * per `useFastViewSwitching`, the reference's per-table flag
-  * (`CopyTable.java:54-63`). */
+  * When the file has a `monetdb.*` block, tables publish to the live
+  * database — per-table `copymethod = copyinto` drives the C4 COPY
+  * cascade ([[CopyJob.MonetLoad]]); otherwise the distributed
+  * `graft-jdbc` batched-INSERT writer (C3) — see
+  * [[PropertiesConfig.publishModeFor]]. Without the block, tables
+  * publish to the filesystem twin — fast view switch (E1+E3) or
+  * temp-swap (E2) per `useFastViewSwitching`, the reference's
+  * per-table flag (`CopyTable.java:54-63`). */
 object ConfigBridge {
 
   final case class BridgeException(msg: String) extends Exception(msg)
@@ -47,7 +49,6 @@ object ConfigBridge {
       .foreach(tr => throw BridgeException(
         s"trigger names non-default source '${tr.source}' — not served " +
           "by the graft.source.dir bridge"))
-    val jdbc = PropertiesConfig.jdbcLoadMode(parsed, props)
     val tables = parsed.tables.values.toSeq.sortBy(_.id).map { t =>
       CopyJob.TableSpec(
         id = t.id,
@@ -59,7 +60,10 @@ object ConfigBridge {
         to = t.to,
         allowEmpty = t.allowEmpty,
         autoTrim = t.autoTrim,
-        publishMode = jdbc.getOrElse(
+        // per-table: a monetdb.* block routes through the live-load
+        // modes (cascade or INSERT per `copymethod`); without it,
+        // tables publish to the filesystem twin
+        publishMode = PropertiesConfig.publishModeFor(parsed, props, t).getOrElse(
           if (t.useFastViewSwitching) CopyJob.ViewSwitch else CopyJob.TempSwap))
     }
     CopyJob.JobConfig(

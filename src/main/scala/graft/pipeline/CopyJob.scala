@@ -37,6 +37,19 @@ object CopyJob {
     * The load is the publish — the target table must already exist
     * (D3 DDL generation is the caller's step, as in the reference). */
   final case class JdbcLoad(url: String, batchSize: Int = 10000) extends PublishMode
+  /** C1/C2/C4 live-MonetDB load via the reference's runtime cascade
+    * (`CopyTool.java:829-866`): COPY-from-file (needs `copyDir`, a
+    * server-readable shared mount) → COPY-from-STDIN (distributed, one
+    * MAPI socket per partition, exact-count RECORDS hints) → batched
+    * INSERT over JDBC. `configured = Some(BatchedInsert)` skips the COPY
+    * attempts, mirroring `copymethod=insert`. The load is the publish. */
+  final case class MonetLoad(
+      host: String, port: Int, user: String, password: String,
+      database: String, schema: String,
+      jdbcUrl: String, batchSize: Int = 10000,
+      configured: Option[graft.sinks.MonetSink.LoadMethod] = None,
+      copyDir: Option[String] = None,
+      locked: Boolean = true) extends PublishMode
 
   final case class TableSpec(
       id: String,
@@ -117,6 +130,28 @@ object CopyJob {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .save()
 
+  /** C4 cascade against a live MonetDB: COPY-file → COPY-stdin → INSERT.
+    * A missing `copyDir` makes the file attempt fail fast (no shared
+    * mount ⇒ the server can't read our part files) and the cascade moves
+    * on, exactly like the reference when its temp CSV is unreachable
+    * (`CopyTool.java:823-826`). `records` is the staged manifest count —
+    * the exact-count RECORDS hint both COPY forms carry. */
+  private def monetLoad(staged: DataFrame, m: MonetLoad, table: String,
+      records: Long): Unit = {
+    import graft.sinks.MonetSink
+    MonetSink.loadWithCascade(m.configured,
+      copyFile = () => MonetSink.copyViaFiles(staged, m.host, m.port, m.user,
+        m.password, m.database, m.schema, table,
+        m.copyDir.getOrElse(throw new IllegalStateException(
+          "COPY INTO FROM file needs graft.monet.copydir (a server-readable shared mount)")),
+        records = Some(records), locked = m.locked),
+      copyStdin = () => MonetSink.copyViaStdinDistributed(staged, m.host,
+        m.port, m.user, m.password, m.database, m.schema, table,
+        locked = m.locked, recordsHint = true),
+      insert = () => jdbcLoad(staged, JdbcLoad(m.jdbcUrl, m.batchSize), table))
+    ()
+  }
+
   private def stagingDir(cfg: JobConfig, t: TableSpec): String =
     Paths.get(cfg.stagingRoot, s"table_${t.from.name}_${t.to}").toString
 
@@ -145,6 +180,7 @@ object CopyJob {
             case ViewSwitch => Publish.writeSnapshot(staged, cfg.targetRoot, t.to, version)
             case TempSwap   => Publish.tempSwapPublish(staged, cfg.targetRoot, t.to)
             case j: JdbcLoad => jdbcLoad(staged, j, t.to)
+            case ml: MonetLoad => monetLoad(staged, ml, t.to, m.count)
           }
         }
       }
@@ -190,6 +226,7 @@ object CopyJob {
               else Publish.publishVersion(cfg.targetRoot, t.to, version)
             case TempSwap => () // already swapped in phase 2
             case _: JdbcLoad => () // the load is the publish
+            case _: MonetLoad => () // the load is the publish
           }
         }
       }

@@ -203,6 +203,40 @@ object PropertiesConfig {
         props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000))
     }
 
+  /** Per-table live-MonetDB publish mode, honoring `table.<id>.copymethod`
+    * (`CopyToolConfig.java:908-918`, cascade gate `CopyTool.java:832`):
+    *
+    *   - `copymethod = copyinto` → the C4 runtime cascade
+    *     ([[CopyJob.MonetLoad]]): COPY-from-file (when
+    *     `graft.monet.copydir` names a server-readable shared mount) →
+    *     distributed COPY-from-STDIN → batched INSERT;
+    *   - `copymethod = insert…` → straight to the distributed batched-
+    *     INSERT writer, skipping COPY (the reference's INSERT pin);
+    *   - unset → the batched-INSERT writer too. This is a DELIBERATE
+    *     default divergence: the reference defaults to COPY because its
+    *     INSERT is a single-threaded row loop; ours is the many-
+    *     connection DSv2 writer, the scale-correct default on a cluster.
+    *     Users who want COPY ask for it — and now actually get it.
+    *
+    * `graft.jdbc.url` overrides the INSERT url (e2e/foreign-target runs);
+    * production MonetDB needs only the reference's own `monetdb.*` block. */
+  def publishModeFor(parsed: Parsed, props: Map[String, String],
+      t: TableDef): Option[CopyJob.PublishMode] =
+    parsed.target.map { tgt =>
+      val url = props.getOrElse("graft.jdbc.url",
+        SqlGen.monetDbUrl(tgt.server, tgt.database))
+      val batch = props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000)
+      t.copyMethod.map(_.toLowerCase) match {
+        case Some("copyinto") =>
+          CopyJob.MonetLoad(tgt.server, tgt.port.getOrElse(50000),
+            tgt.user, tgt.password, tgt.database, t.schema,
+            jdbcUrl = url, batchSize = batch,
+            configured = Some(graft.sinks.MonetSink.CopyIntoFromFile),
+            copyDir = props.get("graft.monet.copydir"))
+        case _ => CopyJob.JdbcLoad(url, batch)
+      }
+    }
+
   /** JDBC reader config for a parsed source (the A1-A3 extract surface). */
   def jdbcConfig(src: SourceDef, t: TableDef): JdbcSourceConfig =
     JdbcSourceConfig(src.dialect, src.server, src.database, src.user,

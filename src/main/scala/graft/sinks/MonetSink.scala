@@ -114,6 +114,42 @@ object MonetSink {
       s"$from USING DELIMITERS ',','\\n','\"' NULL AS '\\\\N'$lock"
   }
 
+  /** C1 multi-file `COPY INTO` (the distributed twin of the reference's
+    * single-temp-CSV `COPY INTO ... FROM 'file'`): Spark writes one CSV
+    * part per partition, and MonetDB's FROM clause takes the whole list
+    * in one statement — one transaction, one RECORDS pre-allocation
+    * hint, N files read server-side. */
+  def copyIntoSqlFiles(schema: String, table: String, records: Option[Long],
+      files: Seq[String], locked: Boolean = true): String = {
+    require(files.nonEmpty, "COPY INTO FROM files: empty file list")
+    val hint = records.map(n => s"$n RECORDS ").getOrElse("")
+    val lock = if (locked) " LOCKED" else ""
+    s"COPY ${hint}INTO ${Identifiers.quote(schema)}.${Identifiers.quote(table)} " +
+      s"FROM ${files.map(f => s"'$f'").mkString(", ")} " +
+      s"USING DELIMITERS ',','\\n','\"' NULL AS '\\\\N'$lock"
+  }
+
+  /** C1 execution at cluster scale: CSV formatting AND file writes are
+    * distributed (one part file per partition landed in `dir`, which
+    * must be a directory the MonetDB server can read — a shared mount),
+    * then ONE `COPY INTO ... FROM 'part1','part2',...` runs over a
+    * single MAPI connection with the exact-count RECORDS hint
+    * (`CopyTool.java:984-991`). This is the reference's fastest load
+    * path without its driver-side CSV bottleneck: the driver never
+    * formats or moves a row, it only issues the final statement. */
+  def copyViaFiles(df: DataFrame, host: String, port: Int, user: String,
+      password: String, database: String, schema: String, table: String,
+      dir: String, records: Option[Long] = None, locked: Boolean = true): Unit = {
+    df.select(csvLine(df).as("line"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    val client = MapiClient.connect(host, port, user, password, database)
+    try client.query(copyIntoSqlFiles(schema, table, records, files, locked))
+    finally client.close()
+  }
+
   /** C4 load-method selection: the reference cascades
     * COPY-file → COPY-stdin → INSERT at runtime; Spark-side the writer is
     * chosen up front (a cascade is only meaningful against a live server;
@@ -171,9 +207,15 @@ object MonetSink {
     * MonetDB serializes concurrent LOCKED loads server-side, which
     * bounds the win at however fast the server ingests (same ceiling
     * the reference hits), but partitions overlap their format/transfer
-    * work instead of queueing behind one pump. No records-count hint:
-    * that would need a per-partition pre-count pass; the hint is a
-    * server-side pre-allocation optimization the append path can skip.
+    * work instead of queueing behind one pump.
+    *
+    * `recordsHint` restores the reference's exact-count `COPY n
+    * RECORDS` pre-allocation (`CopyTool.java:984-985`) on this path:
+    * per-COPY counts differ per partition, so an extra counting pass
+    * runs first (cheap — it never formats CSV) and each partition's
+    * COPY carries its own exact count. Sound because the projection is
+    * narrow: the count pass and the stream pass see identical
+    * partition boundaries of the same deterministic scan.
     *
     * Delivery is AT-LEAST-ONCE under task retry: a partition that fails
     * after its COPY committed re-runs and loads again (disable
@@ -183,11 +225,31 @@ object MonetSink {
     * promote transactionally (the copyViaTempTable flow, C5/E2). */
   def copyViaStdinDistributed(df: DataFrame, host: String, port: Int,
       user: String, password: String, database: String, schema: String,
-      table: String, locked: Boolean = true): Unit = {
-    val sql = copyIntoSql(schema, table, records = None, source = None,
-      locked = locked)
-    df.select(csvLine(df).as("line"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      table: String, locked: Boolean = true,
+      recordsHint: Boolean = false): Unit = {
+    val lines = df.select(csvLine(df).as("line"))
+    if (recordsHint) {
+      // one (partitionId, count) pair per partition — bounded by the
+      // partition count, not the data
+      val counts = df.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().toMap
+      val bc = df.sparkSession.sparkContext.broadcast(counts)
+      lines.rdd.mapPartitionsWithIndex { (i, it) =>
+        if (it.hasNext) {
+          val sql = copyIntoSql(schema, table, records = bc.value.get(i),
+            source = None, locked = locked)
+          val client = MapiClient.connect(host, port, user, password, database)
+          try client.copyIntoStdin(sql, it.map(_.getString(0)))
+          finally client.close()
+        }
+        Iterator.empty[Int]
+      }.count()
+      ()
+    } else {
+      val sql = copyIntoSql(schema, table, records = None, source = None,
+        locked = locked)
+      lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) { // empty partitions never dial the server
           val client = MapiClient.connect(host, port, user, password, database)
           try client.copyIntoStdin(sql, it.map(_.getString(0)))
@@ -195,6 +257,7 @@ object MonetSink {
           ()
         }
       }
+    }
   }
 
   /** C4 runtime cascade (`CopyTool.java:829-866`): unless the configured

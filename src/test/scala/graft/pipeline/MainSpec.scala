@@ -163,6 +163,116 @@ class MainSpec extends SparkSpec {
     assert(Publish.findNewestVersion(s"$base/target", "region_out").isEmpty)
   }
 
+  test("copymethod=copyinto drives COPY INTO over MAPI (properties e2e)") {
+    // the C4 cascade: no graft.monet.copydir → the file attempt fails
+    // fast, the distributed STDIN path wins — the fake MAPI server
+    // receives the COPY with the exact-count RECORDS hint and the rows
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret")
+    val base = Files.createTempDirectory("main_copyinto")
+    val cfg = writeConfig(base, "copyinto.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |monetdb.server = 127.0.0.1
+         |monetdb.port = ${srv.port}
+         |monetdb.database = demo
+         |monetdb.user = monetdb
+         |monetdb.password = secret
+         |table.region.from = region
+         |table.region.to = region_out
+         |table.region.copymethod = copyinto
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    srv.awaitDone()
+    assert(srv.receivedCopySql != null &&
+      srv.receivedCopySql.contains("RECORDS INTO \"sys\".\"region_out\" FROM STDIN"),
+      s"expected a RECORDS-hinted COPY FROM STDIN, got: ${srv.receivedCopySql}")
+    assert(srv.receivedRows.size == 5)
+    // the load IS the publish: nothing under the FS publish root
+    assert(Publish.findNewestVersion(s"$base/target", "region_out").isEmpty)
+  }
+
+  test("copymethod=copyinto cascades to batched INSERT when every COPY fails") {
+    // forced failure: the fake server rejects COPY statements, so both
+    // COPY attempts die and the cascade lands on the distributed JDBC
+    // writer (CopyTool.java:829-866 parity, end to end from properties)
+    val url = "jdbc:derby:memory:cascade_e2e_db;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE region_out (r_regionkey BIGINT, r_name VARCHAR(64))")
+      finally st.close()
+    } finally c.close()
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret",
+      connections = 2, failCopy = true)
+    val base = Files.createTempDirectory("main_cascade")
+    val cfg = writeConfig(base, "cascade.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |graft.jdbc.url = $url
+         |monetdb.server = 127.0.0.1
+         |monetdb.port = ${srv.port}
+         |monetdb.database = demo
+         |monetdb.user = monetdb
+         |monetdb.password = secret
+         |batch.size = 2
+         |table.region.from = region
+         |table.region.to = region_out
+         |table.region.copymethod = copyinto
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    // the server DID see a COPY attempt before rejecting it
+    assert(srv.receivedCopySql != null && srv.receivedCopySql.startsWith("COPY"),
+      s"expected a rejected COPY attempt, got: ${srv.receivedCopySql}")
+    // and the rows landed via the INSERT fallback
+    val back = spark.read.jdbc(url, "region_out", new java.util.Properties())
+    assert(back.count() == 5)
+  }
+
+  test("copymethod=insert (and unset) keep the distributed JDBC writer") {
+    val text1 =
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = /tmp/x
+         |monetdb.server = h
+         |monetdb.database = d
+         |table.a.from = region
+         |table.a.to = r_out
+         |table.a.copymethod = insert
+         |table.b.from = nation
+         |table.b.to = n_out
+         |""".stripMargin
+    val p = PropertiesConfig.parse(text1, env = Map.empty)
+    val props = PropertiesConfig.parseProperties(text1, Map.empty)
+    val cfg = ConfigBridge.toJobConfig(p, props)
+    assert(cfg.tables.size == 2 &&
+      cfg.tables.forall(_.publishMode.isInstanceOf[CopyJob.JdbcLoad]))
+    // and copyinto flips ONLY the asking table to the cascade
+    val text2 =
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = /tmp/x
+         |graft.monet.copydir = /mnt/s
+         |monetdb.server = h
+         |monetdb.database = d
+         |monetdb.port = 49999
+         |table.a.from = region
+         |table.a.to = r_out
+         |table.a.copymethod = copyinto
+         |table.b.from = nation
+         |table.b.to = n_out
+         |""".stripMargin
+    val p2 = PropertiesConfig.parse(text2, env = Map.empty)
+    val cfg2 = ConfigBridge.toJobConfig(p2,
+      PropertiesConfig.parseProperties(text2, Map.empty))
+    val byId = cfg2.tables.map(t => t.id -> t.publishMode).toMap
+    byId("a") match {
+      case m: CopyJob.MonetLoad =>
+        assert(m.port == 49999 && m.copyDir.contains("/mnt/s") &&
+          m.configured.contains(graft.sinks.MonetSink.CopyIntoFromFile))
+      case other => fail(s"table a should cascade, got $other")
+    }
+    assert(byId("b").isInstanceOf[CopyJob.JdbcLoad])
+  }
+
   test("--resume with zero-row staging for a non-allowEmpty table fails before publish") {
     val base = Files.createTempDirectory("main_resume0")
     val cfg = baseConfig(base)

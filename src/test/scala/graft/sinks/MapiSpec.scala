@@ -11,12 +11,14 @@ import graft.SparkSpec
 /** A loopback fake speaking just enough MAPI v9 to exercise the client:
   * challenge, digest check, redirect, COPY INTO FROM STDIN capture. */
 final class FakeMonetServer(user: String, password: String,
-    redirectsFirst: Boolean = false, connections: Int = 1) {
+    redirectsFirst: Boolean = false, connections: Int = 1,
+    failCopy: Boolean = false) {
   val salt = "testsalt1234"
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
 
   @volatile var receivedCopySql: String = _
+  @volatile var receivedCopySqls: Seq[String] = Nil
   @volatile var receivedRows: Seq[String] = Nil
   @volatile var authedDigest: String = _
   @volatile var connectionsServed: Int = 0
@@ -56,7 +58,10 @@ final class FakeMonetServer(user: String, password: String,
         require(msg.startsWith("s"), s"expected statement marker, got '${msg.take(20)}'")
         val lines = msg.drop(1).split("\n", -1).toSeq
         receivedCopySql = lines.head
-        if (receivedCopySql.contains("FROM STDIN")) {
+        synchronized { receivedCopySqls = receivedCopySqls :+ lines.head }
+        if (failCopy && receivedCopySql.startsWith("COPY")) {
+          s.writeMessage("!COPY INTO: insufficient privileges (forced)".getBytes(UTF_8))
+        } else if (receivedCopySql.contains("FROM STDIN")) {
           // CSV records follow in the same message, closed by an empty line
           receivedRows = receivedRows ++ lines.tail.takeWhile(_.nonEmpty)
           s.writeMessage(s"&2 ${receivedRows.size} -1\n".getBytes(UTF_8))
@@ -178,6 +183,56 @@ class MapiSpec extends SparkSpec {
     // no records hint on the per-partition appends
     assert(srv.receivedCopySql ==
       """COPY INTO "sys"."target" FROM STDIN USING DELIMITERS ',','\n','"' NULL AS '\\N' LOCKED;""")
+  }
+
+  test("C2 distributed with recordsHint: each partition's COPY carries its exact count") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val srv = new FakeMonetServer("monetdb", "secret", connections = 3)
+    val df = spark.range(0, 30).toDF("id")
+      .withColumn("name", concat(lit("row"), col("id")))
+      .repartition(3) // round-robin → 10 rows per partition
+    MonetSink.copyViaStdinDistributed(df, "127.0.0.1", srv.port,
+      "monetdb", "secret", "demo", "sys", "target", recordsHint = true)
+    srv.awaitDone()
+    assert(srv.receivedRows.size == 30)
+    // every per-partition COPY restored the reference's exact-count
+    // RECORDS pre-allocation hint (CopyTool.java:984-985)
+    assert(srv.receivedCopySqls.size == 3)
+    srv.receivedCopySqls.foreach { sql =>
+      assert(sql.startsWith("""COPY 10 RECORDS INTO "sys"."target" FROM STDIN"""), sql)
+    }
+  }
+
+  test("C1 multi-file COPY SQL lists every part file with the records hint") {
+    assert(MonetSink.copyIntoSqlFiles("sys", "t", Some(42L),
+      Seq("/mnt/shared/part-0.txt", "/mnt/shared/part-1.txt")) ==
+      """COPY 42 RECORDS INTO "sys"."t" FROM '/mnt/shared/part-0.txt', '/mnt/shared/part-1.txt' USING DELIMITERS ',','\n','"' NULL AS '\\N' LOCKED""")
+    intercept[IllegalArgumentException] {
+      MonetSink.copyIntoSqlFiles("sys", "t", None, Seq.empty)
+    }
+  }
+
+  test("C1 execution: distributed part files + one COPY FROM file-list statement") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val srv = new FakeMonetServer("monetdb", "secret")
+    val dir = java.nio.file.Files.createTempDirectory("copyfiles").toString
+    val df = spark.range(0, 12).toDF("id")
+      .withColumn("name", concat(lit("row"), col("id")))
+      .repartition(3)
+    MonetSink.copyViaFiles(df, "127.0.0.1", srv.port, "monetdb", "secret",
+      "demo", "sys", "target", dir, records = Some(12L))
+    srv.awaitDone()
+    val sql = srv.receivedCopySql
+    assert(sql.startsWith("""COPY 12 RECORDS INTO "sys"."target" FROM '"""), sql)
+    // the FROM list names the actual part files Spark wrote
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getAbsolutePath)
+    assert(files.length == 3)
+    files.foreach(f => assert(sql.contains(s"'$f'"), s"$f missing from $sql"))
+    // and the files hold the full CSV payload in the reference dialect
+    val rows = files.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(rows.toSet == (0 until 12).map(i => s""""$i","row$i"""").toSet)
   }
 
   test("authentication failure surfaces the server error") {
