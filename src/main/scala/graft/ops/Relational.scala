@@ -30,6 +30,39 @@ object Relational {
   /** Exact, order-independent sum of a double expression, as double. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Deterministic HLL-shaped distinct estimator, grouped. Stochastic
+    * averaging over the shared h60 space: the top 8 bits pick one of
+    * m=256 buckets, each bucket keeps the MIN of its 52-bit remainder
+    * (an order statistic, like the KMV sketch), and the estimate is the
+    * harmonic combination c²·W / Σ_buckets(min) − c over the c OCCUPIED
+    * buckets — the same light-tailed form HLL uses (2^-register ≈
+    * min/W), which keeps one lucky bucket from dominating. Using c
+    * rather than the register count m is the small-cardinality
+    * correction: at full occupancy (c = m) the two are identical, while
+    * for n ≪ m each occupied bucket holds ~1 value with E[min] ≈ W/2,
+    * so the estimate degrades gracefully to ≈ c — linear counting —
+    * instead of blowing up on the empty registers a true HLL would
+    * correct for. The only non-integer step is a single final double
+    * expression over exact BIGINT sums, so unlike HLL's engine-internal
+    * registers the oracle replays it bit-for-bit. Scale: min() combines
+    * map-side; the only shuffled state is ≤256 (group, bucket) rows per
+    * group — same O(m) footprint as HLL. */
+  def approxDistinct(df: DataFrame, groupCol: String, keyCol: String,
+      outCol: String): DataFrame = {
+    val W = 4503599627370496L // 2^52 remainder space under the 60-bit hash
+    df.select(col(groupCol),
+        graft.text.TextAnalysis.h60(col(keyCol)).as("h"))
+      .select(col(groupCol), expr(s"h div $W").as("bucket"),
+        (col("h") % W + 1).as("w"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(min("w").as("mn"))
+      .groupBy(groupCol)
+      .agg(sum("mn").as("s"), count(lit(1)).as("c"))
+      .select(col(groupCol),
+        ((col("c") * col("c")).cast("double") * lit(W.toDouble) /
+          col("s").cast("double") - col("c").cast("double")).as(outCol))
+  }
+
   /** Time-grid gap fill + forward fill (resample): per key, an hourly
     * grid spanning that key's [first, last] observed bucket; each grid
     * row carries the last observed value at or before it
@@ -500,33 +533,13 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // approximate count distinct — deterministic HLL-shaped estimator.
-    // Stochastic averaging over the shared h60 space: top 8 bits pick one
-    // of m=256 buckets, each bucket keeps the MIN of its 52-bit remainder
-    // (an order statistic, like q121's KMV), and the group estimate is the
-    // harmonic combination m²·W / Σ_buckets(min) − m — the same light-
-    // tailed form HLL uses (2^-register ≈ min/W), which keeps one lucky
-    // bucket from dominating. The only non-integer step is a single final
-    // double division over an exact BIGINT sum, so unlike HLL's
-    // engine-internal registers the oracle replays it bit-for-bit. Exact
-    // countDistinct alongside. Scale: min() combines map-side; the only
-    // shuffled state is ≤256 (flag, bucket) rows per group — same O(m)
-    // footprint as HLL.
+    // approximate count distinct — deterministic HLL-shaped estimator;
+    // see [[approxDistinct]]. Exact countDistinct alongside.
     "q36_approx_count_distinct" -> { (s, d) =>
-      val W = 4503599627370496L // 2^52 remainder space under the 60-bit hash
-      val m = 256
       val li = Tables(s, d, "lineitem")
-      val hb = li.select(col("l_returnflag"),
-          graft.text.TextAnalysis.h60(col("l_partkey").cast("string")).as("h"))
-        .select(col("l_returnflag"), expr(s"h div $W").as("bucket"),
-          (col("h") % W + 1).as("w"))
-      val est = hb.groupBy(col("l_returnflag"), col("bucket"))
-        .agg(min("w").as("mn"))
-        .groupBy("l_returnflag")
-        .agg(sum("mn").as("s"))
-        .select(col("l_returnflag"),
-          (lit(m.toDouble * m * W) / col("s").cast("double") -
-            lit(m.toDouble)).as("approx_parts"))
+      val est = approxDistinct(
+        li.select(col("l_returnflag"), col("l_partkey").cast("string").as("k")),
+        "l_returnflag", "k", "approx_parts")
       val exact = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"))
       est.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
@@ -916,8 +929,8 @@ object Relational {
         |  FROM h GROUP BY 1, 2),
         |est AS (
         |  SELECT l_returnflag,
-        |    CAST(65536 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
-        |      / CAST(SUM(mn) AS DOUBLE) - 256.0 AS approx_parts
+        |    CAST(COUNT(*) * COUNT(*) AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |      / CAST(SUM(mn) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) AS approx_parts
         |  FROM b GROUP BY 1),
         |ex AS (
         |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)

@@ -18,6 +18,13 @@ import java.util.Base64
   *  - missing `mail.server`/`mail.port` → skip with a warning;
   *  - empty subject → default "Error in MSSQL2MonetDB job";
   *  - AUTH only when both username and password are non-blank;
+  *  - STARTTLS before AUTH whenever credentials are configured AND the
+  *    server advertises it (`EmailUtil.java:78` sets
+  *    `mail.smtp.starttls.enable=true` alongside auth; javax.mail's
+  *    enable-not-require semantics: upgrade when offered, proceed in
+  *    plaintext when not) — the socket is rewrapped through
+  *    `SSLSocketFactory` and EHLO is re-sent on the encrypted channel,
+  *    as RFC 3207 §4.2 requires;
   *  - comma-separated `mail.to` recipient list.
   */
 object EmailAlert {
@@ -51,12 +58,27 @@ object EmailAlert {
   case object Sent extends SendResult
   final case class Skipped(reason: String) extends SendResult
 
+  /** RFC 3207 upgrade: wrap the plaintext socket in TLS (client mode)
+    * and complete the handshake. `host` feeds SNI/verification. */
+  def tlsUpgrade(host: String): Socket => Socket = plain => {
+    val factory = javax.net.ssl.SSLSocketFactory.getDefault
+      .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+    val tls = factory.createSocket(plain, host, plain.getPort, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    tls.setUseClientMode(true)
+    tls.startHandshake()
+    tls
+  }
+
   /** Send `message` per the config's policy. `connect` is injectable so
-    * specs can point at a loopback fake. Protocol errors throw (the
-    * reference wraps MessagingException in RuntimeException). */
+    * specs can point at a loopback fake; `upgrade` likewise (the
+    * STARTTLS socket rewrap — identity in specs, real TLS by default).
+    * Protocol errors throw (the reference wraps MessagingException in
+    * RuntimeException). */
   def sendMail(cfg: MailConfig, message: String,
       subject: Option[String] = None,
-      connect: (String, Int) => Socket = new Socket(_, _)): SendResult = {
+      connect: (String, Int) => Socket = new Socket(_, _),
+      upgrade: Option[Socket => Socket] = None): SendResult = {
     if (!cfg.enabled) return Skipped("error mails disabled")
     (cfg.server, cfg.port) match {
       case (Some(server), Some(port)) =>
@@ -64,7 +86,7 @@ object EmailAlert {
         try {
           smtpSession(socket, cfg,
             subject.orElse(cfg.subject).filter(_.nonEmpty).getOrElse(DefaultSubject),
-            message)
+            message, upgrade.getOrElse(tlsUpgrade(server)))
           Sent
         } finally socket.close()
       case _ => Skipped("no e-mail properties set")
@@ -86,34 +108,51 @@ object EmailAlert {
     }
 
   private def smtpSession(socket: Socket, cfg: MailConfig, subject: String,
-      body: String): Unit = {
-    val in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
-    val out = socket.getOutputStream
+      body: String, upgrade: Socket => Socket): Unit = {
+    var in = new BufferedReader(new InputStreamReader(socket.getInputStream, UTF_8))
+    var out: OutputStream = socket.getOutputStream
 
     def send(line: String): Unit = {
       out.write((line + "\r\n").getBytes(UTF_8)); out.flush()
     }
-    /** Read one (possibly multi-line `250-...`) reply; fail outside 2xx/3xx. */
-    def expect(what: String): String = {
+    /** Read one (possibly multi-line `250-...`) reply; fail outside
+      * 2xx/3xx. Returns ALL reply lines (EHLO capability scan). */
+    def expect(what: String): Seq[String] = {
       var line = in.readLine()
       if (line == null) throw new java.io.IOException(s"SMTP: connection closed during $what")
       val code = line.take(3)
+      var all = Vector(line)
       while (line.length > 3 && line.charAt(3) == '-') {
         line = in.readLine()
         // server closing mid `250-` continuation is the same failure as
         // closing before the first line — not an NPE
         if (line == null)
           throw new java.io.IOException(s"SMTP: connection closed during $what")
+        all :+= line
       }
       if (code.isEmpty || (code.charAt(0) != '2' && code.charAt(0) != '3'))
         throw new java.io.IOException(s"SMTP: unexpected reply to $what: $line")
-      line
+      all
     }
 
     expect("greeting")
-    send("EHLO graft"); expect("EHLO")
+    send("EHLO graft")
+    var capabilities = expect("EHLO")
     (cfg.username, cfg.password) match {
       case (Some(u), Some(p)) =>
+        // reference parity: auth configured ⇒ starttls.enable
+        // (EmailUtil.java:78). Enable ≠ require: upgrade only when the
+        // server offers it, like javax.mail.
+        if (capabilities.exists(_.drop(4).trim.equalsIgnoreCase("STARTTLS"))) {
+          send("STARTTLS"); expect("STARTTLS")
+          val tls = upgrade(socket)
+          in = new BufferedReader(new InputStreamReader(tls.getInputStream, UTF_8))
+          out = tls.getOutputStream
+          // RFC 3207 §4.2: the client MUST discard pre-TLS server
+          // knowledge and re-EHLO on the encrypted channel
+          send("EHLO graft")
+          capabilities = expect("EHLO after STARTTLS")
+        }
         send("AUTH LOGIN"); expect("AUTH LOGIN")
         send(Base64.getEncoder.encodeToString(u.getBytes(UTF_8))); expect("username")
         send(Base64.getEncoder.encodeToString(p.getBytes(UTF_8))); expect("password")

@@ -107,16 +107,26 @@ object Similarity {
     * over the query slice (swap in [[lshTopK]]/[[PqIndex]] at corpus
     * scale — the mask logic is unchanged). The anti-join keys on the
     * (query, neighbor) pair, both orientations of the undirected dup
-    * pair. */
+    * pair.
+    *
+    * CONTRACT — best-effort under heavy masking: the ranking fetches
+    * `k + overFetch` candidates per query so a masked row PROMOTES the
+    * next candidate instead of shortening the list; a query with more
+    * than `overFetch` masked near-dups inside its top-(k+overFetch)
+    * therefore returns FEWER than k rows (never wrong rows — the
+    * survivors are still the true best non-duplicates among the
+    * fetched). Size `overFetch` at the expected per-query duplicate
+    * multiplicity of the corpus; an exact guarantee would need the
+    * unbounded full ranking, which is the O(corpus) scan this cap
+    * exists to avoid. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dupThreshold: Double, dim: Int,
-      bits: Int = 2): DataFrame = {
+      bits: Int = 2, overFetch: Int = 8): DataFrame = {
+    require(overFetch >= 0, s"overFetch must be >= 0, got $overFetch")
     val dups = cosineNearDupPairs(corpus, idCol, vecCol, dim, dupThreshold, bits)
     val mask = dups.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
       .unionByName(dups.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
-    // over-fetch k + mask-size headroom, then re-rank after the mask:
-    // a masked row must PROMOTE the next candidate, not shorten the list
-    val fetched = bruteForceTopK(queries, corpus, idCol, vecCol, k + 8)
+    val fetched = bruteForceTopK(queries, corpus, idCol, vecCol, k + overFetch)
       .join(mask, Seq("query_id", "neighbor_id"), "left_anti")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     fetched
@@ -1015,9 +1025,10 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q142 oracle: the q61 brute ranking over-fetched to k+8, the q66
-    * LSH dup-pair graph as a both-orientations mask, anti-join,
-    * re-rank, top-k — the same over-fetch semantics as the Spark op. */
+  /** q142 oracle: the q61 brute ranking over-fetched to k+overFetch
+    * (3+8=11, the op's defaults), the q66 LSH dup-pair graph as a
+    * both-orientations mask, anti-join, re-rank, top-k — the same
+    * best-effort over-fetch semantics as the Spark op. */
   private def q142Oracle: String = {
     val dim = 64
     val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)

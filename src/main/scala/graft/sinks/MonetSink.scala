@@ -279,6 +279,37 @@ object MonetSink {
         "unable to load data: COPY INTO (file), COPY INTO (stdin) and batched INSERT all failed"))
   }
 
+  /** D11/E3 live-DB view switch with the reference's bounded drop retry
+    * (`MonetDBUtil.java:460-497`): MonetDB has had a bug where a view
+    * can exist multiple times under one name, so the drop runs in a
+    * loop — at most `maxDropAttempts` (reference: 10) and only while
+    * the name still exists — choosing DROP TABLE vs DROP VIEW per
+    * iteration, warning from the second attempt on ("should not be
+    * possible"); then the new view is created. A throwing drop
+    * propagates (the reference rethrows its SQLException). Thunk-
+    * injected like [[loadWithCascade]] so the policy is unit-testable
+    * without a live server and reusable over JDBC/MAPI transports
+    * (compose with [[MonetDdl.dropTableSql]]/[[MonetDdl.dropViewSql]]/
+    * [[MonetDdl.createViewSql]] and a statement executor). Returns the
+    * number of drop attempts made. */
+  def dropAndRecreateView(
+      exists: () => Boolean, isTable: () => Boolean,
+      dropTable: () => Unit, dropView: () => Unit,
+      createView: () => Unit,
+      maxDropAttempts: Int = 10,
+      warn: String => Unit = _ => ()): Int = {
+    var i = 0
+    while (i < maxDropAttempts && exists()) {
+      if (i > 0)
+        warn(s"name still exists despite previous DROP (attempt ${i + 1}) — " +
+          "this should not be possible")
+      if (isTable()) dropTable() else dropView()
+      i += 1
+    }
+    createView()
+    i
+  }
+
   /** C3 batched-INSERT path via Spark's JDBC writer; `batchsize` is the
     * reference's `batch.size` (default 10000, `CopyToolConfig.java:44`). */
   def writeJdbc(df: DataFrame, url: String, schema: String, table: String,

@@ -801,3 +801,25 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 }
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approxDistinct: occupancy correction keeps small cardinalities sane") {
+    // 5 distinct keys over 256 registers: the uncorrected m-register
+    // harmonic form (m²·W/Σmin − m) estimates in the MILLIONS here; the
+    // occupied-bucket form must stay in the right order of magnitude
+    val small = (1 to 1000).map(i => ("g", s"key${i % 5}")).toDF("g", "k")
+    val est5 = Relational.approxDistinct(small, "g", "k", "est")
+      .head().getDouble(1)
+    assert(est5 > 1 && est5 < 15, s"estimate $est5 for 5 distinct")
+
+    // mid cardinality (~2000 distinct, registers saturated): the
+    // stochastic-averaging regime, where c = m and the formula reduces
+    // to the classic harmonic combination
+    val big = (1 to 2000).map(i => ("g", s"user-$i")).toDF("g", "k")
+    val est2k = Relational.approxDistinct(big, "g", "k", "est")
+      .head().getDouble(1)
+    assert(math.abs(est2k - 2000) / 2000.0 < 0.30, s"estimate $est2k for 2000 distinct")
+  }
+}

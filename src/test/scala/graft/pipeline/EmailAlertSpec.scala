@@ -12,7 +12,8 @@ class EmailAlertSpec extends AnyFunSuite {
   import EmailAlert._
 
   /** One-connection fake SMTP server; records the full client dialogue. */
-  private final class FakeSmtp(failRcpt: Boolean = false) {
+  private final class FakeSmtp(failRcpt: Boolean = false,
+      advertiseStartTls: Boolean = false) {
     val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
     @volatile var lines: Vector[String] = Vector.empty
     val thread = new Thread(() => {
@@ -28,7 +29,11 @@ class EmailAlertSpec extends AnyFunSuite {
         if (inData) {
           if (line == ".") { inData = false; reply("250 OK queued") }
         } else line.takeWhile(_ != ' ') match {
-          case "EHLO" => reply("250-fake"); reply("250 AUTH LOGIN")
+          case "EHLO" =>
+            reply("250-fake")
+            if (advertiseStartTls) reply("250-STARTTLS")
+            reply("250 AUTH LOGIN")
+          case "STARTTLS" => reply("220 ready for TLS")
           case "AUTH" => reply("334 VXNlcm5hbWU6")
           case "DATA" => inData = true; reply("354 go ahead")
           case "QUIT" => reply("221 bye"); s.close()
@@ -85,6 +90,48 @@ class EmailAlertSpec extends AnyFunSuite {
     assert(sendMail(cfg2, "m", connect = srv2.connect) == Sent)
     srv2.thread.join(5000)
     assert(!srv2.lines.exists(_.startsWith("AUTH")))
+  }
+
+  test("STARTTLS: EHLO → STARTTLS → EHLO → AUTH ordering when advertised + creds") {
+    val srv = new FakeSmtp(advertiseStartTls = true)
+    val cfg = fromProps(baseProps(srv.port) ++
+      Map("mail.username" -> "u", "mail.password" -> "p"))
+    var upgraded = false
+    // identity upgrade: the fake can't speak TLS; the ordering and the
+    // rewrap hook firing are what the RFC 3207 flow requires
+    val r = sendMail(cfg, "m", connect = srv.connect,
+      upgrade = Some(s => { upgraded = true; s }))
+    srv.thread.join(5000)
+    assert(r == Sent && upgraded)
+    val d = srv.lines
+    val ehlos = d.zipWithIndex.collect { case (l, i) if l.startsWith("EHLO") => i }
+    val startTls = d.indexOf("STARTTLS")
+    val auth = d.indexOf("AUTH LOGIN")
+    // EHLO, then STARTTLS, then a SECOND EHLO on the upgraded channel,
+    // and only then AUTH (EmailUtil.java:78 parity; RFC 3207 §4.2)
+    assert(ehlos.size == 2, s"expected 2 EHLOs, dialogue: $d")
+    assert(ehlos.head < startTls && startTls < ehlos(1) && ehlos(1) < auth)
+  }
+
+  test("STARTTLS skipped when the server does not advertise it (enable, not require)") {
+    val srv = new FakeSmtp() // no STARTTLS capability
+    val cfg = fromProps(baseProps(srv.port) ++
+      Map("mail.username" -> "u", "mail.password" -> "p"))
+    val r = sendMail(cfg, "m", connect = srv.connect,
+      upgrade = Some(_ => fail("must not upgrade")))
+    srv.thread.join(5000)
+    assert(r == Sent)
+    assert(!srv.lines.contains("STARTTLS"))
+    assert(srv.lines.contains("AUTH LOGIN"))
+  }
+
+  test("STARTTLS not attempted without credentials even when advertised") {
+    val srv = new FakeSmtp(advertiseStartTls = true)
+    val cfg = fromProps(baseProps(srv.port)) // no creds
+    assert(sendMail(cfg, "m", connect = srv.connect,
+      upgrade = Some(_ => fail("must not upgrade"))) == Sent)
+    srv.thread.join(5000)
+    assert(!srv.lines.contains("STARTTLS") && !srv.lines.exists(_.startsWith("AUTH")))
   }
 
   test("policy: disabled → skip; missing server/port → skip with warning") {

@@ -1,0 +1,54 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Direct operator-contract tests for [[Similarity]] — the query surface
+  * is oracle-checked (q61/q66/q142 …); these pin the documented edge
+  * semantics the sf data never exercises. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // one query vector, `nDups` exact copies (cos 1 → masked near-dups),
+  // five genuine hard negatives at cos 0.8
+  private def corpus(nDups: Int) = {
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val neg = Seq(0.8f, 0.6f, 0.0f, 0.0f)
+    ((0L, q) +: (1 to nDups).map(i => (i.toLong, q)) :+
+      (11L, neg) :+ (12L, neg) :+ (13L, neg) :+ (14L, neg) :+ (15L, neg))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("hardNegatives: masked rows promote the next candidate, not shorten the list") {
+    val c = corpus(nDups = 6)
+    val got = Similarity.hardNegatives(
+        c.filter(col("vec_id") === 0), c, "vec_id", "embedding",
+        k = 3, dupThreshold = 0.9, dim = 4, bits = 2, overFetch = 8)
+      .orderBy("rnk").collect()
+    // the 6 masked copies are skipped; ranks 1..3 are the true negatives
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 11L), (2L, 12L), (3L, 13L)))
+  }
+
+  test("hardNegatives: >overFetch masked near-dups under-return (documented best-effort)") {
+    val c = corpus(nDups = 6)
+    // overFetch=2 → fetch top-5; all 5 fetched are masked copies → the
+    // query returns ZERO rows. This is the contract's documented failure
+    // mode — never wrong rows, possibly fewer.
+    val starved = Similarity.hardNegatives(
+        c.filter(col("vec_id") === 0), c, "vec_id", "embedding",
+        k = 3, dupThreshold = 0.9, dim = 4, bits = 2, overFetch = 2)
+      .collect()
+    assert(starved.isEmpty)
+    // sizing overFetch at the duplicate multiplicity restores the full k
+    val healed = Similarity.hardNegatives(
+        c.filter(col("vec_id") === 0), c, "vec_id", "embedding",
+        k = 3, dupThreshold = 0.9, dim = 4, bits = 2, overFetch = 6)
+      .collect()
+    assert(healed.length == 3)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(c, c, "vec_id", "embedding",
+        k = 3, dupThreshold = 0.9, dim = 4, overFetch = -1)
+    }
+  }
+}

@@ -82,6 +82,56 @@ class MonetDdlSpec extends AnyFunSuite {
     assert(chooseLoadMethod(Some(CopyIntoFromStdin), freshTable = false) == CopyIntoFromStdin)
   }
 
+  test("D11 view switch: bounded drop retry, table-vs-view choice, create after") {
+    import MonetSink.dropAndRecreateView
+    // normal case: one existing view → 1 drop, then create
+    var log = Vector.empty[String]
+    def rec(name: String): () => Unit = () => log :+= name
+    var remaining = 1
+    assert(dropAndRecreateView(
+      exists = () => remaining > 0, isTable = () => false,
+      dropTable = rec("dropTable"),
+      dropView = () => { log :+= "dropView"; remaining -= 1 },
+      createView = rec("create")) == 1)
+    assert(log == Vector("dropView", "create"))
+
+    // phantom duplicate views (the MonetDB bug): drops until gone, warns
+    // from the second attempt on
+    log = Vector.empty; remaining = 3
+    var warns = 0
+    assert(dropAndRecreateView(
+      exists = () => remaining > 0, isTable = () => false,
+      dropTable = rec("dropTable"),
+      dropView = () => { log :+= "dropView"; remaining -= 1 },
+      createView = rec("create"), warn = _ => warns += 1) == 3)
+    assert(log == Vector("dropView", "dropView", "dropView", "create") && warns == 2)
+
+    // never-vanishing name: capped at 10 attempts (MonetDBUtil.java:462)
+    log = Vector.empty
+    assert(dropAndRecreateView(
+      exists = () => true, isTable = () => true,
+      dropTable = rec("dropTable"), dropView = rec("dropView"),
+      createView = rec("create")) == 10)
+    assert(log.count(_ == "dropTable") == 10 && log.last == "create")
+
+    // nothing to drop: straight to create
+    log = Vector.empty
+    assert(dropAndRecreateView(
+      exists = () => false, isTable = () => fail("must not be consulted"),
+      dropTable = rec("dropTable"), dropView = rec("dropView"),
+      createView = rec("create")) == 0)
+    assert(log == Vector("create"))
+
+    // a throwing drop propagates (reference rethrows its SQLException)
+    intercept[RuntimeException] {
+      dropAndRecreateView(
+        exists = () => true, isTable = () => false,
+        dropTable = rec("dropTable"),
+        dropView = () => throw new RuntimeException("locked"),
+        createView = rec("create"))
+    }
+  }
+
   test("catalog DDL strings (D1/D2/D8-D11, E4)") {
     assert(MonetDdl.existsSql("sys", "My Table").contains("name = 'my_table'"))
     assert(MonetDdl.isTableSql("sys", "t").contains("query IS NULL"))
