@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** sf1 soak-data generator (dev tool, NOT part of the library surface).
+  *
+  * The driver ships sf0.001/0.01/0.1 only; the 100×-scale claims in
+  * PLANS.md deserve at least one measured decade, so this tool builds a
+  * ~10× corpus from sf0.1 deterministically (no RNG — re-runs are
+  * byte-stable):
+  *
+  *  - dimensions (region/nation/customer/supplier/part) copy unchanged —
+  *    like a real warehouse, dims grow far slower than facts;
+  *  - fact tables replicate 10× with non-overlapping key offsets
+  *    (orders⋈lineitem keys shift together so joins stay sound);
+  *  - `documents.text` gets a per-copy token suffix (`tok` → `tok_i`),
+  *    giving each copy a DISJOINT vocabulary: dedup/minhash/LSH see the
+  *    same within-copy duplicate structure as sf0.1 — scaled 10× — and
+  *    no artificial cross-copy duplicates (10 exact copies of every doc
+  *    would turn the soak into a pathological 90%-dup-rate benchmark);
+  *  - `embeddings.embedding` circularly shifts its dims by the copy
+  *    index: norms and pairwise-distance distribution are preserved,
+  *    vectors are genuinely distinct, ANN cell occupancy stays balanced.
+  *
+  * Output dir (default `/root/repo/.sf1`) is gitignored.
+  */
+object GenSf1 {
+
+  private val Copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dst = args.headOption.getOrElse("/root/repo/.sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+      println(s"[gen-sf1] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // dimensions: unchanged
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(Tables(spark, src, t), t))
+
+    def replicated(name: String)(perCopy: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = Tables(spark, src, name)
+      (0 until Copies).map(i => perCopy(base, i)).reduce(_ unionByName _)
+    }
+
+    write(replicated("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000L))
+    }, "orders")
+
+    write(replicated("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000L))
+    }, "lineitem")
+
+    write(replicated("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 1000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000L))
+    }, "events")
+
+    write(replicated("documents") { (df, i) =>
+      val text = if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i"))), " ")
+      df.withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+
+    write(replicated("embeddings") { (df, i) =>
+      val emb = if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, 64 - i),
+          slice(col("embedding"), 1, i))
+      df.withColumn("vec_id", col("vec_id") + lit(i * 100000L))
+        .withColumn("embedding", emb)
+    }, "embeddings")
+
+    spark.stop()
+  }
+}
