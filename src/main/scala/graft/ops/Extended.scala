@@ -376,40 +376,76 @@ object Extended {
   /** Exact interpolated quantiles per group, DISTRIBUTED form. Spark's
     * `percentile` ImperativeAggregate buffers a value→count map per
     * group on the reducer; distinct values grow with data size, so at
-    * 100× that map is the bottleneck. This form instead ranks each
-    * group with row_number over a window sort (spillable, memory-
-    * bounded), broadcasts the tiny per-group counts, keeps only the
+    * 100× that map is the bottleneck. This form instead ranks with
+    * row_number over a window sort (spillable, memory-bounded),
+    * broadcasts the tiny per-(group, column) counts, keeps only the
     * two rows flanking each target rank pos = q·(n−1), and
     * interpolates lo + (hi − lo)·(pos − ⌊pos⌋) — quantile_cont's
     * formula, no unbounded aggregation buffer anywhere in the plan.
     * When pos lands exactly on a rank (including every single-row
     * group, where pos = 0 and rank ⌊pos⌋+2 does not exist), frac is 0
     * and hi is coalesced to lo so the result is lo itself — the same
-    * answer quantile_cont gives. Output: one row per group with one
-    * column per (name, q) pair. */
-  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame = {
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(groupCol).orderBy(col("v"))
-    var ranked = df.select(col(groupCol), col(valueCol).cast("double").as("v"))
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), Seq(groupCol))
-    for ((name, q) <- qs) {
+    * answer quantile_cont gives.
+    *
+    * Multi-column form: the value columns are MELTED (`stack`) into
+    * (group, vc, v) rows, then COMPRESSED to the distinct-value
+    * distribution — groupBy(group, vc, v) with counts combines
+    * map-side, so the shuffle and the window sort carry one row per
+    * DISTINCT value, not one per input row (real measures compress
+    * hugely: 6M lineitem rows → ~50 distinct quantities and ~100k
+    * distinct prices per group). Ranks come back as cumulative-count
+    * ranges ([cum−cnt+1, cum] is the run of ranks value v occupies in
+    * the uncompressed ordering), and a target rank r picks the value
+    * whose range contains it. One scan of the source, one tiny sort,
+    * the same interpolated result. The round-8 per-row window form was
+    * 5 shuffles / 3 broadcasts and sorted every row twice; this is 3
+    * shuffles / 1 broadcast over the compressed domain.
+    * Null values are excluded per column, as quantile_cont does.
+    * Output: one row per group with one column per (name, q) pair
+    * across all specs. */
+  def groupedQuantiles(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.flatMap(_._2).nonEmpty, "no quantiles requested")
+    val stackSql = specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
+      .mkString(s"stack(${specs.size}, ", ", ", ") as (vc, v)")
+    val melted = df.selectExpr(s"`$groupCol`", stackSql)
+      .filter(col("v").isNotNull)
+    val compressed = melted.groupBy(col(groupCol), col("vc"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = compressed.groupBy(groupCol, "vc").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy(col(groupCol), col("vc")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var ranked = compressed
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("first", col("cum") - col("cnt") + 1)
+      .join(broadcast(counts), Seq(groupCol, "vc"))
+    val flat = specs.flatMap { case (c, qs) => qs.map { case (n, q) => (c, n, q) } }
+    for ((c, name, q) <- flat) {
       ranked = ranked
-        .withColumn(s"pos_$name", lit(q) * (col("n") - 1).cast("double"))
+        .withColumn(s"pos_$name",
+          when(col("vc") === c, lit(q) * (col("n") - 1).cast("double")))
         .withColumn(s"lo_$name", floor(col(s"pos_$name")))
     }
-    val keep = qs.map { case (name, _) =>
-      col("rn") === col(s"lo_$name") + 1 || col("rn") === col(s"lo_$name") + 2
+    // pos/lo are null on other columns' rows, so every comparison below
+    // is false there — each spec only ever sees its own column's ranks
+    def holds(rank: Column): Column =
+      col("first") <= rank && rank <= col("cum")
+    val keep = flat.map { case (_, name, _) =>
+      holds(col(s"lo_$name") + 1) || holds(col(s"lo_$name") + 2)
     }.reduce(_ || _)
-    val aggs = qs.map { case (name, _) =>
-      val vLo = max(when(col("rn") === col(s"lo_$name") + 1, col("v")))
-      val vHi = max(when(col("rn") === col(s"lo_$name") + 2, col("v")))
+    val aggs = flat.map { case (_, name, _) =>
+      val vLo = max(when(holds(col(s"lo_$name") + 1), col("v")))
+      val vHi = max(when(holds(col(s"lo_$name") + 2), col("v")))
       val frac = max(col(s"pos_$name") - col(s"lo_$name"))
       (vLo + (coalesce(vHi, vLo) - vLo) * frac).as(name)
     }
     ranked.filter(keep).groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Single-column convenience over the melt form. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame =
+    groupedQuantiles(df, groupCol, Seq(valueCol -> qs))
 
   val queries: Map[String, Q] = Map(
     // z-order clustering effectiveness: bucket lineitem by the top bits
@@ -574,21 +610,21 @@ object Extended {
     },
 
     // exact percentiles (interpolated), grouped — the distributed
-    // window-rank form; see [[groupedQuantiles]] for the scale story.
-    // Outputs are rounded at scale 6 on BOTH sides: the true values
-    // carry ≤4 decimals (2-decimal measures × {0,.1,.25,.5,.75,.9}
-    // fracs), so rounding never lands on a tie and erases the last-ulp
-    // drift between our lo+(hi−lo)·frac and DuckDB's quantile_cont
-    // interpolation order.
+    // melt + window-rank form (ONE lineitem scan, ONE sort shuffle for
+    // both value columns); see [[groupedQuantiles]] for the scale
+    // story. Outputs are rounded at scale 6 on BOTH sides: the true
+    // values carry ≤4 decimals (2-decimal measures × {0,.1,.25,.5,
+    // .75,.9} fracs), so rounding never lands on a tie and erases the
+    // last-ulp drift between our lo+(hi−lo)·frac and DuckDB's
+    // quantile_cont interpolation order.
     "q85_percentiles" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           col("l_quantity").cast("double").as("qty"),
           col("l_extendedprice").cast("double").as("price"))
-      groupedQuantiles(li, "flag", "qty",
-          Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9))
-        .join(groupedQuantiles(li, "flag", "price",
-          Seq("p25_price" -> 0.25)), Seq("flag"))
+      groupedQuantiles(li, "flag", Seq(
+          "qty" -> Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9),
+          "price" -> Seq("p25_price" -> 0.25)))
         .select(col("flag").as("l_returnflag"),
           round(col("p50_qty"), 6).as("p50_qty"),
           round(col("p90_qty"), 6).as("p90_qty"),

@@ -41,6 +41,36 @@ class ExtendedSpec extends SparkSpec {
     assert(got("c") == ((15.0, 19.0)))     // midpoint; 10+0.9·10
   }
 
+  test("groupedQuantiles: multi-column melt ranks every column in one pass, nulls excluded") {
+    val df = Seq(
+      ("a", Some(1.0), Some(10.0)), ("a", Some(2.0), Some(20.0)),
+      ("a", Some(3.0), None),        // null y excluded from y's ranking only
+      ("b", Some(5.0), Some(50.0))).toDF("g", "x", "y")
+    val got = Extended.groupedQuantiles(df, "g", Seq(
+        "x" -> Seq("x50" -> 0.5, "x100" -> 1.0),
+        "y" -> Seq("y50" -> 0.5)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // x over {1,2,3}: p50=2, p100=3; y over {10,20} (null dropped): p50=15
+    assert(got("a") == ((2.0, 3.0, 15.0)))
+    assert(got("b") == ((5.0, 5.0, 50.0)))
+    intercept[IllegalArgumentException] {
+      Extended.groupedQuantiles(df, "g", Seq.empty)
+    }
+  }
+
+  test("groupedQuantiles: duplicate runs rank correctly through the compressed form") {
+    // [1,1,1,2]: the compressed row for v=1 occupies ranks 1..3 — both
+    // flanks of p50 (ranks 2,3) land INSIDE that run, and p75's flanks
+    // (3,4) straddle the run boundary
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 2.0)).toDF("g", "v")
+    val got = Extended.groupedQuantiles(df, "g", "v",
+        Seq("p50" -> 0.5, "p75" -> 0.75))
+      .head()
+    assert(got.getDouble(1) == 1.0)   // both flanks in the v=1 run
+    assert(got.getDouble(2) == 1.25)  // 1 + (2-1)·0.25 across the boundary
+  }
+
   test("intervalJoinBinned: oversized span fails fast, not OOM") {
     val points = Seq((1L, 5L)).toDF("pid", "t")
     val ivs = Seq((100L, 0L, Long.MaxValue - 1)).toDF("iv", "s", "e") // sentinel
