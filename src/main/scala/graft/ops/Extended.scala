@@ -406,6 +406,8 @@ object Extended {
   def groupedQuantiles(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
     require(specs.nonEmpty && specs.flatMap(_._2).nonEmpty, "no quantiles requested")
+    require(!Set("vc", "v", "cnt", "cum", "first", "n").contains(groupCol),
+      s"groupCol '$groupCol' collides with an internal column name")
     val stackSql = specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
       .mkString(s"stack(${specs.size}, ", ", ", ") as (vc, v)")
     val melted = df.selectExpr(s"`$groupCol`", stackSql)

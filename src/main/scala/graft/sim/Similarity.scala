@@ -82,9 +82,23 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** `bits` sizing for the LSH pair scans: per-bucket population is
+    * ~corpus/2^bits and the within-bucket pair scan is quadratic in it,
+    * so hold bucket size constant as the corpus grows —
+    * bits ≈ log₂(corpus / targetBucket), clamped to [1, 24]. The sf1
+    * soak measured exactly this effect: fixed bits=4 at 10× corpus →
+    * 6-8× pair-scan cost (BASELINE.md round 9). */
+  def suggestedLshBits(corpusSize: Long, targetBucket: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetBucket > 0)
+    val bits = math.ceil(math.log(corpusSize.toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(1, bits))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (pairs in different buckets are missed — the standard
-    * recall/cost trade; raise `bits` for cost, lower for recall). */
+    * recall/cost trade; raise `bits` for cost, lower for recall; size
+    * it with [[suggestedLshBits]] as the corpus grows). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int = 4): DataFrame = {
     val keyed = df.select(col(idCol), col(vecCol),

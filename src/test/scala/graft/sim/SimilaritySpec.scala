@@ -19,6 +19,15 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("suggestedLshBits holds bucket size constant as the corpus grows") {
+    assert(Similarity.suggestedLshBits(2000) == 1)      // tiny corpus → min
+    assert(Similarity.suggestedLshBits(1024 * 16) == 4)
+    // 10× the corpus → +log2(10) ≈ +3.3 → +4 bits, same bucket size
+    assert(Similarity.suggestedLshBits(1024L * 16 * 10) == 8)
+    assert(Similarity.suggestedLshBits(Long.MaxValue) == 24) // clamped
+    intercept[IllegalArgumentException](Similarity.suggestedLshBits(0))
+  }
+
   test("hardNegatives: masked rows promote the next candidate, not shorten the list") {
     val c = corpus(nDups = 6)
     val got = Similarity.hardNegatives(
