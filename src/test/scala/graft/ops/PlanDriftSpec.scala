@@ -39,6 +39,12 @@ class PlanDriftSpec extends SparkSpec {
     // runtime), final agg + output sort. Sort volume is bounded by the
     // distinct-value domain, not the row count — sf0.1→sf1 measured
     // ratio dropped 5.1× → 1.7× (BASELINE.md round-9 soak).
+    // sf1-soak cost centers (BASELINE round 9): the LSH pair scans and
+    // the multimodal codec boundary — pinned so a lost broadcast or an
+    // extra exchange on these can't hide inside their already-heavy cost
+    "q66_embedding_near_dups" -> PlanMetrics(2, 1, pushedFilters = true,  prunedSchema = true),
+    "q67_cosine_rewrite"      -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
+    "q70_multimodal_meta"     -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q85_percentiles"         -> PlanMetrics(6, 1, pushedFilters = true,  prunedSchema = true),
     "q86_approx_percentiles"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     "q87_json_extract"        -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
