@@ -189,16 +189,26 @@ object TextAnalysis {
     * across math libraries — floor of an IEEE division does not).
     * Low-probability word sequences (gibberish, boilerplate soup) score
     * near 0; predictable prose scores high. The LM is the corpus itself:
-    * two aggregation passes and two broadcast-joinable count tables. */
+    * two aggregation passes and two broadcast-joinable count tables.
+    *
+    * Bigrams are formed MAP-SIDE by zipping the token array with its
+    * own tail (`arrays_zip(toks[0:n−1], toks[1:n])`) — consecutive
+    * pairs need no ordering beyond the array itself, so the old
+    * posexplode + per-document window-sort subtree (a full-stream sort
+    * shuffle, recomputed for each of its three consumers) is gone;
+    * every shuffle left in the plan is a map-side-combining count
+    * aggregation or the final per-document rollup. */
   def bigramFluency(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val tok = docs.select(col(idCol), posexplode(tokens(lower(col(textCol)))))
-      .withColumnRenamed("col", "tok")
-    val bg = tok.withColumn("next", lead(col("tok"), 1).over(w))
-      .filter(col("next").isNotNull)
+    val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("toks"))
+    val nPairs = greatest(size(col("toks")) - 1, lit(0))
+    val bg = toks.select(col(idCol), explode(arrays_zip(
+        slice(col("toks"), lit(1), nPairs).as("tok"),
+        slice(col("toks"), lit(2), nPairs).as("next"))).as("p"))
+      .select(col(idCol), col("p.tok").as("tok"), col("p.next").as("next"))
     val uni = bg.groupBy("tok").agg(count(lit(1)).as("c1"))
     val bi = bg.groupBy("tok", "next").agg(count(lit(1)).as("c2"))
-    val vocab = tok.select(countDistinct(col("tok")).as("v"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
     val scored = bg.join(bi, Seq("tok", "next")).join(uni, Seq("tok"))
       .crossJoin(broadcast(vocab))
       .withColumn("p_fp",

@@ -28,7 +28,10 @@ class PlanDriftSpec extends SparkSpec {
     "q03_filter_pushdown"     -> PlanMetrics(1, 0, pushedFilters = true,  prunedSchema = true),
     "q08_star_join_revenue"   -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
     "q18_topk_orders"         -> PlanMetrics(0, 0, pushedFilters = false, prunedSchema = false),
-    "q49_bigram_fluency"      -> PlanMetrics(7, 4, pushedFilters = true,  prunedSchema = true),
+    // 5/4 since round 9: bigrams zip map-side (arrays_zip with the
+    // array's own tail), dropping the per-document window-sort shuffle
+    // the old posexplode+lead form recomputed for all three consumers
+    "q49_bigram_fluency"      -> PlanMetrics(5, 4, pushedFilters = true,  prunedSchema = true),
     "q53_minhash_lsh_pairs"   -> PlanMetrics(9, 5, pushedFilters = true,  prunedSchema = true),
     "q58_exact_corr"          -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
     "q65_ann_ivf_topk"        -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
