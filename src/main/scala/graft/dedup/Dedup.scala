@@ -728,7 +728,7 @@ object Dedup {
     // billions of large ids — exactly the scale this operator targets
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
 
     // symmetrize via explode(array(fwd, rev)) — ONE pass over the pair
     // list (a union of forward + reversed would reference the whole

@@ -172,7 +172,7 @@ object MonetSink {
       when(col(f.name).isNull, lit("\\N"))
         .otherwise(concat(lit("\""), escaped, lit("\"")))
     }
-    concat(cells.flatMap(c => Seq(lit(","), c)).drop(1): _*)
+    concat(cells.toIndexedSeq.flatMap(c => Seq(lit(","), c)).drop(1): _*)
   }
 
   /** C2 execution: stream the DataFrame through one MAPI socket as
