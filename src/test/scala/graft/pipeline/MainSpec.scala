@@ -191,6 +191,38 @@ class MainSpec extends SparkSpec {
     assert(Publish.findNewestVersion(s"$base/target", "region_out").isEmpty)
   }
 
+  test("copymethod=copyinto + copydir drives the multi-file COPY (C1) from properties") {
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret")
+    val base = Files.createTempDirectory("main_copydir")
+    val copyDir = Files.createTempDirectory("main_copydir_mount")
+    val cfg = writeConfig(base, "copydir.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |graft.monet.copydir = $copyDir
+         |monetdb.server = 127.0.0.1
+         |monetdb.port = ${srv.port}
+         |monetdb.database = demo
+         |monetdb.user = monetdb
+         |monetdb.password = secret
+         |table.region.from = region
+         |table.region.to = region_out
+         |table.region.copymethod = copyinto
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    srv.awaitDone()
+    // the FILE branch won: one COPY ... FROM '<part files>' with the
+    // staged manifest's exact count, not FROM STDIN
+    val sql = srv.receivedCopySql
+    assert(sql != null && sql.startsWith("""COPY 5 RECORDS INTO "sys"."region_out" FROM '"""), sql)
+    assert(!sql.contains("STDIN"))
+    assert(sql.contains(copyDir.toString))
+    // and the part files on the "shared mount" hold the rows
+    val rows = new java.io.File(copyDir.toString).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(rows.length == 5)
+  }
+
   test("copymethod=copyinto cascades to batched INSERT when every COPY fails") {
     // forced failure: the fake server rejects COPY statements, so both
     // COPY attempts die and the cascade lands on the distributed JDBC
