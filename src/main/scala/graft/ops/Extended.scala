@@ -408,6 +408,11 @@ object Extended {
     require(specs.nonEmpty && specs.flatMap(_._2).nonEmpty, "no quantiles requested")
     require(!Set("vc", "v", "cnt", "cum", "first", "n").contains(groupCol),
       s"groupCol '$groupCol' collides with an internal column name")
+    val names = specs.flatMap(_._2.map(_._1))
+    require(names.distinct.size == names.size,
+      s"duplicate quantile output names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    specs.flatMap(_._2.map(_._2)).foreach(q =>
+      require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0, 1], got $q"))
     val stackSql = specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
       .mkString(s"stack(${specs.size}, ", ", ", ") as (vc, v)")
     val melted = df.selectExpr(s"`$groupCol`", stackSql)

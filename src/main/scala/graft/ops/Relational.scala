@@ -50,8 +50,10 @@ object Relational {
   def approxDistinct(df: DataFrame, groupCol: String, keyCol: String,
       outCol: String): DataFrame = {
     val W = 4503599627370496L // 2^52 remainder space under the 60-bit hash
+    // cast-to-string inside the operator: h60 is md5-based (string or
+    // binary input only), and a numeric key is the common call
     df.select(col(groupCol),
-        graft.text.TextAnalysis.h60(col(keyCol)).as("h"))
+        graft.text.TextAnalysis.h60(col(keyCol).cast("string")).as("h"))
       .select(col(groupCol), expr(s"h div $W").as("bucket"),
         (col("h") % W + 1).as("w"))
       .groupBy(col(groupCol), col("bucket"))

@@ -59,13 +59,20 @@ object EmailAlert {
   final case class Skipped(reason: String) extends SendResult
 
   /** RFC 3207 upgrade: wrap the plaintext socket in TLS (client mode)
-    * and complete the handshake. `host` feeds SNI/verification. */
+    * and complete the handshake. `host` feeds SNI AND endpoint
+    * identification — without the explicit
+    * `setEndpointIdentificationAlgorithm`, `startHandshake` validates
+    * only the chain, so ANY CA-signed certificate (for any hostname)
+    * would pass and AUTH credentials would flow to a MITM. */
   def tlsUpgrade(host: String): Socket => Socket = plain => {
     val factory = javax.net.ssl.SSLSocketFactory.getDefault
       .asInstanceOf[javax.net.ssl.SSLSocketFactory]
     val tls = factory.createSocket(plain, host, plain.getPort, true)
       .asInstanceOf[javax.net.ssl.SSLSocket]
     tls.setUseClientMode(true)
+    val params = tls.getSSLParameters
+    params.setEndpointIdentificationAlgorithm("HTTPS")
+    tls.setSSLParameters(params)
     tls.startHandshake()
     tls
   }

@@ -222,18 +222,18 @@ object PropertiesConfig {
     * production MonetDB needs only the reference's own `monetdb.*` block. */
   def publishModeFor(parsed: Parsed, props: Map[String, String],
       t: TableDef): Option[CopyJob.PublishMode] =
-    parsed.target.map { tgt =>
-      val url = props.getOrElse("graft.jdbc.url",
-        SqlGen.monetDbUrl(tgt.server, tgt.database))
-      val batch = props.get("batch.size").flatMap(_.toIntOption).getOrElse(10000)
+    // URL + batch-size policy lives in ONE place — jdbcLoadMode — so the
+    // cascade's INSERT fallback and the plain INSERT mode cannot drift
+    jdbcLoadMode(parsed, props).map { jdbc =>
+      val tgt = parsed.target.get
       t.copyMethod.map(_.toLowerCase) match {
         case Some("copyinto") =>
           CopyJob.MonetLoad(tgt.server, tgt.port.getOrElse(50000),
             tgt.user, tgt.password, tgt.database, t.schema,
-            jdbcUrl = url, batchSize = batch,
+            jdbcUrl = jdbc.url, batchSize = jdbc.batchSize,
             configured = Some(graft.sinks.MonetSink.CopyIntoFromFile),
             copyDir = props.get("graft.monet.copydir"))
-        case _ => CopyJob.JdbcLoad(url, batch)
+        case _ => jdbc
       }
     }
 

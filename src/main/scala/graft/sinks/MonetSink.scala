@@ -130,24 +130,46 @@ object MonetSink {
   }
 
   /** C1 execution at cluster scale: CSV formatting AND file writes are
-    * distributed (one part file per partition landed in `dir`, which
-    * must be a directory the MonetDB server can read — a shared mount),
-    * then ONE `COPY INTO ... FROM 'part1','part2',...` runs over a
-    * single MAPI connection with the exact-count RECORDS hint
-    * (`CopyTool.java:984-991`). This is the reference's fastest load
-    * path without its driver-side CSV bottleneck: the driver never
-    * formats or moves a row, it only issues the final statement. */
+    * distributed (one part file per partition landed under
+    * `dir/<schema>.<table>` — `dir` is a directory the MonetDB server
+    * can read, a shared mount; the per-table subdirectory keeps
+    * concurrent table loads from clobbering each other's files and the
+    * Overwrite away from anything else on the mount), then ONE
+    * `COPY INTO ... FROM 'part1','part2',...` runs over a single MAPI
+    * connection with the exact-count RECORDS hint
+    * (`CopyTool.java:984-991`). After a successful COPY the staged CSV
+    * is deleted, like the reference's temp-file cleanup
+    * (`CopyTool.java:698-704` temp handling); pass `cleanup = false`
+    * to keep it (debugging, or inspection in specs). This is the
+    * reference's fastest load path without its driver-side CSV
+    * bottleneck: the driver never formats or moves a row, it only
+    * issues the final statement. */
   def copyViaFiles(df: DataFrame, host: String, port: Int, user: String,
       password: String, database: String, schema: String, table: String,
-      dir: String, records: Option[Long] = None, locked: Boolean = true): Unit = {
+      dir: String, records: Option[Long] = None, locked: Boolean = true,
+      cleanup: Boolean = true): Unit = {
+    val tableDir = new java.io.File(dir,
+      s"${Identifiers.normalize(schema)}.${Identifiers.normalize(table)}")
     df.select(csvLine(df).as("line"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(dir)
-    val files = new java.io.File(dir).listFiles()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .text(tableDir.getPath)
+    val listed = tableDir.listFiles()
+    if (listed == null)
+      throw new IllegalStateException(
+        s"COPY INTO FROM file: '$tableDir' is not a readable local directory " +
+          "on the driver — graft.monet.copydir must name a shared mount " +
+          "visible to both the Spark driver and the MonetDB server")
+    val files = listed
       .filter(f => f.isFile && f.getName.startsWith("part-"))
       .map(_.getAbsolutePath).sorted.toSeq
     val client = MapiClient.connect(host, port, user, password, database)
     try client.query(copyIntoSqlFiles(schema, table, records, files, locked))
     finally client.close()
+    if (cleanup) {
+      tableDir.listFiles().foreach(_.delete())
+      tableDir.delete()
+      ()
+    }
   }
 
   /** C4 load-method selection: the reference cascades
@@ -213,9 +235,14 @@ object MonetSink {
     * RECORDS` pre-allocation (`CopyTool.java:984-985`) on this path:
     * per-COPY counts differ per partition, so an extra counting pass
     * runs first (cheap — it never formats CSV) and each partition's
-    * COPY carries its own exact count. Sound because the projection is
-    * narrow: the count pass and the stream pass see identical
-    * partition boundaries of the same deterministic scan.
+    * COPY carries its own exact count. PRECONDITION: `df` must be
+    * DETERMINISTIC under recomputation (a file scan / staged parquet —
+    * the pipeline caller — qualifies; `sample()`, `rand()`-derived
+    * filters, or non-deterministic UDFs upstream do not). The count
+    * pass and the stream pass are two executions of the same plan; if
+    * partition contents differ between them, an understated hint makes
+    * the server stop reading at n records and silently drop the rest —
+    * leave `recordsHint` off for any df you can't vouch for.
     *
     * Delivery is AT-LEAST-ONCE under task retry: a partition that fails
     * after its COPY committed re-runs and loads again (disable

@@ -30,9 +30,19 @@ object GenSf1 {
 
   private val Copies = 10
 
+  /** Args: `[dstDir [srcDir]]` — DESTINATION FIRST (defaults
+    * `/root/repo/.sf1` from `/root/testdata/sf0.1`). The guard below
+    * exists because the natural-looking `GenSf1 <srcDir>` invocation
+    * would otherwise OVERWRITE the source dataset. */
   def main(args: Array[String]): Unit = {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/root/repo/.sf1")
+    require(!dst.startsWith("/root/testdata"),
+      s"refusing to write generated data into the driver's testdata tree ('$dst'); " +
+        "args are [dstDir [srcDir]] — destination first")
+    require(new java.io.File(dst).getCanonicalPath !=
+      new java.io.File(src).getCanonicalPath,
+      s"dst and src are the same directory ('$dst') — would overwrite the source")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -57,6 +57,14 @@ class ExtendedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Extended.groupedQuantiles(df, "g", Seq.empty)
     }
+    // duplicate output names would silently cross-wire the specs
+    intercept[IllegalArgumentException] {
+      Extended.groupedQuantiles(df, "g", Seq(
+        "x" -> Seq("p50" -> 0.5), "y" -> Seq("p50" -> 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      Extended.groupedQuantiles(df, "g", "x", Seq("bad" -> 1.5))
+    }
   }
 
   test("groupedQuantiles: duplicate runs rank correctly through the compressed form") {

@@ -215,12 +215,10 @@ class MainSpec extends SparkSpec {
     val sql = srv.receivedCopySql
     assert(sql != null && sql.startsWith("""COPY 5 RECORDS INTO "sys"."region_out" FROM '"""), sql)
     assert(!sql.contains("STDIN"))
-    assert(sql.contains(copyDir.toString))
-    // and the part files on the "shared mount" hold the rows
-    val rows = new java.io.File(copyDir.toString).listFiles()
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
-    assert(rows.length == 5)
+    // files staged under the per-table subdir of the shared mount...
+    assert(sql.contains(s"$copyDir/sys.region_out/"))
+    // ...and cleaned up after the successful COPY (reference parity)
+    assert(!new java.io.File(copyDir.toFile, "sys.region_out").exists())
   }
 
   test("copymethod=copyinto cascades to batched INSERT when every COPY fails") {

@@ -220,12 +220,13 @@ class MapiSpec extends SparkSpec {
       .withColumn("name", concat(lit("row"), col("id")))
       .repartition(3)
     MonetSink.copyViaFiles(df, "127.0.0.1", srv.port, "monetdb", "secret",
-      "demo", "sys", "target", dir, records = Some(12L))
+      "demo", "sys", "target", dir, records = Some(12L), cleanup = false)
     srv.awaitDone()
     val sql = srv.receivedCopySql
     assert(sql.startsWith("""COPY 12 RECORDS INTO "sys"."target" FROM '"""), sql)
-    // the FROM list names the actual part files Spark wrote
-    val files = new java.io.File(dir).listFiles()
+    // the FROM list names the actual part files Spark wrote, under the
+    // per-table subdirectory (concurrent loads must not share a dir)
+    val files = new java.io.File(dir, "sys.target").listFiles()
       .filter(f => f.isFile && f.getName.startsWith("part-")).map(_.getAbsolutePath)
     assert(files.length == 3)
     files.foreach(f => assert(sql.contains(s"'$f'"), s"$f missing from $sql"))
@@ -233,6 +234,20 @@ class MapiSpec extends SparkSpec {
     val rows = files.flatMap(f =>
       scala.io.Source.fromFile(f).getLines().toSeq)
     assert(rows.toSet == (0 until 12).map(i => s""""$i","row$i"""").toSet)
+  }
+
+  test("C1 execution cleans its staged CSV after a successful COPY (default)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val srv = new FakeMonetServer("monetdb", "secret")
+    val dir = java.nio.file.Files.createTempDirectory("copyfiles_gc").toString
+    val df = spark.range(0, 4).toDF("id")
+      .withColumn("name", concat(lit("r"), col("id")))
+    MonetSink.copyViaFiles(df, "127.0.0.1", srv.port, "monetdb", "secret",
+      "demo", "sys", "target", dir, records = Some(4L))
+    srv.awaitDone()
+    assert(srv.receivedCopySql.startsWith("COPY 4 RECORDS"))
+    // reference parity: the temp CSV does not outlive the load
+    assert(!new java.io.File(dir, "sys.target").exists())
   }
 
   test("authentication failure surfaces the server error") {
