@@ -29,11 +29,19 @@ object Dedup {
     * 128-bit fingerprint — min_by needs no per-group sort, unlike the
     * equivalent row_number window, and combines map-side. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // internal name, not "fp": withColumn would silently REPLACE a
+    // caller's fp column, and appending a second fp would make every
+    // downstream select("fp") ambiguous — when the caller has their own
+    // fp, their data survives untouched and the operator's fingerprint
+    // is simply not emitted (recomputable via dupGroups)
+    require(!df.columns.contains("_graft_fp"),
+      "input already has a _graft_fp column")
     val cols = df.columns.toSeq
-    df.withColumn("fp", fingerprint(col(textCol)))
-      .groupBy("fp")
+    val deduped = df.withColumn("_graft_fp", fingerprint(col(textCol)))
+      .groupBy("_graft_fp")
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
-      .select(col("_row.*"), col("fp"))
+    if (cols.contains("fp")) deduped.select(col("_row.*"))
+    else deduped.select(col("_row.*"), col("_graft_fp").as("fp"))
   }
 
   /** Duplicate-group report: fingerprint → group size + surviving id. */
@@ -111,6 +119,7 @@ object Dedup {
     * band-parallel sub-indexes). */
   def saveLshIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, numPerm: Int = 64, bands: Int = 16, rows: Int = 4): Unit = {
+    requireBandGeometry(numPerm, bands, rows)
     val spark = docs.sparkSession
     minHashSignatures(docs, textCol, idCol, numPerm)
       .write.mode("overwrite").parquet(s"$path/sigs")
@@ -140,6 +149,7 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPerm, bands, rows) = (meta.getAs[Int]("num_perm"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
+    requireBandGeometry(numPerm, bands, rows)
     val sigs = minHashSignatures(newDocs, textCol, idCol, numPerm)
       .localCheckpoint() // one signature pass feeds both files
     sigs.write.mode("append").parquet(s"$path/sigs")
@@ -157,10 +167,11 @@ object Dedup {
     * shuffle carries ~matching index rows, not the index. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPerm, bands, rows) = (meta.getAs[Int]("num_perm"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
+    requireBandGeometry(numPerm, bands, rows)
     val refBands = spark.read.parquet(s"$path/bands")
     val refSigs = spark.read.parquet(s"$path/sigs")
     // small by contract (one batch); materialize once — bands and the
@@ -169,9 +180,20 @@ object Dedup {
       .localCheckpoint()
     val nb = bandKeys(newSigs, idCol, bands, rows)
     val bf = nb.stat.bloomFilter("band_hash", math.max(1000L, nb.count()), 0.01)
-    val cand = refBands
+    val pruned = refBands
       .filter(graft.functions.SketchFunctions
         .bloom_might_contain_long(col("band_hash"), bf))
+    // the same skew guard lshCandidatePairs applies to its self-join: a
+    // boilerplate-dominated reference bucket (k ref docs on one band
+    // hash) would join every matching batch doc k-fold — the web-scale
+    // degenerate case; the oversized set is computed on the already
+    // bloom-pruned slice, so the extra agg is cheap
+    val oversized = pruned.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val cand = pruned
+      .join(broadcast(oversized), Seq("band_idx", "band_hash"), "left_anti")
       .join(nb.select(col("band_idx"), col("band_hash"), col(idCol).as("new_id")),
         Seq("band_idx", "band_hash"))
       .select(col(idCol).as("ref_id"), col("new_id"))
@@ -203,6 +225,17 @@ object Dedup {
   /** Banded key grid shared by [[lshCandidatePairs]] and the persisted
     * index: one (band_idx, band_hash) row per signature band, the hash
     * folding the band's `rows` slice to 8 bytes. */
+  /** Out-of-range band geometry would slice past the signature end,
+    * hash the SAME empty array for every doc, and silently make every
+    * pair an LSH candidate in those bands (the maxBucket cap then hides
+    * the damage by dropping the degenerate buckets — a total recall
+    * loss presenting as a clean run). Every entry point that knows
+    * numPerm fails loudly instead. */
+  private def requireBandGeometry(numPerm: Int, bands: Int, rows: Int): Unit =
+    require(bands * rows <= numPerm,
+      s"bands*rows = $bands*$rows = ${bands * rows} exceeds numPerm = $numPerm " +
+        "— bands would hash empty signature slices and collide everything")
+
   private def bandKeys(sigs: DataFrame, idCol: String,
       bands: Int, rows: Int): DataFrame =
     sigs.select(
@@ -252,6 +285,7 @@ object Dedup {
     // banded shuffle, and the scoring lookups reuse the window/agg shuffle
     // on the doc id — so the corpus is scanned and tokenized once, and no
     // cached blocks outlive the query (a long-lived session leaks nothing)
+    requireBandGeometry(numPerm, bands, rows)
     val sigs = minHashSignatures(docs, textCol, idCol, numPerm, shingleN)
     lshCandidatePairs(sigs, idCol, bands, rows)
       .filter(col("est_jaccard") >= threshold)
@@ -316,20 +350,36 @@ object Dedup {
   /** SimHash as a table: explode tokens → ONE native vote aggregate
     * ([[graft.functions.SimHashAgg]]: int[60] buffer, map-side partials)
     * → finished fingerprint as a plain column. Same result as [[simHash]]
-    * but with a constant-size generated-code footprint — the composed
-    * 60-sum + 60-term-assembly form spent more time in plan compilation
-    * than in data. Docs with no tokens get fingerprint 0, matching the
-    * fold's seed. */
+    * — including on edge inputs: empty/token-less text → fingerprint 0
+    * (the fold's seed), NULL text → NULL (so null-text docs never pair
+    * in the near-dup join, exactly as the Column form behaves; a 0 here
+    * would have made every null-text doc a hamming-0 "duplicate" of
+    * every other) — but with a constant-size generated-code footprint:
+    * the composed 60-sum + 60-term-assembly form spent more time in
+    * plan compilation than in data. */
   def simHashTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", graft.text.TextAnalysis.h60(col("tok")))
     val computed = tok.groupBy(col(idCol))
       .agg(graft.functions.SimHashFunctions.simhash_agg(col("h"), simHashBits).as("simhash"))
-    // keep token-less docs (fingerprint 0), matching the fold semantics
-    docs.select(col(idCol)).join(computed, Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+    docs.select(col(idCol), col(textCol).isNull.as("_null_text"))
+      .join(computed, Seq(idCol), "left_outer")
+      .select(col(idCol), when(col("_null_text"), lit(null).cast("long"))
+        .otherwise(coalesce(col("simhash"), lit(0L))).as("simhash"))
   }
+
+  /** The 4×15-bit pigeonhole block grid shared by [[simHashNearDups]]
+    * and [[dedupAgainstReference]]: one (block_idx, block_key) row per
+    * fingerprint quarter. A pair within Hamming distance 3 shares at
+    * least one unchanged quarter, so blocking on quarters is EXACT for
+    * maxHamming ≤ 3. One definition — the two near-dup paths cannot
+    * drift if the geometry ever changes. */
+  private def simHashBlockKeys(fps: DataFrame, idCol: String): DataFrame =
+    fps.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
 
   /** SimHash near-dup pairs: block on the 4×15-bit fingerprint quarters
     * (a pair within Hamming distance 3 shares at least one quarter
@@ -363,10 +413,7 @@ object Dedup {
     // a corpus you dedup repeatedly — that's the persisted-index path
     // (saveLshIndex / q119), not an inline cache.
     val fps = simHashTable(docs, textCol, idCol)
-    val blocked = fps.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
-      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val blocked = simHashBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("block_idx"), col("block_key"),
@@ -437,11 +484,7 @@ object Dedup {
       .join(refDocs.select(fingerprint(col(textCol)).as("fp")).distinct(),
         Seq("fp"), "left_semi")
       .select(col(idCol)).withColumn("_exact", lit(1))
-    def blockKeys(fps: DataFrame): DataFrame =
-      fps.select(col(idCol), col("simhash"),
-        posexplode(array((0 until 4).map(q =>
-          shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
-        .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    def blockKeys(fps: DataFrame): DataFrame = simHashBlockKeys(fps, idCol)
     val nB = blockKeys(simHashTable(newDocs, textCol, idCol))
       .select(col("block_idx"), col("block_key"),
         col(idCol).as("id_new"), col("simhash").as("sh_new"))

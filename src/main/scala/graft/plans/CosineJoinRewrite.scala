@@ -91,12 +91,26 @@ object CosineJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The canonical cosine expression built by
     * [[graft.sim.Similarity.cosine]] / `vec_cosine`:
-    * `Divide(dot(a,b), Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))`. */
+    * `Divide(dot(a,b), Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))`,
+    * optionally inside the `coalesce(nanvl(try_divide…, 0), 0)`
+    * zero-norm guard `Similarity.cosine` wraps it in (NULL/NaN only
+    * arise from a zero vector, whose bucket membership is immaterial —
+    * the guarded and raw predicates select the same pairs among real
+    * vectors; the Divide match below is eval-mode-agnostic, so the TRY
+    * division matches too). */
   private def cosineVectors(cond: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Expression, Expression)] =
     splitConjunctivePredicates(cond).collectFirst(Function.unlift {
       case cmp: BinaryComparison if isGeThreshold(cmp) =>
-        cmp.left match {
+        val unwrapped = cmp.left match {
+          case Coalesce(Seq(e, Literal(0.0, DoubleType))) => e
+          case e => e
+        }
+        val inner = unwrapped match {
+          case NaNvl(e, Literal(0.0, DoubleType)) => e
+          case e => e
+        }
+        inner match {
           case Divide(VectorDot(a, b),
               Multiply(Sqrt(VectorDot(a1, a2)), Sqrt(VectorDot(b1, b2)), _), _)
               if a.semanticEquals(a1) && a.semanticEquals(a2) &&

@@ -28,7 +28,23 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity with a zero-norm guard: a zero vector has no
+    * direction, so its similarity to anything is defined as 0 — NOT the
+    * raw 0/0 = NaN, which Spark's nan-safe ordering ranks ABOVE every
+    * real number (a single zero embedding would top every `desc(cos)`
+    * ranking and pass every `cos >= threshold` near-dup filter — and
+    * under Spark 4's default ANSI mode the raw division doesn't even
+    * get that far: it throws DIVIDE_BY_ZERO mid-job). The guard is
+    * `try_divide` (NULL on zero denominator) + `nanvl` (NaN components)
+    * + `coalesce` to 0 — all single-evaluation wrappers, NOT a `when`
+    * branch: a conditional re-evaluates the norm dot-products in the
+    * condition (codegen's subexpression elimination does not cross lazy
+    * branches; measured ~1.5× on the sf1 pair scan). Oracles replay raw
+    * division because the harness corpus has no zero vectors (kept that
+    * way so both forms hash identically). */
+  def cosine(a: Column, b: Column): Column =
+    coalesce(nanvl(try_divide(dot(a, b), l2Norm(a) * l2Norm(b)), lit(0.0)),
+      lit(0.0))
 
   /** Brute-force cosine top-k: broadcast the query set against the corpus.
     * Baseline for recall evaluation of the approximate variants. */
@@ -105,12 +121,16 @@ object Similarity {
       hyperplaneKey(col(vecCol), dim, bits).as("bucket"))
     val a = keyed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = keyed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // no distinct: each vector carries exactly ONE bucket key, so the
+    // bucket equi-join can emit a given (id_a, id_b) at most once — a
+    // dedup pass here would add a full shuffle of the pair set for
+    // nothing (same meet-at-most-once argument semanticDecontaminate
+    // documents for its cell join)
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 
   /** Hard-negative mining for retrieval training: each query's top-k
@@ -276,8 +296,14 @@ object Similarity {
       .select(col(idCol), col("pos"), col("col").cast("double").as("x"))
       .withColumn("x_fp", floor(col("x") * 1e9))
       .withColumn("x2_fp", floor(col("x") * col("x") * 1e9))
+    // decimal(38,0) sums: x2_fp is ~1e9-scale per row, so a plain BIGINT
+    // sum overflows around 1e9-vector corpora per dimension — exactly
+    // the design scale; decimal is exact (same labelSum discipline as
+    // Dedup's convergence sums) and DuckDB's HUGEINT sum matches
     val stats = d.groupBy("pos")
-      .agg(count(lit(1)).as("n"), sum("x_fp").as("s_fp"), sum("x2_fp").as("s2_fp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x_fp").cast("decimal(38,0)")).as("s_fp"),
+        sum(col("x2_fp").cast("decimal(38,0)")).as("s2_fp"))
       .withColumn("mean", col("s_fp").cast("double") / (col("n").cast("double") * 1e9))
       .withColumn("std", sqrt(
         col("s2_fp").cast("double") / (col("n").cast("double") * 1e9)

@@ -457,6 +457,41 @@ class DedupSpec extends SparkSpec {
     assert(kept.filter(col("doc_id") === 100000L).isEmpty)
   }
 
+  test("exact dedup preserves a caller's own fp column, no ambiguous output") {
+    import spark.implicits._
+    val df = Seq((1L, "same text", "user-fp-1"), (2L, "same text", "user-fp-2"))
+      .toDF("doc_id", "text", "fp")
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+    val row = kept.head()
+    assert(kept.count() == 1 && row.getAs[Long]("doc_id") == 1L)
+    // the survivor's OWN fp value survives, and select("fp") stays
+    // unambiguous (exactly one fp column in the output)
+    assert(kept.columns.count(_ == "fp") == 1)
+    assert(kept.select("fp").head().getString(0) == "user-fp-1")
+  }
+
+  test("LSH band geometry that slices past the signature fails loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDups(docs, "text", "doc_id", numPerm = 32) // 16*4 > 32
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.saveLshIndex(docs, "text", "doc_id", "/tmp/never_written",
+        numPerm = 8, bands = 16, rows = 4)
+    }
+  }
+
+  test("simHashTable: null text gets a NULL fingerprint and never pairs") {
+    import spark.implicits._
+    val df = Seq((1L, Some("real words here")), (2L, None: Option[String]),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val fps = Dedup.simHashTable(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fps(1L).isDefined && fps(2L).isEmpty && fps(3L).isEmpty)
+    // two null-text docs must NOT become hamming-0 "duplicates"
+    val pairs = Dedup.simHashNearDups(df, "text", "doc_id").collect()
+    assert(pairs.isEmpty)
+  }
+
   test("decontaminate flags n-gram overlap with the eval set only") {
     val corpus = Seq(
       (1L, "a b c d e f g h i j"),       // shares the eval 8-gram window

@@ -45,7 +45,9 @@ class PlanDriftSpec extends SparkSpec {
     // sf1-soak cost centers (BASELINE round 9): the LSH pair scans and
     // the multimodal codec boundary — pinned so a lost broadcast or an
     // extra exchange on these can't hide inside their already-heavy cost
-    "q66_embedding_near_dups" -> PlanMetrics(2, 1, pushedFilters = true,  prunedSchema = true),
+    // 1/1 since round 9: the trailing distinct() was provably redundant
+    // (one bucket per vector → each pair emitted at most once)
+    "q66_embedding_near_dups" -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q67_cosine_rewrite"      -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q70_multimodal_meta"     -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q85_percentiles"         -> PlanMetrics(6, 1, pushedFilters = true,  prunedSchema = true),
@@ -72,7 +74,9 @@ class PlanDriftSpec extends SparkSpec {
     "q140_training_order"     -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
     // gap fill: observation window + span agg + fill window on one key
     "q141_gap_fill_forward"   -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
-    "q142_hard_negatives"     -> PlanMetrics(7, 3, pushedFilters = true,  prunedSchema = true)
+    // 5/3 since round 9: inherits q66's dropped pair-set distinct (the
+    // dup mask consumes cosineNearDupPairs twice)
+    "q142_hard_negatives"     -> PlanMetrics(5, 3, pushedFilters = true,  prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {

@@ -19,6 +19,23 @@ class SimilaritySpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("zero-norm vectors score cosine 0, never NaN — and never top a ranking") {
+    // a zero embedding (failed embedding job) used to yield 0/0 = NaN,
+    // which Spark's nan-safe ordering ranks ABOVE every real number and
+    // which passes every `cos >= t` filter
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 1)
+      .head()
+    assert(top.getLong(2) == 1L, "the real neighbor must outrank the zero vector")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      dim = 2, threshold = 0.5).collect()
+    assert(pairs.forall(r => !r.getDouble(2).isNaN))
+    assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+  }
+
   test("suggestedLshBits holds bucket size constant as the corpus grows") {
     assert(Similarity.suggestedLshBits(2000) == 1)      // tiny corpus → min
     assert(Similarity.suggestedLshBits(1024 * 16) == 4)
