@@ -44,16 +44,24 @@ object Extended {
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toSeq.map(col): _*))
     // right rows (_tag=1) sort BEFORE left rows at strictly earlier ts
     // only; at equal ts the left row (_tag=0) comes first, so last(...,
-    // ignoreNulls) over the preceding frame sees strictly-earlier rights
+    // ignoreNulls) over the preceding frame sees strictly-earlier rights.
+    // The payload travels as ONE struct (null exactly on left rows): a
+    // null FIELD in the latest right row then stays null instead of
+    // each column independently falling back to an older right row —
+    // which could stitch an output row that corresponds to no input
+    // row. The struct is also the final sort key, so right rows tied on
+    // (key, ts) resolve to the max payload deterministically instead of
+    // by partition layout.
+    val rStruct = struct(payloadCols.map(c => col(s"_p_$c")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_tag").asc)
+      .orderBy(col(tsCol).asc, col("_tag").asc, rStruct.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"_asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("_asof_row",
+      last(when(col("_is_left") === 0, rStruct), ignoreNulls = true).over(w))
     filled.filter(col("_is_left") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        payloadCols.map(c =>
+          col("_asof_row").getField(s"_p_$c").as(s"asof_$c")): _*)
   }
 
   /** As-of join via the native whole-operator Catalyst path
@@ -188,11 +196,13 @@ object Extended {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     docs
       .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("shard", (col(idCol) / shardSize).cast("long"))
+      // `div`, not `/`: Spark's / is double division, exact only below
+      // 2^53 — the same rule intervalJoinBinned documents
+      .withColumn("shard", expr(s"`$idCol` div ${shardSize}L"))
       .withColumn("start_offset",
         coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .withColumn("seq_id", (col("start_offset") / maxTokens).cast("long"))
+      .withColumn("seq_id", expr(s"start_offset div ${maxTokens}L"))
       .withColumn("offset_in_seq", col("start_offset") % maxTokens)
       .select(idCol, "n_tokens", "shard", "start_offset", "seq_id", "offset_in_seq")
   }
@@ -446,7 +456,14 @@ object Extended {
       val frac = max(col(s"pos_$name") - col(s"lo_$name"))
       (vLo + (coalesce(vHi, vLo) - vLo) * frac).as(name)
     }
-    ranked.filter(keep).groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    // every input group appears in the output — a group whose values
+    // are ALL null has no melted rows (they're filtered with the other
+    // nulls) but still yields a row of NULL quantiles, exactly as
+    // quantile_cont does; the quantile side is one row per group, so
+    // the join broadcasts
+    df.select(col(groupCol)).distinct()
+      .join(broadcast(ranked.filter(keep).groupBy(groupCol)
+        .agg(aggs.head, aggs.tail: _*)), Seq(groupCol), "left_outer")
   }
 
   /** Single-column convenience over the melt form. */
@@ -690,11 +707,14 @@ object Extended {
       Tables(s, d, "events")
         .withColumn("prev_ts", lag("ts", 1).over(wOrder))
         .withColumn("new_session",
-          // NTZ has no direct long cast; via TIMESTAMP = epoch seconds
-          // under the pinned UTC session
+          // the gap compares in exact integer MICROSECONDS on both
+          // sides (unix_micros here, epoch_us in the oracle): a
+          // whole-second cast would truncate fractions and disagree
+          // with DuckDB's fractional epoch() on any gap inside
+          // (1800, 1801) seconds
           when(col("prev_ts").isNull ||
-            col("ts").cast("timestamp").cast("long") -
-              col("prev_ts").cast("timestamp").cast("long") > 1800, 1L)
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_idx",
           sum("new_session").over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
@@ -729,10 +749,13 @@ object Extended {
       val o = Tables(s, d, "orders")
       val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
       val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
-      open.intersectAll(fin).groupBy(lit("intersect_all").as("op"))
-        .agg(count(lit(1)).as("n"))
-        .unionAll(open.exceptAll(fin).groupBy(lit("except_all").as("op"))
-          .agg(count(lit(1)).as("n")))
+      // GLOBAL agg, not groupBy(lit): grouping on a literal over an
+      // empty input yields zero groups, so an empty INTERSECT ALL would
+      // drop its row while the oracle's scalar count(*) emits 0
+      open.intersectAll(fin).agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("n"))
+        .unionAll(open.exceptAll(fin).agg(count(lit(1)).as("n"))
+          .select(lit("except_all").as("op"), col("n")))
         .orderBy("op")
     },
 
@@ -933,7 +956,7 @@ object Extended {
       """WITH flagged AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+        |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -295,6 +295,10 @@ object TextAnalysis {
       "lexicon terms need positive weights")
     val m = map(lexicon.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
     docs
+      // null text contributes no row, matching the per-token unnest the
+      // oracle (and any join-based variant) would produce — without the
+      // guard this per-row form would emit an all-NULL row instead
+      .filter(col(textCol).isNotNull)
       .withColumn("_toks", tokens(lower(col(textCol))))
       .withColumn("_ws",
         transform(col("_toks"), t => coalesce(element_at(m, t), lit(0L))))

@@ -67,6 +67,37 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantiles: an all-null group yields NULL quantiles, not a dropped row") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+      ("b", None: Option[Double]), ("b", None: Option[Double])).toDF("g", "v")
+    val rows = Extended.groupedQuantiles(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy("g").collect()
+    assert(rows.length == 2)                  // group b still present
+    assert(rows(0).getDouble(1) == 2.0)
+    assert(rows(1).isNullAt(1))               // NULL, as quantile_cont gives
+  }
+
+  test("asofJoin: whole-row payload semantics — a null field in the match stays null") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // latest match at t=5 has a NULL in column a; per-column fill would
+    // stitch a=5 from the older t=0 row — a row that never existed
+    val right = Seq((1L, 0L, Some(5L), Some(7L)), (1L, 5L, None, Some(10L)))
+      .toDF("k", "t", "a", "b")
+    val r = Extended.asofJoin(left, right, Seq("k"), "t", Seq("a", "b")).head()
+    assert(r.isNullAt(2) && r.getLong(3) == 10L)
+  }
+
+  test("asofJoin: right rows tied on (key, ts) resolve deterministically (max payload)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Some(1L), Some(1L)), (1L, 5L, Some(2L), Some(2L)))
+      .toDF("k", "t", "a", "b")
+    (1 to 3).foreach { _ =>
+      val r = Extended.asofJoin(left, right.repartition(7), Seq("k"), "t",
+        Seq("a", "b")).head()
+      assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    }
+  }
+
   test("groupedQuantiles: duplicate runs rank correctly through the compressed form") {
     // [1,1,1,2]: the compressed row for v=1 occupies ranks 1..3 — both
     // flanks of p50 (ranks 2,3) land INSIDE that run, and p75's flanks

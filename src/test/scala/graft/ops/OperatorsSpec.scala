@@ -204,6 +204,12 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.blocklistFilter(docs, "doc_id", "text",
         Seq("bad" -> 0L), 0.0)
     }
+    // null text yields NO row (matching a per-token unnest), not a row
+    // of all-NULL counts
+    val withNull = Seq((1L, Some("bad words")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.blocklistFilter(withNull, "doc_id", "text",
+      Seq("bad" -> 1L), 0.5).count() == 1)
   }
 
   test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {

@@ -35,7 +35,9 @@ class PlanDriftSpec extends SparkSpec {
     "q53_minhash_lsh_pairs"   -> PlanMetrics(9, 5, pushedFilters = true,  prunedSchema = true),
     "q58_exact_corr"          -> PlanMetrics(2, 0, pushedFilters = false, prunedSchema = true),
     "q65_ann_ivf_topk"        -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
-    // 6/1 since the round-9 compressed-distribution rewrite: melt +
+    // 7/2 since the round-9 compressed-distribution rewrite (+ the
+    // group-completeness distinct/left-join, so all-null groups keep
+    // their row): melt +
     // distinct-value hash agg (map-side combining), cum-count window
     // over the COMPRESSED domain, per-(group,vc) counts off the same
     // subtree (its exchanges count twice in the plan text, reused at
@@ -50,7 +52,7 @@ class PlanDriftSpec extends SparkSpec {
     "q66_embedding_near_dups" -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q67_cosine_rewrite"      -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q70_multimodal_meta"     -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
-    "q85_percentiles"         -> PlanMetrics(6, 1, pushedFilters = true,  prunedSchema = true),
+    "q85_percentiles"         -> PlanMetrics(7, 2, pushedFilters = true,  prunedSchema = true),
     "q86_approx_percentiles"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     "q87_json_extract"        -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q96_asof_presplit"       -> PlanMetrics(6, 0, pushedFilters = false, prunedSchema = true),
