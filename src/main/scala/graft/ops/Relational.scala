@@ -578,7 +578,11 @@ object Relational {
           // floor-quantized to 1e-9: the moment sums are exact decimals,
           // but decimal→double conversion can differ in the last ulp
           // across engines (double-rounding of int128-scaled values);
-          // quantizing keeps the compare exact without a tolerance
+          // quantizing makes the compare robust to that drift EXCEPT in
+          // the measure-zero case where corr·1e9 itself lands within an
+          // ulp of an integer (the floor then flips between engines) —
+          // accepted: the alternative is a full-decimal correlation,
+          // and sqrt forces double anyway
           floor(((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
             (sqrt(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
              sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))) * 1e9))

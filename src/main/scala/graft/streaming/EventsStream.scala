@@ -52,7 +52,12 @@ object EventsStream {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // decimal per-row sums — the same order-independence discipline
+      // every batch aggregate uses (raw double sums vary in the last
+      // ulp with partition order, flaking checkpoint-recovery replays)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("sum_value"))
@@ -80,14 +85,22 @@ object EventsStream {
         state.remove()
         closed.iterator
       } else {
-        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        // total order (ts, event_id): equal-ts events otherwise
+        // accumulate `total` in shuffle-fetch order — the same
+        // determinism discipline the other processors apply
+        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         var closed = List.empty[Session]
         var cur = state.getOption
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+              // min/max extents: a LATE in-watermark event (t <= end)
+              // extends membership but must never rewind session_end —
+              // the batch twin aggregates min(ts)/max(ts)
+              cur = Some(s.copy(start = math.min(s.start, t),
+                end = math.max(s.end, t), n = s.n + 1,
+                total = s.total + e.value))
             case Some(s) =>
               closed ::= close(userId, s)
               cur = Some(SessionState(t, t, 1, e.value))
@@ -273,16 +286,21 @@ object EventsStream {
       // therefore every future pair) differ run-to-run and on replay
       rows.toArray.sortBy(r => (r.doc_id, r.simhash)).foreach { r =>
         var i = 0
+        var seen = false
         while (i < ids.length) {
           if (ids(i) != r.doc_id) {
             val ham = java.lang.Long.bitCount(hashes(i) ^ r.simhash)
             if (ham <= maxHamming)
               out += NearDupPair(math.min(ids(i), r.doc_id),
                 math.max(ids(i), r.doc_id), ham)
-          }
+          } else seen = true
           i += 1
         }
-        if (ids.length < maxBucket) { ids += r.doc_id; hashes += r.simhash }
+        // membership check: an at-least-once source replaying a doc must
+        // not store it again — duplicates would both re-emit its pairs
+        // every replay and eat capacity until genuinely new docs are
+        // silently dropped at the cap
+        if (!seen && ids.length < maxBucket) { ids += r.doc_id; hashes += r.simhash }
       }
       state.update(BlockState(ids.toArray, hashes.toArray))
       out.iterator
@@ -304,8 +322,13 @@ object EventsStream {
       // a null id (or a non-numeric one the cast nulls out) must drop
       // like the batch twin drops it — encoded into the non-nullable
       // BlockDoc it would instead fail the micro-batch, and a replayed
-      // poison row would fail every restart of the query
-      .where(col("doc_id").isNotNull)
+      // poison row would fail every restart of the query. Null TEXT
+      // drops too: the Column-form simHash folds it to fingerprint 0,
+      // which would make every null-text doc a mutual hamming-0 "dup"
+      // (the batch twin's simHashTable maps null text to a NULL
+      // fingerprint that never pairs)
+      .where(col("doc_id").isNotNull && col("simhash").isNotNull &&
+        col(textCol).isNotNull)
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(q =>
           lit(q.toLong * 65536L) +
@@ -327,12 +350,19 @@ object EventsStream {
     * state older than the horizon), so this runs indefinitely at ingest
     * scale — the batch dedup then only handles cross-horizon dups. */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    // internal fingerprint name + drop: withColumn("fp", …) would
+    // silently REPLACE a caller's fp column and leak the md5 into the
+    // output — the exact hazard the batch twin (exactDedup) guards
+    require(!docs.columns.contains("_graft_fp"),
+      "input already has a _graft_fp column")
     docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
-      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_graft_fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("_graft_fp")
+      .drop("_graft_fp")
+  }
 
   /** Streaming quality gate at ingest — the serving half of the
     * train-offline/score-online classifier cycle
@@ -353,6 +383,11 @@ object EventsStream {
     require(rows.length <= maxVocab,
       s"weight table ${rows.length} exceeds maxVocab=$maxVocab — prune " +
         "the vocabulary before embedding it in the streaming plan")
+    // withColumn REPLACES same-named caller columns — guard the
+    // internals and the emitted score (a re-scoring pass feeding docs
+    // that already carry score_fp must not silently lose it)
+    Seq("_s", "_n", "score_fp").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a '$c' column — rename it before gating"))
     val m = typedLit(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
     val toks = graft.text.TextAnalysis.tokens(lower(col(textCol)))
     docs

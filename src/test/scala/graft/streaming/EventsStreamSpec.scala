@@ -94,6 +94,36 @@ class EventsStreamSpec extends SparkSpec {
     assert(closed(1).n_events == 1 && closed(1).total_value == 5.0)
   }
 
+  test("sessionization: a late in-watermark event never rewinds session_end") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1 establishes [00:00, 00:20]
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, v = 1.0), ev(2, "2024-01-01 00:20:00", 1, v = 1.0))
+    val sessions = EventsStream.sessionize(mem.toDS(), gapMinutes = 30,
+      watermarkDelay = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: a LATE event inside the session (00:10), then 00:45 —
+    // 25 min after the true session end, so SAME session; the rewind
+    // bug set end=00:10 and split at 00:45
+    mem.addData(ev(3, "2024-01-01 00:10:00", 1, v = 1.0),
+      ev(4, "2024-01-01 00:45:00", 1, v = 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past the gap to close via timeout
+    mem.addData(ev(5, "2024-01-02 12:00:00", 2))
+    q.processAllAvailable()
+    mem.addData(ev(6, "2024-01-03 12:00:00", 2))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessions_late").as[Session].collect()
+      .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length == 1, s"session wrongly split: ${u1.toSeq}")
+    assert(u1(0).n_events == 4 &&
+      u1(0).session_end == Timestamp.valueOf("2024-01-01 00:45:00"))
+  }
+
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
   final case class Lookup(user_id: Long, r_ts: Timestamp, label: String)
 
@@ -140,6 +170,8 @@ class EventsStreamSpec extends SparkSpec {
     val ids = spark.table("dedup_stream").select("doc_id")
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 3L))
+    // the internal fingerprint never leaks into the output schema
+    assert(spark.table("dedup_stream").columns.toSeq == Seq("doc_id", "ts", "text"))
   }
 
   test("classifier gate: offline-trained weights filter the stream, scores == batch scorer") {
