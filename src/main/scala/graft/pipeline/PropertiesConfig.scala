@@ -240,7 +240,7 @@ object PropertiesConfig {
   /** JDBC reader config for a parsed source (the A1-A3 extract surface). */
   def jdbcConfig(src: SourceDef, t: TableDef): JdbcSourceConfig =
     JdbcSourceConfig(src.dialect, src.server, src.database, src.user,
-      src.password, src.port,
+      src.password, src.port, src.instance,
       fromName = t.from.getOrElse(""),
       fromColumns = t.fromColumns,
       fromQuery = t.fromQuery)

@@ -27,6 +27,9 @@ object JdbcSource {
       user: String,
       password: String,
       port: Option[Int] = None,
+      /** MS SQL named instance (A7) — reaches the URL as
+        * `;instanceName=…`; see [[SqlGen.MsSql.url]]. */
+      instance: Option[String] = None,
       /** A1-A3: named table (+ optional projection) or arbitrary query. */
       fromName: String = "",
       fromColumns: Option[String] = None,
@@ -39,7 +42,7 @@ object JdbcSource {
   /** The option map handed to `spark.read.format("jdbc")`. */
   def options(cfg: JdbcSourceConfig): Map[String, String] = {
     val base = Map(
-      "url" -> cfg.dialect.url(cfg.server, cfg.port, cfg.database),
+      "url" -> cfg.dialect.url(cfg.server, cfg.port, cfg.database, cfg.instance),
       "user" -> cfg.user,
       "password" -> cfg.password,
       "fetchsize" -> cfg.fetchSize.toString)

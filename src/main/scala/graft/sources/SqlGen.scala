@@ -13,27 +13,53 @@ object SqlGen {
   sealed trait Dialect {
     def name: String
     def defaultPort: Int
-    def url(server: String, port: Option[Int], database: String): String
+    def url(server: String, port: Option[Int], database: String,
+        instance: Option[String] = None): String
     /** max-by-1 watermark query (A6). */
     def top1(table: String, column: String): String
   }
 
-  /** MS SQL Server (`SourceDatabaseType.java:16-30`). */
+  /** MS SQL Server (`SourceDatabaseType.java:16-30`).
+    *
+    * A named instance (`mssql.instance`, read at `CopyToolConfig.java:709`
+    * and applied as a driver property in `SourceDatabase.java:49-52`)
+    * selects a non-default SQL Server instance on the host. The Microsoft
+    * JDBC dialect spells that as `;instanceName=<name>` in the URL; when
+    * set, the SQL Server Browser resolves the instance's dynamic port, so
+    * an explicit port is only emitted when the user configured one. */
   case object MsSql extends Dialect {
     val name = "mssql"
     val defaultPort = 1433
-    def url(server: String, port: Option[Int], database: String): String =
-      s"jdbc:sqlserver://$server:${port.getOrElse(defaultPort)};databaseName=$database"
+    def url(server: String, port: Option[Int], database: String,
+        instance: Option[String] = None): String = {
+      val inst = instance.map(_.trim).filter(_.nonEmpty)
+      val hostPort = (inst, port) match {
+        // named instance + no explicit port: let the Browser service
+        // resolve the instance's dynamic port (a hardcoded 1433 would
+        // defeat the instanceName and hit the default instance)
+        case (Some(_), None) => server
+        case _               => s"$server:${port.getOrElse(defaultPort)}"
+      }
+      val instProp = inst.map(i => s";instanceName=$i").getOrElse("")
+      s"jdbc:sqlserver://$hostPort$instProp;databaseName=$database"
+    }
     def top1(table: String, column: String): String =
       s"SELECT TOP 1 [$column] FROM [$table] ORDER BY [$column] DESC"
   }
 
-  /** PostgreSQL (`SourceDatabaseType.java:39-54`). */
+  /** PostgreSQL (`SourceDatabaseType.java:39-54`). PostgreSQL has no
+    * named-instance concept — a configured `instance` is rejected loudly
+    * rather than silently ignored (a user who set it expects it to mean
+    * something). */
   case object Postgres extends Dialect {
     val name = "postgresql"
     val defaultPort = 5432
-    def url(server: String, port: Option[Int], database: String): String =
+    def url(server: String, port: Option[Int], database: String,
+        instance: Option[String] = None): String = {
+      require(instance.forall(_.trim.isEmpty),
+        "'instance' is an MS SQL Server concept; PostgreSQL sources must not set it")
       s"jdbc:postgresql://$server:${port.getOrElse(defaultPort)}/$database"
+    }
     def top1(table: String, column: String): String =
       s"""SELECT "$column" FROM "$table" ORDER BY "$column" DESC LIMIT 1"""
   }

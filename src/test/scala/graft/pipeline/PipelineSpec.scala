@@ -53,6 +53,19 @@ class SqlGenSpec extends AnyFunSuite {
   test("dialect URLs + top-1 watermark queries (SourceDatabaseType.java)") {
     assert(SqlGen.MsSql.url("srv", None, "db") == "jdbc:sqlserver://srv:1433;databaseName=db")
     assert(SqlGen.Postgres.url("srv", Some(5433), "db") == "jdbc:postgresql://srv:5433/db")
+    // A7 named instance (SourceDatabase.java:49-52): reaches the URL;
+    // without an explicit port the Browser service resolves the
+    // instance's dynamic port, so no hardcoded :1433
+    assert(SqlGen.MsSql.url("srv", None, "db", Some("SQLEXPRESS")) ==
+      "jdbc:sqlserver://srv;instanceName=SQLEXPRESS;databaseName=db")
+    assert(SqlGen.MsSql.url("srv", Some(1444), "db", Some("SQLEXPRESS")) ==
+      "jdbc:sqlserver://srv:1444;instanceName=SQLEXPRESS;databaseName=db")
+    // blank instance is treated as unset, not emitted
+    assert(SqlGen.MsSql.url("srv", None, "db", Some("  ")) ==
+      "jdbc:sqlserver://srv:1433;databaseName=db")
+    // PostgreSQL has no named instances — loud failure beats silent drop
+    intercept[IllegalArgumentException](
+      SqlGen.Postgres.url("srv", None, "db", Some("nope")))
     assert(SqlGen.MsSql.top1("t", "c") == "SELECT TOP 1 [c] FROM [t] ORDER BY [c] DESC")
     assert(SqlGen.Postgres.top1("t", "c") == """SELECT "c" FROM "t" ORDER BY "c" DESC LIMIT 1""")
     assert(SqlGen.monetDbUrl("srv", "db") == "jdbc:monetdb://srv/db")

@@ -91,6 +91,32 @@ class PropertiesConfigSpec extends AnyFunSuite {
       "SELECT a, b FROM t WHERE x > 1")
   }
 
+  test("mssql.instance round-trips from properties file to the JDBC URL (A7)") {
+    val p = PropertiesConfig.parseOrFail(
+      """mssql.src.server = sqlhost
+        |mssql.src.database = erp
+        |mssql.src.instance = SQLEXPRESS
+        |table.t.source = src
+        |table.t.from = dbo.orders
+        |""".stripMargin, env = Map.empty)
+    assert(p.sources("src").instance.contains("SQLEXPRESS"))
+    val cfg = PropertiesConfig.jdbcConfig(p.sources("src"), p.tables("t"))
+    assert(graft.sources.JdbcSource.options(cfg)("url") ==
+      "jdbc:sqlserver://sqlhost;instanceName=SQLEXPRESS;databaseName=erp")
+    // default-id form (`mssql.instance`, CopyToolConfig.java:709)
+    val pd = PropertiesConfig.parseOrFail(
+      """mssql.server = sqlhost
+        |mssql.database = erp
+        |mssql.instance = NAMED1
+        |mssql.port = 1444
+        |table.t.from = dbo.orders
+        |""".stripMargin, env = Map.empty)
+    val cfgD = PropertiesConfig.jdbcConfig(
+      pd.sources(PropertiesConfig.DefaultSourceId), pd.tables("t"))
+    assert(graft.sources.JdbcSource.options(cfgD)("url") ==
+      "jdbc:sqlserver://sqlhost:1444;instanceName=NAMED1;databaseName=erp")
+  }
+
   test("from.queryfile / from.countqueryfile read SQL text from disk (A4)") {
     val files = Map(
       "/cfg/q.sql" -> "SELECT a, b FROM t WHERE x > 1",

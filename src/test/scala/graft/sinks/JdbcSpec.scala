@@ -30,6 +30,11 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(o("query") == "SELECT x FROM t WHERE y > 1")
   }
 
+  test("named instance reaches the reader URL (A7)") {
+    val o = JdbcSource.options(base.copy(instance = Some("SQLEXPRESS")))
+    assert(o("url") == "jdbc:sqlserver://srv;instanceName=SQLEXPRESS;databaseName=db")
+  }
+
   test("partitioned read options (the 100 TB extract path)") {
     val o = JdbcSource.options(base.copy(
       partitioning = Some(Partitioning("o_orderkey", 0L, 1000000L, 64))))
