@@ -172,6 +172,22 @@ object MonetSink {
     }
   }
 
+  /** C7 truncate over the MAPI channel (`MonetDBUtil.java:93-107` —
+    * MonetDB-style truncate is `DELETE FROM`). The pipeline issues this
+    * ONCE before entering the C4 cascade so every rung — COPY-file,
+    * COPY-stdin, INSERT — starts from the same empty table and shares
+    * replace semantics (the reference truncates before any load method,
+    * `CopyTool.java:806-812`). */
+  def truncateViaMapi(host: String, port: Int, user: String,
+      password: String, database: String, schema: String,
+      table: String): Unit = {
+    val client = MapiClient.connect(host, port, user, password, database)
+    try client.query(MonetDbDialect.getTruncateQuery(
+      s"${Identifiers.quote(schema)}.${Identifiers.quote(table)}"))
+    finally client.close()
+    ()
+  }
+
   /** C4 load-method selection: the reference cascades
     * COPY-file → COPY-stdin → INSERT at runtime; Spark-side the writer is
     * chosen up front (a cascade is only meaningful against a live server;
@@ -233,50 +249,73 @@ object MonetSink {
     *
     * `recordsHint` restores the reference's exact-count `COPY n
     * RECORDS` pre-allocation (`CopyTool.java:984-985`) on this path:
-    * per-COPY counts differ per partition, so an extra counting pass
-    * runs first (cheap — it never formats CSV) and each partition's
-    * COPY carries its own exact count. PRECONDITION: `df` must be
-    * DETERMINISTIC under recomputation (a file scan / staged parquet —
-    * the pipeline caller — qualifies; `sample()`, `rand()`-derived
-    * filters, or non-deterministic UDFs upstream do not). The count
-    * pass and the stream pass are two executions of the same plan; if
-    * partition contents differ between them, an understated hint makes
-    * the server stop reading at n records and silently drop the rest —
-    * leave `recordsHint` off for any df you can't vouch for.
+    * per-COPY counts differ per partition, so a counting pass runs
+    * first and each partition's COPY carries its own exact count. Both
+    * passes read ONE persisted RDD of formatted lines — the count pass
+    * materializes each partition and the stream pass replays the pinned
+    * blocks, so a non-deterministic upstream (sample(), rand()-derived
+    * filters) cannot make the hint understate the stream and have the
+    * server silently stop reading early. (Executor loss can still evict
+    * a pinned block and force recomputation — the narrow residual
+    * window; an understated hint there fails the COPY loudly rather
+    * than dropping data, since the server replies before EOF.)
     *
-    * Delivery is AT-LEAST-ONCE under task retry: a partition that fails
-    * after its COPY committed re-runs and loads again (disable
-    * `spark.speculation` for this sink). The reference has the same
-    * exposure across its per-batch COPYs on crash-retry; exactly-once
-    * needs the staging path — load into a temp table per attempt and
-    * promote transactionally (the copyViaTempTable flow, C5/E2). */
+    * Delivery is AT-LEAST-ONCE under task retry by default: a partition
+    * that fails after its COPY committed re-runs and loads again
+    * (disable `spark.speculation` for this sink). The reference has the
+    * same exposure across its per-batch COPYs on crash-retry.
+    * `failOnTaskRetry = true` closes it for callers with a replace-
+    * semantics fallback (the C4 cascade): a re-attempted task refuses
+    * to dial the server at all, so a partition can never COPY twice —
+    * the rung fails instead and the caller's next rung (the
+    * truncate-and-overwrite INSERT) replaces whatever partial state the
+    * failed rung committed. Exactly-once without a distributed
+    * transaction: never-duplicate here, replace-on-failure there. */
   def copyViaStdinDistributed(df: DataFrame, host: String, port: Int,
       user: String, password: String, database: String, schema: String,
       table: String, locked: Boolean = true,
-      recordsHint: Boolean = false): Unit = {
+      recordsHint: Boolean = false,
+      failOnTaskRetry: Boolean = false): Unit = {
+    def guard(): Unit =
+      if (failOnTaskRetry) {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() > 0)
+          throw new IllegalStateException(
+            "COPY INTO FROM STDIN partition re-attempt refused: the prior " +
+              "attempt may have committed its COPY; retrying would " +
+              "duplicate rows. Failing the rung so the cascade's " +
+              "replace-semantics fallback reloads the table.")
+      }
     val lines = df.select(csvLine(df).as("line"))
     if (recordsHint) {
-      // one (partitionId, count) pair per partition — bounded by the
-      // partition count, not the data
-      val counts = df.rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-        .collect().toMap
-      val bc = df.sparkSession.sparkContext.broadcast(counts)
-      lines.rdd.mapPartitionsWithIndex { (i, it) =>
-        if (it.hasNext) {
-          val sql = copyIntoSql(schema, table, records = bc.value.get(i),
-            source = None, locked = locked)
-          val client = MapiClient.connect(host, port, user, password, database)
-          try client.copyIntoStdin(sql, it.map(_.getString(0)))
-          finally client.close()
-        }
-        Iterator.empty[Int]
-      }.count()
-      ()
+      val rdd = lines.rdd.map(_.getString(0))
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // one (partitionId, count) pair per partition — bounded by the
+        // partition count, not the data; materializes the pinned blocks
+        // the stream pass below replays
+        val counts = rdd
+          .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+          .collect().toMap
+        val bc = df.sparkSession.sparkContext.broadcast(counts)
+        rdd.mapPartitionsWithIndex { (i, it) =>
+          guard()
+          if (it.hasNext) {
+            val sql = copyIntoSql(schema, table, records = bc.value.get(i),
+              source = None, locked = locked)
+            val client = MapiClient.connect(host, port, user, password, database)
+            try client.copyIntoStdin(sql, it)
+            finally client.close()
+          }
+          Iterator.empty[Int]
+        }.count()
+        ()
+      } finally { rdd.unpersist(); () }
     } else {
       val sql = copyIntoSql(schema, table, records = None, source = None,
         locked = locked)
       lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        guard()
         if (it.hasNext) { // empty partitions never dial the server
           val client = MapiClient.connect(host, port, user, password, database)
           try client.copyIntoStdin(sql, it.map(_.getString(0)))

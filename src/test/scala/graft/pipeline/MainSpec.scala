@@ -166,8 +166,10 @@ class MainSpec extends SparkSpec {
   test("copymethod=copyinto drives COPY INTO over MAPI (properties e2e)") {
     // the C4 cascade: no graft.monet.copydir → the file attempt fails
     // fast, the distributed STDIN path wins — the fake MAPI server
-    // receives the COPY with the exact-count RECORDS hint and the rows
-    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret")
+    // receives the C7 truncate preamble, then the COPY with the
+    // exact-count RECORDS hint and the rows
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret",
+      connections = 2)
     val base = Files.createTempDirectory("main_copyinto")
     val cfg = writeConfig(base, "copyinto.properties",
       s"""graft.source.dir = ${sf()}
@@ -183,6 +185,9 @@ class MainSpec extends SparkSpec {
          |""".stripMargin)
     assert(Main.run(Array("-c", cfg), spark, silent) == 0)
     srv.awaitDone()
+    // replace semantics: the truncate reaches the server BEFORE the COPY
+    assert(srv.receivedCopySqls.head == "DELETE FROM \"sys\".\"region_out\";",
+      s"expected the C7 truncate preamble, got: ${srv.receivedCopySqls}")
     assert(srv.receivedCopySql != null &&
       srv.receivedCopySql.contains("RECORDS INTO \"sys\".\"region_out\" FROM STDIN"),
       s"expected a RECORDS-hinted COPY FROM STDIN, got: ${srv.receivedCopySql}")
@@ -191,8 +196,37 @@ class MainSpec extends SparkSpec {
     assert(Publish.findNewestVersion(s"$base/target", "region_out").isEmpty)
   }
 
+  test("copymethod=copyinto re-run truncates again: no append duplication") {
+    // ADVICE parity: a scheduled re-run of a copyinto table must
+    // REPLACE, not append — every run's COPY is preceded by its own
+    // C7 truncate (CopyTool.java:806-812 runs before any load method)
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret",
+      connections = 4)
+    val base = Files.createTempDirectory("main_copyinto_rerun")
+    val cfg = writeConfig(base, "copyinto_rerun.properties",
+      s"""graft.source.dir = ${sf()}
+         |graft.target.dir = $base/target
+         |monetdb.server = 127.0.0.1
+         |monetdb.port = ${srv.port}
+         |monetdb.database = demo
+         |monetdb.user = monetdb
+         |monetdb.password = secret
+         |table.region.from = region
+         |table.region.to = region_out
+         |table.region.copymethod = copyinto
+         |""".stripMargin)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    assert(Main.run(Array("-c", cfg), spark, silent) == 0)
+    srv.awaitDone()
+    val kinds = srv.receivedCopySqls.map(s =>
+      if (s.startsWith("DELETE")) "truncate"
+      else if (s.startsWith("COPY")) "copy" else s)
+    assert(kinds == Seq("truncate", "copy", "truncate", "copy"), kinds)
+  }
+
   test("copymethod=copyinto + copydir drives the multi-file COPY (C1) from properties") {
-    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret")
+    val srv = new graft.sinks.FakeMonetServer("monetdb", "secret",
+      connections = 2) // truncate preamble + the COPY itself
     val base = Files.createTempDirectory("main_copydir")
     val copyDir = Files.createTempDirectory("main_copydir_mount")
     val cfg = writeConfig(base, "copydir.properties",

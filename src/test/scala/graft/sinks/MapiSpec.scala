@@ -267,6 +267,15 @@ class MapiSpec extends SparkSpec {
     assert(srv.receivedCopySql == "SELECT 1;")
   }
 
+  test("C7 truncate over MAPI emits the MonetDB-style DELETE FROM") {
+    val srv = new FakeMonetServer("monetdb", "secret")
+    MonetSink.truncateViaMapi("127.0.0.1", srv.port, "monetdb", "secret",
+      "demo", "sys", "My Table")
+    srv.awaitDone()
+    // identifier policy applies (lowercase + sanitize + quote)
+    assert(srv.receivedCopySql == "DELETE FROM \"sys\".\"my_table\";")
+  }
+
   // -------------------------------------------------------------- cascade
 
   test("C4 cascade falls file -> stdin -> insert and reports the winner") {
