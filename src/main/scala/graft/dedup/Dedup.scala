@@ -165,9 +165,17 @@ object Dedup {
     * (pre-shuffle, [[graft.functions.BloomMightContainLong]] semantics:
     * false positives are dropped by the join, nothing is lost), so the
     * shuffle carries ~matching index rows, not the index. */
-  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      newDocs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, maxBucket: Int = 1000): DataFrame = {
+  /** Shared probe preparation: stored hash-family params, batch
+    * signatures (materialized once), batch band keys, and the
+    * bloom-pruned reference band slice — [[probeLshIndex]] joins over
+    * it, [[probeLshOversizedBuckets]] reports what a skew cap would
+    * drop from it. */
+  private final case class ProbePrep(refSigs: DataFrame, newSigs: DataFrame,
+      nb: DataFrame, pruned: DataFrame)
+
+  private def prepareProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, textCol: String,
+      idCol: String): ProbePrep = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPerm, bands, rows) = (meta.getAs[Int]("num_perm"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
@@ -183,30 +191,72 @@ object Dedup {
     val pruned = refBands
       .filter(graft.functions.SketchFunctions
         .bloom_might_contain_long(col("band_hash"), bf))
+    ProbePrep(refSigs, newSigs, nb, pruned)
+  }
+
+  /** `maxBucket` here is an OPT-IN skew guard (default: no cap). The
+    * default changed from 1000: silently discarding every candidate in
+    * a boilerplate-heavy reference bucket is a recall regression with
+    * no signal, and the persisted-index probe is exactly where a
+    * standing web corpus accumulates such buckets. Callers who enable
+    * the cap at scale should run [[probeLshOversizedBuckets]] with the
+    * same arguments beside it — the side output that makes the
+    * discarded candidate volume observable. */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val prep = prepareProbe(spark, path, newDocs, textCol, idCol)
     // the same skew guard lshCandidatePairs applies to its self-join: a
     // boilerplate-dominated reference bucket (k ref docs on one band
     // hash) would join every matching batch doc k-fold — the web-scale
     // degenerate case; the oversized set is computed on the already
-    // bloom-pruned slice, so the extra agg is cheap
-    val oversized = pruned.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select("band_idx", "band_hash")
-    val cand = pruned
-      .join(broadcast(oversized), Seq("band_idx", "band_hash"), "left_anti")
-      .join(nb.select(col("band_idx"), col("band_hash"), col(idCol).as("new_id")),
+    // bloom-pruned slice, so the extra agg is cheap. No cap → no
+    // guard subtree at all (the default plan carries nothing for it).
+    val screened =
+      if (maxBucket == Int.MaxValue) prep.pruned
+      else {
+        val oversized = prep.pruned.groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > maxBucket)
+          .select("band_idx", "band_hash")
+        prep.pruned.join(broadcast(oversized),
+          Seq("band_idx", "band_hash"), "left_anti")
+      }
+    val cand = screened
+      .join(prep.nb.select(col("band_idx"), col("band_hash"), col(idCol).as("new_id")),
         Seq("band_idx", "band_hash"))
       .select(col(idCol).as("ref_id"), col("new_id"))
       .distinct()
     cand
-      .join(refSigs.select(col(idCol).as("ref_id"), col("signature").as("sig_r")),
+      .join(prep.refSigs.select(col(idCol).as("ref_id"), col("signature").as("sig_r")),
         Seq("ref_id"))
-      .join(newSigs.select(col(idCol).as("new_id"), col("signature").as("sig_n")),
+      .join(prep.newSigs.select(col(idCol).as("new_id"), col("signature").as("sig_n")),
         Seq("new_id"))
       .select(col("new_id"), col("ref_id"),
         graft.functions.VectorFunctions
           .sig_match_frac(col("sig_n"), col("sig_r")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Side output for [[probeLshIndex]]'s skew cap: the reference
+    * buckets a `maxBucket` cap drops for THIS batch, with the candidate
+    * volume lost — `(band_idx, band_hash, bucket_n, batch_n,
+    * dropped_candidates = bucket_n × batch_n)`. Same arguments as the
+    * probe; run it beside a capped probe so a 100 TB incremental dedup
+    * can see (and alert on) what the cap discarded instead of
+    * mistaking a recall cliff for a clean run. */
+  def probeLshOversizedBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, textCol: String, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val prep = prepareProbe(spark, path, newDocs, textCol, idCol)
+    val refCounts = prep.pruned.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+    val batchCounts = prep.nb.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("batch_n"))
+    refCounts.join(batchCounts, Seq("band_idx", "band_hash"))
+      .select(col("band_idx"), col("band_hash"), col("bucket_n"),
+        col("batch_n"), (col("bucket_n") * col("batch_n")).as("dropped_candidates"))
   }
 
   /** LSH candidate pairs: band the signature, bucket-join, emit a<b pairs
@@ -221,7 +271,10 @@ object Dedup {
     * each unique pair exactly once.
     *
     * `maxBucket` caps degenerate buckets (boilerplate shingles at web
-    * scale) — dropped buckets are the standard MinHashLSH skew guard. */
+    * scale) — dropped buckets are the standard MinHashLSH skew guard.
+    * The drop is a RECALL loss, not a correctness cap: pair it with
+    * [[lshOversizedBuckets]] (same geometry) to quantify exactly what
+    * was discarded. */
   /** Banded key grid shared by [[lshCandidatePairs]] and the persisted
     * index: one (band_idx, band_hash) row per signature band, the hash
     * folding the band's `rows` slice to 8 bytes. */
@@ -243,6 +296,22 @@ object Dedup {
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit("band"), lit(b), slice(col("signature"), b * rows + 1, rows))): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+  /** Side output for [[lshCandidatePairs]]' skew cap: the buckets a
+    * `maxBucket` cap drops, with the pair volume lost —
+    * `(band_idx, band_hash, bucket_n, dropped_pairs = n·(n−1)/2)`.
+    * Same geometry arguments as the pair scan; run it beside a capped
+    * scan so the recall loss is a number in a report, not a silent
+    * discard ([[probeLshOversizedBuckets]] is the probe-path twin).
+    * An empty result proves the cap was a no-op for this corpus. */
+  def lshOversizedBuckets(sigs: DataFrame, idCol: String,
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame =
+    bandKeys(sigs, idCol, bands, rows)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("bucket_n"),
+        (col("bucket_n") * (col("bucket_n") - 1) / 2).cast("long").as("dropped_pairs"))
 
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int = 16, rows: Int = 4, maxBucket: Int = 1000): DataFrame = {

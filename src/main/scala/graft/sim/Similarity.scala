@@ -106,9 +106,12 @@ object Similarity {
     * 6-8× pair-scan cost (BASELINE.md round 9). */
   def suggestedLshBits(corpusSize: Long, targetBucket: Long = 1024L): Int = {
     require(corpusSize > 0 && targetBucket > 0)
-    val bits = math.ceil(math.log(corpusSize.toDouble / targetBucket) /
-      math.log(2.0)).toInt
-    math.min(24, math.max(1, bits))
+    // smallest b in [1, 24] with targetBucket·2^b ≥ corpus — the integer
+    // form of ceil(log₂(corpus/targetBucket)). Integer on purpose: a SQL
+    // oracle can replay the identical choice from its own count(*), with
+    // no floating-log rounding edge at exact powers of two (q143 does
+    // exactly that).
+    (1 to 24).find(b => (targetBucket << b) >= corpusSize).getOrElse(24)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
@@ -504,6 +507,20 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
+    // the corpus-sized-bits variant of q66: bits = suggestedLshBits(n)
+    // computed FROM the input, so per-bucket population (and the
+    // quadratic within-bucket pair scan) stays ~constant as the corpus
+    // grows — the geometry the fixed-bits q66/q67 can't prove. The
+    // count() is one metadata-cheap aggregate scan, the same
+    // bounded-driver-read class as IVF's centroid collect.
+    "q143_lsh_sized_near_dups" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val bits = suggestedLshBits(emb.count(), targetBucket = 256L)
+      cosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.2, bits = bits)
+        .orderBy("id_a", "id_b")
+    },
+
     // centroid per label (mean vector — the classic cluster summary).
     // Cross-engine exactness via fixed-point quantization BEFORE the sum:
     // floor(x·1e9) longs add exactly and order-independently in both
@@ -617,7 +634,8 @@ object Similarity {
     "q136_semdedup" -> q136Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
-    "q67_cosine_rewrite" -> q66Oracle
+    "q67_cosine_rewrite" -> q66Oracle,
+    "q143_lsh_sized_near_dups" -> q143Oracle
   )
 
   /** q64 oracle: mirrors the fixed-point centroid exactly — floor(x·1e9)
@@ -665,6 +683,36 @@ object Similarity {
        |      i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum')) *
        |     sqrt(list_aggregate(list_transform(range(1, ${dim + 1}),
        |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE), 'sum')))""".stripMargin
+
+  /** q143 oracle: replay the CORPUS-SIZED geometry end to end in SQL.
+    * `bits` is recomputed from the oracle's own count(*) with the same
+    * integer rule as [[suggestedLshBits]] (smallest b in [1,24] with
+    * target·2^b ≥ n — no floating log on either side), and the bucket
+    * key is the 24-plane literal-coefficient matrix with each plane
+    * GATED on `p < bits`, so whatever bits the Spark side derived at
+    * this scale factor, the oracle derives — and buckets with — the
+    * same. A green hash therefore proves the resized geometry, not one
+    * pinned bits value. */
+  private def q143Oracle: String = {
+    val dim = 64; val maxBits = 24; val target = 256L
+    val (ctes, _, tables) = lshOracleCtes(dim, maxBits)
+    val gatedBucket = (0 until maxBits).map(p =>
+      s"""(CASE WHEN $p < bb.bits AND list_aggregate(list_transform(range(1, ${dim + 1}),
+         |      i -> e.embedding[i]::DOUBLE * c$p.v[i]), 'sum') > 0
+         |    THEN ${1L << p} ELSE 0 END)""".stripMargin).mkString(" +\n    ")
+    s"""WITH $ctes,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings),
+       |bb AS (SELECT COALESCE((SELECT MIN(t.p) FROM range(1, 25) t(p), n
+       |    WHERE (${target}::BIGINT << t.p) >= n.cnt), 24) AS bits),
+       |k AS (SELECT e.vec_id, e.embedding,
+       |    $gatedBucket AS bucket
+       |  FROM embeddings e, $tables, bb),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding", dim)} AS cos
+       |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** q63 oracle: bucket all vectors with the literal coefficient matrix,
     * expand each query to its multiprobe set (own bucket + 1-bit flips),

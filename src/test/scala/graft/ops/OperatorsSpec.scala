@@ -579,6 +579,50 @@ class DedupSpec extends SparkSpec {
       n == 1100001L && rf == 100001L && e == 1.0 }, s"hits2=${hits2.toSeq}")
   }
 
+  test("maxBucket skew cap is observable: oversized buckets + dropped volume reported") {
+    // crafted degenerate bucket: 40 documents with IDENTICAL text share
+    // one signature, so every band's bucket holds all 40 of them
+    val degenerate = (0 until 40)
+      .map(i => (i.toLong, "the same boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(degenerate, "text", "doc_id")
+    // capped pair scan drops everything...
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", maxBucket = 10).isEmpty)
+    // ...and the side output says exactly what and how much
+    val dropped = Dedup.lshOversizedBuckets(sigs, "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(dropped.length == 16) // one oversized bucket per band
+    assert(dropped.forall { case (_, n, pairs) => n == 40 && pairs == 40L * 39 / 2 })
+    // an uncapped (default) scan keeps the pairs, and the side output
+    // at the same geometry is empty — cap was a no-op, report says so
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id").count() == 40L * 39 / 2)
+    assert(Dedup.lshOversizedBuckets(sigs, "doc_id").isEmpty)
+  }
+
+  test("probe-path skew cap: opt-in, observable, default loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx_cap").toString
+    val ref = (0 until 30)
+      .map(i => (i.toLong, "the same boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, "the same boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    Dedup.saveLshIndex(ref, "text", "doc_id", dir)
+    // default: NO cap — all 30 reference dups are found (the ADVICE
+    // regression: a silent 1000-cap default would be invisible recall loss)
+    assert(Dedup.probeLshIndex(spark, dir, batch, "text", "doc_id", 0.3)
+      .count() == 30)
+    // opt-in cap drops the degenerate bucket...
+    assert(Dedup.probeLshIndex(spark, dir, batch, "text", "doc_id", 0.3,
+      maxBucket = 10).isEmpty)
+    // ...and its side output reports the discarded candidate volume
+    val dropped = Dedup.probeLshOversizedBuckets(spark, dir, batch,
+        "text", "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(dropped.length == 16)
+    assert(dropped.forall { case (refN, batchN, cand) =>
+      refN == 30 && batchN == 1 && cand == 30 })
+  }
+
   test("corpusOverlap: identical groups estimate 1.0, disjoint near 0") {
     val shared = (0 until 20).map(i => s"alpha$i beta$i gamma$i delta$i epsilon$i")
     val other = (0 until 20).map(i => s"zeta$i eta$i theta$i iota$i kappa$i")
