@@ -579,7 +579,14 @@ object TextAnalysis {
     // deterministic double expression per pair
     "q126_tfidf_cosine_pairs" -> { (s, d) =>
       val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
-      val w = tfIdfWeights(docs, "doc_id", "text")
+      // materialize the weight table ONCE: it feeds three consumers
+      // (norms + both self-join sides), and self-joins reference the
+      // subtree through fresh exprIds, so ReuseExchange can't
+      // canonicalize the repeated tf/df/join pipelines equal — without
+      // the leaf the tokenize→tf→df chain is planned (16 exchanges) and
+      // partially re-run per consumer. localCheckpoint, not
+      // checkpoint(): same leak rationale as bloomSemiJoin
+      val w = tfIdfWeights(docs, "doc_id", "text").localCheckpoint()
       // decimal BEFORE multiplying: w reaches tf·10⁶ when df=1, so w·w
       // crosses 2^63 at tf ≥ 3038 — a silent Long wrap here vs a DuckDB
       // range error there; decimal products are exact in both
