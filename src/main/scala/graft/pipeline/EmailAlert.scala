@@ -34,7 +34,15 @@ object EmailAlert {
       server: Option[String], port: Option[Int],
       from: String, to: Seq[String],
       subject: Option[String],
-      username: Option[String], password: Option[String])
+      username: Option[String], password: Option[String],
+      /** `mail.starttls.required` (the javax.mail
+        * `mail.smtp.starttls.required` analogue, opt-in): when true and
+        * credentials are configured, a server that does not advertise
+        * STARTTLS fails the send instead of receiving AUTH LOGIN
+        * credentials in plaintext — closes the capability-stripping
+        * downgrade the enable-not-require default (reference parity,
+        * `EmailUtil.java:78`) is exposed to. */
+      requireTls: Boolean = false)
 
   val DefaultSubject = "Error in MSSQL2MonetDB job"
 
@@ -51,7 +59,9 @@ object EmailAlert {
       to = nonBlank("mail.to").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       subject = nonBlank("mail.subject"),
       username = nonBlank("mail.username"),
-      password = nonBlank("mail.password"))
+      password = nonBlank("mail.password"),
+      requireTls = props.get("mail.starttls.required").exists(v =>
+        v.equalsIgnoreCase("true") || v.equalsIgnoreCase("yes")))
   }
 
   sealed trait SendResult
@@ -159,6 +169,13 @@ object EmailAlert {
           // knowledge and re-EHLO on the encrypted channel
           send("EHLO graft")
           capabilities = expect("EHLO after STARTTLS")
+        } else if (cfg.requireTls) {
+          // opt-in require mode: a MITM stripping STARTTLS from the
+          // EHLO reply must not be able to downgrade the session and
+          // collect base64 credentials
+          throw new java.io.IOException(
+            "SMTP: mail.starttls.required is set but the server did not " +
+              "advertise STARTTLS — refusing to send AUTH credentials in plaintext")
         }
         send("AUTH LOGIN"); expect("AUTH LOGIN")
         send(Base64.getEncoder.encodeToString(u.getBytes(UTF_8))); expect("username")

@@ -30,8 +30,28 @@ object Publish {
     * discovers by regex (`CopyTool.java:64,513-548`). */
   val VersionPattern = "[0-9]{4}(_[0-9]{2}){5}".r
 
-  def newVersion(now: LocalDateTime = LocalDateTime.now()): String =
-    now.format(VersionFmt)
+  /** Pure stamp in the reference's version shape — format only, no
+    * issue-order guarantee (that's [[newVersion]]'s job). */
+  def versionStamp(now: LocalDateTime): String = now.format(VersionFmt)
+
+  /** Strictly-increasing version issue. The second-granular stamp means
+    * two runs inside one wall-clock second would mint the SAME version
+    * (the reference has the identical gap, `CopyTool.java:216-224`) —
+    * the second run would then overwrite the first's "immutable"
+    * snapshot dir in place while readers may hold the pointer to it.
+    * On collision the version bumps one second past the last issued
+    * (lexicographic order == time order for this format, so
+    * monotonicity is preserved); JVM-global, since the fleet runner
+    * drives every config through one driver process. */
+  private var lastIssued = ""
+  def newVersion(now: LocalDateTime = LocalDateTime.now()): String = synchronized {
+    val stamped = versionStamp(now)
+    val v =
+      if (stamped > lastIssued) stamped
+      else LocalDateTime.parse(lastIssued, VersionFmt).plusSeconds(1).format(VersionFmt)
+    lastIssued = v
+    v
+  }
 
   private def tableDir(root: String, table: String): Path = Paths.get(root, table)
   def snapshotDir(root: String, table: String, version: String): String =

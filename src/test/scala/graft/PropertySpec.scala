@@ -58,8 +58,12 @@ class PropertySpec extends AnyFunSuite {
       y <- Gen.choose(2000, 2099); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
       h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
     } yield java.time.LocalDateTime.of(y, mo, d, h, mi, s)
+    // versionStamp, not newVersion: the issuer's collision guard bumps
+    // non-increasing stamps, which is exactly NOT the format property
+    // under test (and would leak far-future state into the JVM-global
+    // last-issued tracker)
     forAll(genTs, genTs) { (a, b) =>
-      val (va, vb) = (Publish.newVersion(a), Publish.newVersion(b))
+      val (va, vb) = (Publish.versionStamp(a), Publish.versionStamp(b))
       assert((va < vb) == a.isBefore(b))
       assert(Publish.VersionPattern.pattern.matcher(va).matches)
     }

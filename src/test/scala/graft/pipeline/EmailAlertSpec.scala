@@ -125,6 +125,34 @@ class EmailAlertSpec extends AnyFunSuite {
     assert(srv.lines.contains("AUTH LOGIN"))
   }
 
+  test("mail.starttls.required: no STARTTLS advertised + creds → fail, no AUTH leak") {
+    val srv = new FakeSmtp() // capability stripped / absent
+    val cfg = fromProps(baseProps(srv.port) ++ Map(
+      "mail.username" -> "u", "mail.password" -> "p",
+      "mail.starttls.required" -> "true"))
+    val e = intercept[java.io.IOException] {
+      sendMail(cfg, "m", connect = srv.connect,
+        upgrade = Some(_ => fail("must not upgrade")))
+    }
+    assert(e.getMessage.contains("starttls.required"))
+    srv.thread.join(5000)
+    // the downgrade MITM got nothing: no AUTH, no base64 credentials
+    assert(!srv.lines.exists(_.startsWith("AUTH")))
+    assert(!srv.lines.contains(java.util.Base64.getEncoder
+      .encodeToString("p".getBytes(UTF_8))))
+  }
+
+  test("mail.starttls.required passes normally when the server advertises it") {
+    val srv = new FakeSmtp(advertiseStartTls = true)
+    val cfg = fromProps(baseProps(srv.port) ++ Map(
+      "mail.username" -> "u", "mail.password" -> "p",
+      "mail.starttls.required" -> "true"))
+    assert(sendMail(cfg, "m", connect = srv.connect,
+      upgrade = Some(identity)) == Sent)
+    srv.thread.join(5000)
+    assert(srv.lines.contains("STARTTLS"))
+  }
+
   test("STARTTLS not attempted without credentials even when advertised") {
     val srv = new FakeSmtp(advertiseStartTls = true)
     val cfg = fromProps(baseProps(srv.port)) // no creds

@@ -196,6 +196,22 @@ class PublishSpec extends SparkSpec {
       Seq("2024_01_02_00_00_00", "2024_01_03_00_00_00"))
   }
 
+  test("newVersion: two issues in the same second stay distinct and ordered") {
+    // the reference-inherited gap (CopyTool.java:216-224): a second-
+    // granular stamp collides when runs are < 1 s apart; the issuer
+    // must bump, never re-mint
+    val t = java.time.LocalDateTime.now()
+    val v1 = Publish.newVersion(t)
+    val v2 = Publish.newVersion(t)
+    val v3 = Publish.newVersion(t)
+    assert(v1 < v2 && v2 < v3, s"$v1 / $v2 / $v3")
+    assert(Seq(v1, v2, v3).forall(v =>
+      Publish.VersionPattern.pattern.matcher(v).matches))
+    // a later wall clock resumes stamping normally
+    val v4 = Publish.newVersion(t.plusMinutes(5))
+    assert(v4 == Publish.versionStamp(t.plusMinutes(5)) && v3 < v4)
+  }
+
   test("switch-only publishes newest without touching data (E6)") {
     val root = Files.createTempDirectory("pub2").toString
     val df = Tables(spark, sf(), "region")
