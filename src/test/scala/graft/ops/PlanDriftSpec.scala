@@ -59,6 +59,12 @@ class PlanDriftSpec extends SparkSpec {
     "q98_decontaminate"       -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
     "q101_dedup_clusters"     -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
     "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
+    // 4/3 since round 10 (was 16/7): the tf-idf weight table is
+    // materialized ONCE (localCheckpoint leaf) instead of re-planning
+    // the tokenize→tf→df chain for all three consumers (norms + both
+    // self-join sides). pushed/pruned show false only because the scan
+    // now lives inside the leaf's build job, not this plan's text.
+    "q126_tfidf_cosine_pairs" -> PlanMetrics(4, 3, pushedFilters = false, prunedSchema = false),
     "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
     // 3 = gh-rank window + per-doc merge window + output range sort
     "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true),
@@ -78,7 +84,10 @@ class PlanDriftSpec extends SparkSpec {
     "q141_gap_fill_forward"   -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     // 5/3 since round 9: inherits q66's dropped pair-set distinct (the
     // dup mask consumes cosineNearDupPairs twice)
-    "q142_hard_negatives"     -> PlanMetrics(5, 3, pushedFilters = true,  prunedSchema = true)
+    "q142_hard_negatives"     -> PlanMetrics(5, 3, pushedFilters = true,  prunedSchema = true),
+    // corpus-sized bits (suggestedLshBits from count): same 1/1 shape
+    // as q66 — the sizing changes the bucket key's geometry, not the plan
+    "q143_lsh_sized_near_dups" -> PlanMetrics(1, 1, pushedFilters = true, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
