@@ -204,8 +204,37 @@ object Dedup {
     * discarded candidate volume observable. */
   def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    probeFrom(prepareProbe(spark, path, newDocs, textCol, idCol),
+      idCol, threshold, maxBucket)
+
+  /** Capped probe + its drop report from ONE shared preparation (the
+    * batch is shingled/hashed once, one bloom build): `(hits,
+    * droppedBuckets)`. This is the form a capped production probe
+    * should run — [[probeLshOversizedBuckets]] alone re-prepares and is
+    * for after-the-fact diagnosis. */
+  def probeLshIndexObserved(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
     val prep = prepareProbe(spark, path, newDocs, textCol, idCol)
+    (probeFrom(prep, idCol, threshold, maxBucket), dropsFrom(prep, maxBucket))
+  }
+
+  /** Side output for [[probeLshIndex]]'s skew cap: the reference
+    * buckets a `maxBucket` cap drops for THIS batch, with the candidate
+    * volume lost — `(band_idx, band_hash, bucket_n, batch_n,
+    * dropped_candidates = bucket_n × batch_n)` — so a 100 TB
+    * incremental dedup can see (and alert on) what the cap discarded
+    * instead of mistaking a recall cliff for a clean run. Standalone
+    * diagnosis form; a capped probe should use
+    * [[probeLshIndexObserved]] to share one preparation. */
+  def probeLshOversizedBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, textCol: String, idCol: String,
+      maxBucket: Int): DataFrame =
+    dropsFrom(prepareProbe(spark, path, newDocs, textCol, idCol), maxBucket)
+
+  private def probeFrom(prep: ProbePrep, idCol: String,
+      threshold: Double, maxBucket: Int): DataFrame = {
     // the same skew guard lshCandidatePairs applies to its self-join: a
     // boilerplate-dominated reference bucket (k ref docs on one band
     // hash) would join every matching batch doc k-fold — the web-scale
@@ -238,17 +267,7 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Side output for [[probeLshIndex]]'s skew cap: the reference
-    * buckets a `maxBucket` cap drops for THIS batch, with the candidate
-    * volume lost — `(band_idx, band_hash, bucket_n, batch_n,
-    * dropped_candidates = bucket_n × batch_n)`. Same arguments as the
-    * probe; run it beside a capped probe so a 100 TB incremental dedup
-    * can see (and alert on) what the cap discarded instead of
-    * mistaking a recall cliff for a clean run. */
-  def probeLshOversizedBuckets(spark: org.apache.spark.sql.SparkSession,
-      path: String, newDocs: DataFrame, textCol: String, idCol: String,
-      maxBucket: Int): DataFrame = {
-    val prep = prepareProbe(spark, path, newDocs, textCol, idCol)
+  private def dropsFrom(prep: ProbePrep, maxBucket: Int): DataFrame = {
     val refCounts = prep.pruned.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)

@@ -130,49 +130,55 @@ object CopyJob {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .save()
 
-  /** C4 cascade against a live MonetDB: truncate, then
-    * COPY-file → COPY-stdin → INSERT.
+  /** C4 cascade against a live MonetDB, every rung replace-semantics:
+    * [truncate + COPY-file] → [truncate + COPY-stdin] → INSERT.
     *
-    * The C7 truncate runs ONCE before any rung (the reference truncates
-    * the target before whichever load method runs, `CopyTool.java:
-    * 806-812`), so all three rungs share replace semantics — a
-    * `copymethod=copyinto` table re-loaded on a schedule replaces its
-    * contents exactly like the default INSERT mode does, instead of the
-    * plain-COPY rungs appending forever. If the truncate itself fails,
-    * the COPY rungs are skipped and the cascade goes straight to the
-    * batched-INSERT writer, whose Overwrite does its own
-    * truncate-inside-the-write (and fails just as loudly if the table
-    * is genuinely absent — the target must pre-exist on this path, D3
-    * DDL is the caller's step); appending via COPY onto a table we
-    * failed to truncate is never an option.
+    * EACH COPY rung begins with its own C7 truncate (the reference
+    * truncates the target before whichever load method runs,
+    * `CopyTool.java:806-812`), not one shared preamble: a rung that
+    * commits partial state and THEN fails (a LOCKED COPY dying
+    * mid-statement bypasses the WAL and cannot roll back; a post-commit
+    * cleanup error) must not leave those rows for the next rung to
+    * append onto. The INSERT rung's Overwrite carries its own truncate
+    * inside the write. So whichever rung ultimately succeeds, the table
+    * holds exactly one copy of the staged data — a `copymethod=copyinto`
+    * table re-loaded on a schedule replaces its contents exactly like
+    * the default INSERT mode does. A rung whose truncate fails fails
+    * AS that rung (no silent method downgrade) and the cascade moves
+    * on; appending via COPY onto a table we failed to truncate is never
+    * an option, and a genuinely absent table fails every rung loudly
+    * (the target must pre-exist on this path — D3 DDL is the caller's
+    * step).
     *
     * The stdin rung runs with `failOnTaskRetry` so a Spark task retry
     * can never re-COPY a committed partition; the rung fails instead
-    * and the INSERT rung's truncate-and-overwrite replaces any partial
-    * state — exactly-once end to end. A missing `copyDir` makes the
-    * file attempt fail fast (no shared mount ⇒ the server can't read
-    * our part files) and the cascade moves on, exactly like the
-    * reference when its temp CSV is unreachable (`CopyTool.java:
-    * 823-826`). `records` is the staged manifest count — the
-    * exact-count RECORDS hint both COPY forms carry. */
+    * and the INSERT rung replaces any partial state — exactly-once end
+    * to end. A missing `copyDir` makes the file attempt fail fast
+    * BEFORE its truncate (no shared mount ⇒ the server can't read our
+    * part files; no point emptying the table for a rung that cannot
+    * run), exactly like the reference when its temp CSV is unreachable
+    * (`CopyTool.java:823-826`). `records` is the staged manifest
+    * count — the exact-count RECORDS hint both COPY forms carry. */
   private def monetLoad(staged: DataFrame, m: MonetLoad, table: String,
       records: Long): Unit = {
     import graft.sinks.MonetSink
-    val truncated =
-      try { MonetSink.truncateViaMapi(m.host, m.port, m.user, m.password,
-        m.database, m.schema, table); true }
-      catch { case scala.util.control.NonFatal(_) => false }
-    val configured =
-      if (truncated) m.configured else Some(MonetSink.BatchedInsert)
-    MonetSink.loadWithCascade(configured,
-      copyFile = () => MonetSink.copyViaFiles(staged, m.host, m.port, m.user,
-        m.password, m.database, m.schema, table,
-        m.copyDir.getOrElse(throw new IllegalStateException(
-          "COPY INTO FROM file needs graft.monet.copydir (a server-readable shared mount)")),
-        records = Some(records), locked = m.locked),
-      copyStdin = () => MonetSink.copyViaStdinDistributed(staged, m.host,
-        m.port, m.user, m.password, m.database, m.schema, table,
-        locked = m.locked, recordsHint = true, failOnTaskRetry = true),
+    def truncate(): Unit = MonetSink.truncateViaMapi(m.host, m.port, m.user,
+      m.password, m.database, m.schema, table)
+    MonetSink.loadWithCascade(m.configured,
+      copyFile = () => {
+        val dir = m.copyDir.getOrElse(throw new IllegalStateException(
+          "COPY INTO FROM file needs graft.monet.copydir (a server-readable shared mount)"))
+        truncate()
+        MonetSink.copyViaFiles(staged, m.host, m.port, m.user,
+          m.password, m.database, m.schema, table, dir,
+          records = Some(records), locked = m.locked)
+      },
+      copyStdin = () => {
+        truncate()
+        MonetSink.copyViaStdinDistributed(staged, m.host,
+          m.port, m.user, m.password, m.database, m.schema, table,
+          locked = m.locked, recordsHint = true, failOnTaskRetry = true)
+      },
       insert = () => jdbcLoad(staged, JdbcLoad(m.jdbcUrl, m.batchSize), table))
     ()
   }

@@ -36,12 +36,12 @@ object EmailAlert {
       subject: Option[String],
       username: Option[String], password: Option[String],
       /** `mail.starttls.required` (the javax.mail
-        * `mail.smtp.starttls.required` analogue, opt-in): when true and
-        * credentials are configured, a server that does not advertise
-        * STARTTLS fails the send instead of receiving AUTH LOGIN
-        * credentials in plaintext — closes the capability-stripping
-        * downgrade the enable-not-require default (reference parity,
-        * `EmailUtil.java:78`) is exposed to. */
+        * `mail.smtp.starttls.required` analogue, opt-in): a server that
+        * does not advertise STARTTLS fails the send — with credentials
+        * configured that keeps AUTH LOGIN out of plaintext, and without
+        * them it still protects the alert body. Closes the capability-
+        * stripping downgrade the enable-not-require default (reference
+        * parity, `EmailUtil.java:78`) is exposed to. */
       requireTls: Boolean = false)
 
   val DefaultSubject = "Error in MSSQL2MonetDB job"
@@ -155,32 +155,39 @@ object EmailAlert {
     expect("greeting")
     send("EHLO graft")
     var capabilities = expect("EHLO")
-    (cfg.username, cfg.password) match {
-      case (Some(u), Some(p)) =>
-        // reference parity: auth configured ⇒ starttls.enable
-        // (EmailUtil.java:78). Enable ≠ require: upgrade only when the
-        // server offers it, like javax.mail.
-        if (capabilities.exists(_.drop(4).trim.equalsIgnoreCase("STARTTLS"))) {
-          send("STARTTLS"); expect("STARTTLS")
-          val tls = upgrade(socket)
-          in = new BufferedReader(new InputStreamReader(tls.getInputStream, UTF_8))
-          out = tls.getOutputStream
-          // RFC 3207 §4.2: the client MUST discard pre-TLS server
-          // knowledge and re-EHLO on the encrypted channel
-          send("EHLO graft")
-          capabilities = expect("EHLO after STARTTLS")
-        } else if (cfg.requireTls) {
-          // opt-in require mode: a MITM stripping STARTTLS from the
-          // EHLO reply must not be able to downgrade the session and
-          // collect base64 credentials
-          throw new java.io.IOException(
-            "SMTP: mail.starttls.required is set but the server did not " +
-              "advertise STARTTLS — refusing to send AUTH credentials in plaintext")
-        }
-        send("AUTH LOGIN"); expect("AUTH LOGIN")
-        send(Base64.getEncoder.encodeToString(u.getBytes(UTF_8))); expect("username")
-        send(Base64.getEncoder.encodeToString(p.getBytes(UTF_8))); expect("password")
-      case _ => ()
+    val creds = (cfg.username, cfg.password) match {
+      case (Some(u), Some(p)) => Some((u, p))
+      case _                  => None
+    }
+    // reference parity: auth configured ⇒ starttls.enable
+    // (EmailUtil.java:78). Enable ≠ require: upgrade only when the
+    // server offers it, like javax.mail. `requireTls` hardens that to
+    // javax.mail's mail.smtp.starttls.required semantics — the session
+    // fails without TLS whether or not credentials are configured (the
+    // alert BODY, stack traces included, deserves the flag too, not
+    // just the AUTH exchange).
+    if (creds.isDefined || cfg.requireTls) {
+      if (capabilities.exists(_.drop(4).trim.equalsIgnoreCase("STARTTLS"))) {
+        send("STARTTLS"); expect("STARTTLS")
+        val tls = upgrade(socket)
+        in = new BufferedReader(new InputStreamReader(tls.getInputStream, UTF_8))
+        out = tls.getOutputStream
+        // RFC 3207 §4.2: the client MUST discard pre-TLS server
+        // knowledge and re-EHLO on the encrypted channel
+        send("EHLO graft")
+        capabilities = expect("EHLO after STARTTLS")
+      } else if (cfg.requireTls) {
+        // require mode: a MITM stripping STARTTLS from the EHLO reply
+        // must not be able to downgrade the session
+        throw new java.io.IOException(
+          "SMTP: mail.starttls.required is set but the server did not " +
+            "advertise STARTTLS — refusing to send in plaintext")
+      }
+    }
+    creds.foreach { case (u, p) =>
+      send("AUTH LOGIN"); expect("AUTH LOGIN")
+      send(Base64.getEncoder.encodeToString(u.getBytes(UTF_8))); expect("username")
+      send(Base64.getEncoder.encodeToString(p.getBytes(UTF_8))); expect("password")
     }
     send(s"MAIL FROM:<${cfg.from}>"); expect("MAIL FROM")
     cfg.to.foreach { rcpt => send(s"RCPT TO:<$rcpt>"); expect("RCPT TO") }

@@ -94,6 +94,17 @@ object PropertiesConfig {
           else props.get(s"$prefix.$id.$p")
         (get("server"), get("database")) match {
           case (Some(server), Some(db)) =>
+            // fail at PARSE, naming the exact key: `instance` is an MS
+            // SQL Server concept; silently accepting (or dropping) it on
+            // a PostgreSQL source misleads, and a URL-build-time error
+            // would surface mid-run without the source id in hand
+            if (dialect == SqlGen.Postgres && get("instance").exists(_.trim.nonEmpty)) {
+              val key = if (id == DefaultSourceId) s"$prefix.instance"
+                        else s"$prefix.$id.instance"
+              throw new IllegalArgumentException(
+                s"'$key' is set but 'instance' is an MS SQL Server named-instance " +
+                  "property; remove it from the PostgreSQL source block")
+            }
             Some(id -> SourceDef(id, dialect, server, db,
               get("user").getOrElse(""), get("password").getOrElse(""),
               get("port").flatMap(_.toIntOption), get("instance")))

@@ -289,7 +289,12 @@ object MonetSink {
     val lines = df.select(csvLine(df).as("line"))
     if (recordsHint) {
       val rdd = lines.rdd.map(_.getString(0))
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // DISK_ONLY, serialized: the pinned copy exists for determinism
+      // (both passes replay identical blocks), not for speed — the load
+      // is server-ingest-bound anyway, and a memory-resident
+      // deserialized-String copy of a whole staged table would evict
+      // genuinely hot cache across the executor fleet
+      rdd.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         // one (partitionId, count) pair per partition — bounded by the
         // partition count, not the data; materializes the pinned blocks
@@ -299,8 +304,8 @@ object MonetSink {
           .collect().toMap
         val bc = df.sparkSession.sparkContext.broadcast(counts)
         rdd.mapPartitionsWithIndex { (i, it) =>
-          guard()
-          if (it.hasNext) {
+          if (it.hasNext) { // empty partitions never dial — and their
+            guard()         // retries are provably safe, so no refusal
             val sql = copyIntoSql(schema, table, records = bc.value.get(i),
               source = None, locked = locked)
             val client = MapiClient.connect(host, port, user, password, database)
@@ -315,8 +320,8 @@ object MonetSink {
       val sql = copyIntoSql(schema, table, records = None, source = None,
         locked = locked)
       lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        guard()
-        if (it.hasNext) { // empty partitions never dial the server
+        if (it.hasNext) { // empty partitions never dial the server;
+          guard()          // their retries can't have committed anything
           val client = MapiClient.connect(host, port, user, password, database)
           try client.copyIntoStdin(sql, it.map(_.getString(0)))
           finally client.close()

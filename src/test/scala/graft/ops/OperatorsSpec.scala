@@ -621,6 +621,12 @@ class DedupSpec extends SparkSpec {
     assert(dropped.length == 16)
     assert(dropped.forall { case (refN, batchN, cand) =>
       refN == 30 && batchN == 1 && cand == 30 })
+    // the one-preparation production form agrees with both standalones
+    val (hits, report) = Dedup.probeLshIndexObserved(spark, dir, batch,
+      "text", "doc_id", 0.3, maxBucket = 10)
+    assert(hits.isEmpty)
+    assert(report.collect().map(r => (r.getLong(2), r.getLong(4))).toSeq ==
+      Seq.fill(16)((30L, 30L)))
   }
 
   test("corpusOverlap: identical groups estimate 1.0, disjoint near 0") {

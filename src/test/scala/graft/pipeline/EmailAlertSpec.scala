@@ -142,6 +142,29 @@ class EmailAlertSpec extends AnyFunSuite {
       .encodeToString("p".getBytes(UTF_8))))
   }
 
+  test("mail.starttls.required applies without credentials too") {
+    // javax.mail's required flag fails the session regardless of auth;
+    // the alert body (stack traces) deserves the protection, not just
+    // the AUTH exchange
+    val plain = new FakeSmtp() // no STARTTLS capability
+    val cfgNoCreds = fromProps(baseProps(plain.port) ++ Map(
+      "mail.starttls.required" -> "true"))
+    val e = intercept[java.io.IOException] {
+      sendMail(cfgNoCreds, "m", connect = plain.connect,
+        upgrade = Some(_ => fail("must not upgrade")))
+    }
+    assert(e.getMessage.contains("starttls.required"))
+    // and with the capability advertised, the credential-less session
+    // upgrades and sends
+    val tls = new FakeSmtp(advertiseStartTls = true)
+    assert(sendMail(fromProps(baseProps(tls.port) ++ Map(
+      "mail.starttls.required" -> "true")), "m",
+      connect = tls.connect, upgrade = Some(identity)) == Sent)
+    tls.thread.join(5000)
+    assert(tls.lines.contains("STARTTLS"))
+    assert(!tls.lines.exists(_.startsWith("AUTH")))
+  }
+
   test("mail.starttls.required passes normally when the server advertises it") {
     val srv = new FakeSmtp(advertiseStartTls = true)
     val cfg = fromProps(baseProps(srv.port) ++ Map(

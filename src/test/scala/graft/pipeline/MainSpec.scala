@@ -244,6 +244,9 @@ class MainSpec extends SparkSpec {
          |""".stripMargin)
     assert(Main.run(Array("-c", cfg), spark, silent) == 0)
     srv.awaitDone()
+    // the file RUNG carries its own truncate (per-rung replace semantics)
+    assert(srv.receivedCopySqls.head == "DELETE FROM \"sys\".\"region_out\";",
+      s"expected the rung's truncate first, got: ${srv.receivedCopySqls}")
     // the FILE branch won: one COPY ... FROM '<part files>' with the
     // staged manifest's exact count, not FROM STDIN
     val sql = srv.receivedCopySql

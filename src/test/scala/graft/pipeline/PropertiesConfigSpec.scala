@@ -117,6 +117,19 @@ class PropertiesConfigSpec extends AnyFunSuite {
       "jdbc:sqlserver://sqlhost:1444;instanceName=NAMED1;databaseName=erp")
   }
 
+  test("postgresql source with 'instance' fails at parse, naming the key") {
+    val e = intercept[IllegalArgumentException] {
+      PropertiesConfig.parse(
+        """postgresql.src.server = s
+          |postgresql.src.database = d
+          |postgresql.src.instance = nope
+          |table.t.source = src
+          |table.t.from = x
+          |""".stripMargin, env = Map.empty)
+    }
+    assert(e.getMessage.contains("postgresql.src.instance"))
+  }
+
   test("from.queryfile / from.countqueryfile read SQL text from disk (A4)") {
     val files = Map(
       "/cfg/q.sql" -> "SELECT a, b FROM t WHERE x > 1",
