@@ -110,8 +110,13 @@ object Similarity {
     // form of ceil(log₂(corpus/targetBucket)). Integer on purpose: a SQL
     // oracle can replay the identical choice from its own count(*), with
     // no floating-log rounding edge at exact powers of two (q143 does
-    // exactly that).
-    (1 to 24).find(b => (targetBucket << b) >= corpusSize).getOrElse(24)
+    // exactly that). Division + bit length rather than a shift search:
+    // `targetBucket << b` would overflow (silently clamping to 24 — the
+    // maximal pair scan) for a huge targetBucket, the argument direction
+    // that should SHRINK bits.
+    val q = (corpusSize - 1) / targetBucket + 1 // ceil(corpus/target), ≥ 1
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(q - 1) // smallest b: 2^b ≥ q
+    math.min(24, math.max(1, b))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

@@ -69,6 +69,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("suggestedLshBits: minimal b in [1,24] with target·2^b ≥ corpus") {
+    import graft.sim.Similarity.suggestedLshBits
+    forAll(Gen.choose(1L, Long.MaxValue), Gen.choose(1L, 1L << 40)) { (n, t) =>
+      val b = suggestedLshBits(n, t)
+      assert(b >= 1 && b <= 24)
+      // sufficiency (unless clamped at 24): target·2^b covers the corpus
+      if (b < 24) assert(BigInt(t) * (BigInt(1) << b) >= BigInt(n))
+      // minimality (unless clamped at 1): b−1 would under-cover
+      if (b > 1) assert(BigInt(t) * (BigInt(1) << (b - 1)) < BigInt(n))
+    }
+    // the overflow direction a shift-search got wrong: an enormous
+    // target bucket must yield the MINIMUM bits, not the maximum
+    assert(suggestedLshBits(1000L, Long.MaxValue / 2) == 1)
+  }
+
   test("watermark decision: newer-or-doubtful always copies (G2 conservatism)") {
     import Watermark._
     forAll(Gen.long, Gen.long, Gen.alphaStr, Gen.alphaStr) { (polled, stored, h1, h2) =>
