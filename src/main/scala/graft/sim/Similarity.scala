@@ -60,6 +60,24 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** Metadata-filtered vector search — the production serve shape ("top-k
+    * among documents matching this tenant / language / date range").
+    * PRE-filtering, not post-filtering: the predicate is applied to the
+    * corpus BEFORE ranking, so the result always carries exactly `k`
+    * neighbors (when the filtered corpus has that many) — a post-filter
+    * over an unfiltered top-k would silently return fewer than `k` rows
+    * whenever the filter is selective, the classic filtered-ANN recall
+    * trap. At scale the predicate is a plain Catalyst filter, so it
+    * pushes into the parquet scan (`PushedFilters`) and, when the corpus
+    * is stored partitioned by the metadata column, prunes partitions —
+    * the scan cost drops WITH selectivity, which brute-force ranking then
+    * pays only on the survivors. (For very unselective filters compose
+    * with [[lshTopK]]/[[IvfIndex.searchIndexed]] instead: same predicate,
+    * bucketed candidate generation.) */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidateFilter: Column): DataFrame =
+    bruteForceTopK(queries, corpus.filter(candidateFilter), idCol, vecCol, k)
+
   /** Random-hyperplane (SimHash-for-vectors) bucket key: sign bits of the
     * vector's projection onto `bits` pseudo-random hyperplanes. The
     * hyperplanes are derived deterministically from xxhash64(plane, dim)
@@ -363,6 +381,17 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
+    // metadata-filtered vector search: top-3 among candidates whose label
+    // passes the predicate (pre-filter semantics — always k survivors;
+    // the label filter pushes into the parquet scan, SimilaritySpec
+    // asserts PushedFilters)
+    "q146_filtered_ann" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      filteredTopK(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 3, candidateFilter = col("label").isin(2, 5, 7))
+        .orderBy("query_id", "rnk")
+    },
+
     // LSH-bucketed approximate top-k (rows-only: bucket family internal)
     "q63_ann_lsh_topk" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
@@ -607,6 +636,25 @@ object Similarity {
         |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
         |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
+    "q146_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+        |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+        |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
+        |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
+        |  FROM q, embeddings e
+        |  WHERE e.label IN (2, 5, 7) AND e.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id

@@ -510,6 +510,119 @@ object TextAnalysis {
           .as("dup_char_frac"))
   }
 
+  /** Required-stopword set for the Gopher "contains at least two of…"
+    * rule (Rae et al. 2021, arXiv:2112.11446, table A1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style word-level document-quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the subset meaningful on a single-line
+    * corpus (the line-shape rules — bullet starts, ellipsis ends — need
+    * newline structure this table does not carry). Per-document signals
+    * plus the combined `passes` gate:
+    *
+    *  - `n_words` within `[minWords, maxWords]`
+    *  - `mean_word_len` within [3, 10]
+    *  - `frac_alpha_words` ≥ 0.8 (words containing at least one letter)
+    *  - `symbol_ratio` ≤ 0.1 (`#` / `…` / `...` occurrences per word)
+    *  - `n_stop_hits` ≥ 2 (distinct members of `stopSet` present)
+    *
+    * Pure per-row codegen'd array math over the token array — no
+    * shuffle, no join; at 100 TB this is a map-only pass that fuses with
+    * whatever scan feeds it (same scale shape as [[qualityMetrics]]).
+    * Every signal is a ratio of integer counts, so both engines produce
+    * bit-identical doubles and the gate is oracle-checkable. */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopSet: Seq[String] = gopherStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    docs.where(t.isNotNull)
+      .select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        (length(regexp_replace(t, "\\s+", "")).cast("double") / nWords)
+          .as("mean_word_len"),
+        (size(filter(toks, tk => tk.rlike("[A-Za-z]"))).cast("double") / nWords)
+          .as("frac_alpha_words"),
+        (size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
+          / nWords).as("symbol_ratio"),
+        // array_intersect dedupes, so this counts DISTINCT stopword
+        // members present — the "contains at least 2 of" membership form
+        size(array_intersect(tokens(lower(t)), array(stopSet.map(lit): _*)))
+          .cast("long").as("n_stop_hits"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("frac_alpha_words") >= 0.8 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("n_stop_hits") >= 2)
+  }
+
+  /** BPE merge-pair induction — the first step of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016, arXiv:1508.07909): count
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency; the top pair is the first merge a BPE trainer would
+    * apply.
+    *
+    * Scale shape is the part that matters: the corpus token stream is
+    * aggregated to the DISTINCT vocabulary first (map-side-combining
+    * count), and the character-pair explosion — the expensive quadratic-
+    * looking bit — runs over distinct words only, each pair weighted by
+    * the word's corpus count. At 100 TB the vocabulary is millions of
+    * rows while the token stream is trillions; exploding after the
+    * vocabulary agg is the difference between a bounded pass and an
+    * unbounded one. The final ranking window is over the pair universe
+    * (bounded by alphabet², thousands of rows at most), so its single
+    * partition is bounded state, not a corpus sort. */
+  def bpePairCounts(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("word_n"))
+    val pairs = vocab
+      .where(length(col("word")) >= 2)
+      .select(col("word_n"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+    val w = Window.orderBy(desc("n_occurrences"), asc("pair"))
+    pairs.groupBy("pair").agg(sum(col("word_n")).as("n_occurrences"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select("rnk", "pair", "n_occurrences")
+  }
+
+  /** Hashed bag-of-words embedding (feature hashing, Weinberger et al.
+    * 2009, arXiv:0902.2206) — the model-free text→vector bridge: each
+    * token lands in ONE of `dim` cells (`h60 mod dim`) with a hash-derived
+    * ±1 sign, and the document vector is the per-cell sum. Inner products
+    * of these vectors approximate token-overlap similarity, so the
+    * documents table can flow into the whole ANN / near-dup / clustering
+    * stack ([[graft.sim.Similarity]], [[graft.sim.PqIndex]]) without any
+    * trained embedder.
+    *
+    * Integer-exact (cells are signed counts), hence oracle-checkable.
+    * Two shuffles at any scale, both map-side combined and bounded by
+    * docs×dim rows: the (doc, cell) partial-sum agg, then the per-doc
+    * assembly; the raw token stream itself is never shuffled. */
+  def hashedBowEmbedding(docs: DataFrame, textCol: String, idCol: String,
+      dim: Int = 16): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val cell = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col(idCol), h60(col("tok")).as("h"))
+      .select(col(idCol),
+        pmod(col("h"), lit(dim.toLong)).cast("int").as("j"),
+        when(shiftright(col("h"), 59).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L).as("s"))
+    cell.groupBy(col(idCol), col("j")).agg(sum(col("s")).as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0L))).as("embedding"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-group quantile gating: keep docs above their language's p75
     // length — the "adaptive threshold" quality cut (a global cut-off
@@ -664,6 +777,36 @@ object TextAnalysis {
         col("doc_id"),
         size(tokens(col("text"))).cast("int").as("n_ws_tokens"),
         size(bpeishTokens(col("text"))).cast("int").as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher word-level quality gate. The stopword set is the
+    // corpus-meaningful one (this vocabulary carries only 'the'/'a' of
+    // the canonical Gopher eight, which would pin n_stop_hits at ≤1 and
+    // make the ≥2 rule constant-false): membership still varies per doc,
+    // so the gate discriminates on both n_words and stop hits here.
+    "q144_gopher_rules" -> { (s, d) =>
+      gopherRules(Tables(s, d, "documents"), "text", "doc_id",
+        minWords = 20, maxWords = 100000,
+        stopSet = Seq("the", "a", "of", "and", "to", "in", "is", "with"))
+        .orderBy("doc_id")
+    },
+
+    // BPE merge-pair induction: top-20 adjacent char pairs weighted by
+    // word frequency — pair explosion over the DISTINCT vocabulary only
+    "q147_bpe_merge_pairs" -> { (s, d) =>
+      bpePairCounts(Tables(s, d, "documents"), "text", topN = 20)
+    },
+
+    // hashed bag-of-words embedding (feature hashing): the 16-dim signed
+    // count vector, compared as its comma-joined exact string + L1 norm
+    "q148_hashed_embedding" -> { (s, d) =>
+      hashedBowEmbedding(Tables(s, d, "documents"), "text", "doc_id", dim = 16)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("embedding"),
+            v => v.cast("string"))).as("emb"),
+          aggregate(col("embedding"), lit(0L), (acc, v) => acc + abs(v))
+            .as("l1"))
         .orderBy("doc_id")
     },
 
@@ -895,6 +1038,67 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q144_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(toks) AS mean_word_len,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS DOUBLE) / len(toks) AS frac_alpha_words,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+        |      / len(toks) AS symbol_ratio,
+        |    CAST(len(list_intersect(ltoks,
+        |      ['the','a','of','and','to','in','is','with'])) AS BIGINT)
+        |      AS n_stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+        |  symbol_ratio, n_stop_hits,
+        |  (n_words BETWEEN 20 AND 100000
+        |   AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND frac_alpha_words >= 0.8
+        |   AND symbol_ratio <= 0.1
+        |   AND n_stop_hits >= 2) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q147_bpe_merge_pairs" ->
+      """WITH wd AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS word_n FROM wd GROUP BY 1),
+        |p AS (
+        |  SELECT word_n, unnest(list_transform(range(1, length(word)),
+        |    i -> word[i:i+1])) AS pair
+        |  FROM wc WHERE length(word) >= 2),
+        |agg AS (SELECT pair, CAST(sum(word_n) AS BIGINT) AS n_occurrences
+        |        FROM p GROUP BY 1),
+        |r AS (SELECT pair, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+        |    AS BIGINT) AS rnk FROM agg)
+        |SELECT rnk, pair, n_occurrences FROM r WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
+    "q148_hashed_embedding" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+        |cell AS (SELECT doc_id, h % 16 AS j,
+        |    CASE WHEN (h // 576460752303423488) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM h),
+        |agg AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+        |        FROM cell GROUP BY 1, 2),
+        |filled AS (SELECT d.doc_id, gs.j, coalesce(a.v, 0) AS v
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
+        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j)
+        |SELECT doc_id,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS emb,
+        |  CAST(sum(abs(v)) AS BIGINT) AS l1
+        |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q108_heavy_hitters" -> q108Oracle,
     "q118_rare_token_stats" -> q118Oracle,
     "q126_tfidf_cosine_pairs" ->

@@ -212,6 +212,73 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("bad" -> 1L), 0.5).count() == 1)
   }
 
+  test("gopherRules: each rule flips the gate independently; zero-shuffle plan") {
+    val docs = Seq(
+      (1L, ("the a " + "word " * 30).trim),  // passes every rule
+      (2L, ("the a " + "word " * 5).trim),   // n_words < 20
+      (3L, ("the a " + "x " * 40).trim),     // mean_word_len < 3
+      (4L, ("the a " + "#### " * 30).trim),  // alpha frac + symbol ratio
+      (5L, ("word " * 30).trim)              // no stopword hits
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.gopherRules(docs, "text", "doc_id",
+      minWords = 20, maxWords = 100, stopSet = Seq("the", "a"))
+    val r = q.orderBy("doc_id").collect()
+    assert(r(0).getBoolean(6))
+    assert(!r(1).getBoolean(6) && r(1).getLong(1) == 7)
+    assert(!r(2).getBoolean(6) && r(2).getDouble(2) < 3.0)
+    assert(!r(3).getBoolean(6) && r(3).getDouble(3) < 0.8 &&
+      r(3).getDouble(4) > 0.1)
+    assert(!r(4).getBoolean(6) && r(4).getLong(5) == 0)
+    assert(r(0).getLong(5) == 2) // 'the' and 'a' both present, counted once
+    // pure per-row computation: no exchange anywhere in the plan
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("bpePairCounts: hand-counted pairs, weighted by word frequency") {
+    // vocab: ab×3, cd×1, abc×1, x×1 (single char → no pairs)
+    // pairs: ab→'ab' (weight 3), cd→'cd' (1), abc→'ab','bc' (1 each)
+    val docs = Seq((1L, "ab ab cd x"), (2L, "ab abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpePairCounts(docs, "text", topN = 10).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((1L, "ab", 4L), (2L, "bc", 1L), (3L, "cd", 1L)))
+  }
+
+  test("hashedBowEmbedding: deterministic, dim-sized, one ±1 per token") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha alpha beta gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashedBowEmbedding(docs, "text", "doc_id", dim = 8)
+      .orderBy("doc_id").collect()
+    val v1 = r(0).getSeq[Long](1)
+    val v2 = r(1).getSeq[Long](1)
+    val v3 = r(2).getSeq[Long](1)
+    assert(v1.size == 8)
+    assert(v1 == v2) // same text → identical vector
+    // exact replay of the hash family: h60 = first 15 hex chars of md5,
+    // cell = h mod dim, sign = bit 59
+    def cellSign(tok: String): (Int, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(d.take(15), 16)
+      ((h % 8).toInt, if (((h >> 59) & 1L) == 1L) 1L else -1L)
+    }
+    def expected(toks: Seq[String]): Seq[Long] = {
+      val acc = Array.fill(8)(0L)
+      toks.foreach { t => val (j, s) = cellSign(t); acc(j) += s }
+      acc.toSeq
+    }
+    assert(v1 == expected(Seq("alpha", "beta", "gamma")))
+    assert(v3 == expected(Seq("alpha", "alpha", "beta", "gamma")))
+    // doubling one token moves exactly that token's cell by exactly ±1
+    val diffs = (0 until 8).filter(i => v3(i) != v1(i))
+    assert(diffs.size == 1 && math.abs(v3(diffs.head) - v1(diffs.head)) == 1)
+    // layout-invariant: the per-doc assembly goes through map_from_entries
+    // (key-addressed), so collect_list's partition-dependent order can
+    // never reorder cells
+    val re = TextAnalysis.hashedBowEmbedding(docs.repartition(7), "text",
+      "doc_id", dim = 8).orderBy("doc_id").collect()
+    assert(re.map(_.getSeq[Long](1)).toSeq == r.map(_.getSeq[Long](1)).toSeq)
+  }
+
   test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {
     val labeled = Seq(
       (1L, "alpha beta alpha beta", true),

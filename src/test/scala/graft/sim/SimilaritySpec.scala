@@ -36,6 +36,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
   }
 
+  test("filteredTopK: pre-filter semantics — k survivors, all passing; filter pushed to scan") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val res = Similarity.filteredTopK(emb.filter(col("vec_id") < 4), emb,
+      "vec_id", "embedding", k = 3, candidateFilter = col("label") === 2)
+    val rows = res.collect()
+    // pre-filtering always yields exactly k per query when the filtered
+    // corpus has that many candidates (post-filtering a plain top-k would
+    // under-return here: at ~10% selectivity most unfiltered top-3 sets
+    // contain no label-2 member at all)
+    assert(rows.length == 4 * 3)
+    val lbl = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => lbl(r.getLong(2)) == 2))
+    // the metadata predicate reaches the parquet scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"), plan)
+  }
+
   test("suggestedLshBits holds bucket size constant as the corpus grows") {
     assert(Similarity.suggestedLshBits(2000) == 1)      // tiny corpus → min
     assert(Similarity.suggestedLshBits(1024 * 16) == 4)
