@@ -623,6 +623,62 @@ object TextAnalysis {
           j => coalesce(element_at(col("m"), j), lit(0L))).as("embedding"))
   }
 
+  /** Corpus drift / mixture monitoring: how far each source's token
+    * distribution sits from the REST of the corpus — the "did this
+    * crawl batch change under me" signal a mixture pipeline watches
+    * (a drifting source silently shifts the trained model's data mix).
+    * Per (source, token): in-source rate `pa = c·scale div T_src` vs
+    * rest-of-corpus rate `pb = c_rest·scale div T_rest`, scored
+    * `drift = (pa−pb)² div (pa+pb+1)` — a χ²-flavored per-cell statistic
+    * in pure integer math (same `div` fixed-point family as q97/q130),
+    * exact in both engines. Emits the top-`topN` drifting tokens per
+    * source plus the source-level total (the sum over ALL tokens, not
+    * just the listed ones).
+    *
+    * Scale shape: the token stream collapses to (source, token) counts
+    * in one map-side-combining shuffle; everything after is vocab-sized
+    * — the global-count agg, the token-keyed join, the per-source
+    * window. Source totals and the grand total ride broadcasts. A
+    * single-source corpus has no "rest" to drift from and returns
+    * empty (T_rest > 0 guard). */
+  def sourceDriftStats(docs: DataFrame, textCol: String, groupCol: String,
+      topN: Int, scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(col(groupCol).as("src"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    // materialize the (source, token) counts ONCE: four consumers (global
+    // counts, source totals, grand total, the scored join) reference this
+    // subtree through fresh exprIds, so without the leaf the corpus
+    // tokenize→count pipeline is re-planned per consumer (with the two
+    // leaves here: 17 exchanges → 3). The leaf is vocab×sources-sized —
+    // bounded, never corpus-sized. localCheckpoint: same leak rationale
+    // as q126
+    val st = tok.groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gt = st.groupBy("tok").agg(sum(col("c")).as("g"))
+    val totals = st.groupBy("src").agg(sum(col("c")).as("t"))
+    val grand = totals.agg(sum(col("t")).as("grand"))
+    val m = st.join(gt, Seq("tok"))
+      .join(broadcast(totals), Seq("src"))
+      .crossJoin(broadcast(grand))
+      .filter(col("grand") - col("t") > 0)
+      .select(col("src"), col("tok"),
+        expr(s"(c * ${scale}L) div t").as("pa"),
+        expr(s"((g - c) * ${scale}L) div (grand - t)").as("pb"))
+    // the scored relation feeds two consumers (source totals + ranking
+    // window) — same leaf treatment, same bounded size
+    val d = m.select(col("src"), col("tok"),
+      expr("((pa - pb) * (pa - pb)) div (pa + pb + 1)").as("drift_fp"))
+      .localCheckpoint()
+    val srcTotal = d.groupBy("src")
+      .agg(sum(col("drift_fp")).as("src_drift_fp"))
+    val w = Window.partitionBy("src").orderBy(desc("drift_fp"), asc("tok"))
+    d.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .join(broadcast(srcTotal), Seq("src"))
+      .select(col("src").as("source"), col("rnk"), col("tok"),
+        col("drift_fp"), col("src_drift_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-group quantile gating: keep docs above their language's p75
     // length — the "adaptive threshold" quality cut (a global cut-off
@@ -808,6 +864,42 @@ object TextAnalysis {
           aggregate(col("embedding"), lit(0L), (acc, v) => acc + abs(v))
             .as("l1"))
         .orderBy("doc_id")
+    },
+
+    // the text→vector bridge COMPOSED into the ANN stack: hashed
+    // bag-of-words embeddings (q148) flow unchanged into
+    // Similarity.bruteForceTopK — nearest documents by token-overlap
+    // cosine with NO trained embedder anywhere. The long→float cast is
+    // exact (cells are signed counts bounded by document length), so the
+    // whole chain stays oracle-replayable end to end.
+    "q149_hashed_ann_compose" -> { (s, d) =>
+      // materialize the embedding table ONCE: it feeds both topK sides
+      // (broadcast queries + streamed corpus), which reference the
+      // tokenize→cell→assemble subtree through fresh exprIds that
+      // ReuseExchange can't canonicalize equal — without the leaf the
+      // three-exchange build pipeline is planned and partially re-run
+      // per side (6 shuffles → 3). localCheckpoint: same leak rationale
+      // as q126's weight table
+      val vecs = hashedBowEmbedding(Tables(s, d, "documents"), "text",
+        "doc_id", dim = 16)
+        // a zero vector has no direction — drop it on BOTH sides so the
+        // oracle's raw-division cosine stays well-defined (needs every
+        // cell's signs to cancel exactly; none at the harness SFs, but
+        // guarded for any corpus)
+        .filter(aggregate(col("embedding"), lit(0L),
+          (acc, v) => acc + abs(v)) > 0)
+        .select(col("doc_id").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .localCheckpoint()
+      graft.sim.Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") < 8), vecs, "vec_id", "embedding", 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // corpus drift per source: top-5 drifting tokens + source-level sum
+    "q150_source_drift" -> { (s, d) =>
+      sourceDriftStats(Tables(s, d, "documents"), "text", "source", topN = 5)
+        .orderBy("source", "rnk")
     },
 
     // quality scoring
@@ -1038,6 +1130,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "q150_source_drift" ->
+      """WITH tok AS (SELECT source AS src,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |st AS (SELECT src, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1),
+        |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM st GROUP BY 1),
+        |gr AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM st),
+        |m AS (SELECT st.src, st.tok,
+        |    CAST(st.c * 1000000 // tot.t AS BIGINT) AS pa,
+        |    CAST((gt.g - st.c) * 1000000 // (gr.grand - tot.t) AS BIGINT) AS pb
+        |  FROM st JOIN gt USING (tok) JOIN tot USING (src) CROSS JOIN gr
+        |  WHERE gr.grand - tot.t > 0),
+        |d AS (SELECT src, tok,
+        |    CAST((pa - pb) * (pa - pb) // (pa + pb + 1) AS BIGINT) AS drift_fp
+        |  FROM m),
+        |s AS (SELECT src, CAST(sum(drift_fp) AS BIGINT) AS src_drift_fp
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT src, tok, drift_fp,
+        |    CAST(row_number() OVER (PARTITION BY src
+        |      ORDER BY drift_fp DESC, tok ASC) AS BIGINT) AS rnk FROM d)
+        |SELECT r.src AS source, r.rnk, r.tok, r.drift_fp, s.src_drift_fp
+        |FROM r JOIN s USING (src) WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
     "q144_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\s+') AS toks,
@@ -1099,6 +1215,42 @@ object TextAnalysis {
         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS emb,
         |  CAST(sum(abs(v)) AS BIGINT) AS l1
         |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q149_hashed_ann_compose" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+        |cell AS (SELECT doc_id, h % 16 AS j,
+        |    CASE WHEN (h // 576460752303423488) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM h),
+        |agg AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+        |        FROM cell GROUP BY 1, 2),
+        |filled AS (SELECT d.doc_id, gs.j, coalesce(a.v, 0) AS v
+        |  FROM (SELECT DISTINCT doc_id FROM tok) d
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
+        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j),
+        |vec AS (SELECT doc_id, list(v ORDER BY j) AS emb,
+        |    sum(abs(v)) AS l1 FROM filled GROUP BY doc_id),
+        |nz AS (SELECT doc_id, emb FROM vec WHERE l1 > 0),
+        |q AS (SELECT doc_id AS query_id, emb AS q_vec FROM nz WHERE doc_id < 8),
+        |pairs AS (
+        |  SELECT q.query_id, e.doc_id AS neighbor_id,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      i -> q.q_vec[i]::DOUBLE * e.emb[i]::DOUBLE), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(range(1, 17),
+        |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
+        |     sqrt(list_aggregate(list_transform(range(1, 17),
+        |      i -> e.emb[i]::DOUBLE * e.emb[i]::DOUBLE), 'sum'))) AS cos
+        |  FROM q, nz e WHERE e.doc_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |  FROM pairs)
+        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rnk""".stripMargin,
     "q108_heavy_hitters" -> q108Oracle,
     "q118_rare_token_stats" -> q118Oracle,
     "q126_tfidf_cosine_pairs" ->

@@ -279,6 +279,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(re.map(_.getSeq[Long](1)).toSeq == r.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("sourceDriftStats: disjoint vocabulary drifts, twin sources tie, single source is empty") {
+    val docs = Seq(
+      (1L, "srcA", "aaa aaa bbb"),
+      (2L, "srcA", "aaa bbb bbb"),
+      (3L, "srcB", "aaa aaa bbb"),
+      (4L, "srcB", "aaa bbb bbb"),
+      (5L, "srcC", "zzz zzz yyy yyy")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.sourceDriftStats(docs, "text", "source", topN = 3)
+      .select("source", "src_drift_fp").distinct()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // srcC's vocabulary is disjoint from the rest → far larger drift
+    assert(r("srcC") > r("srcA") * 10, r.toString)
+    // srcA and srcB carry identical distributions AND identical rests
+    // (each other's tokens are the same multiset) → exactly equal drift
+    assert(r("srcA") == r("srcB"))
+    // a single-source corpus has no "rest" to drift from → empty result
+    assert(TextAnalysis.sourceDriftStats(
+      docs.filter(col("source") === "srcA"), "text", "source", 3).count() == 0)
+  }
+
   test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {
     val labeled = Seq(
       (1L, "alpha beta alpha beta", true),

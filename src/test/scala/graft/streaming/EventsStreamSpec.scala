@@ -208,6 +208,39 @@ class EventsStreamSpec extends SparkSpec {
     assert(!gated.queryExecution.analyzed.toString.toLowerCase.contains("statestore"))
   }
 
+  test("gopher quality gate streams as-is: stream == batch, stateless plan") {
+    implicit val sqlCtx = spark.sqlContext
+    // gopherRules is pure per-row expression math, so it applies to a
+    // streaming DataFrame UNCHANGED — no twin needed; this pins that the
+    // plan stays stateless (no aggregation sneaks in) and that the gate
+    // decisions match the batch run row for row
+    val rows = Seq(
+      (1L, ("the a " + "word " * 30).trim), // passes
+      (2L, ("the a " + "word " * 5).trim),  // too short
+      (3L, ("word " * 30).trim))            // no stopword hits
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.text.TextAnalysis.gopherRules(
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      minWords = 20, maxWords = 100, stopSet = Seq("the", "a"))
+    assert(gated.isStreaming)
+    assert(!gated.queryExecution.analyzed.toString.toLowerCase
+      .contains("statestore"))
+    val q = gated.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gopher_stream")
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    val batch = graft.text.TextAnalysis.gopherRules(
+      rows.toDF("doc_id", "text"), "text", "doc_id",
+      minWords = 20, maxWords = 100, stopSet = Seq("the", "a"))
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    assert(got == batch && got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("streaming near-dup pairs == batch simHashNearDups over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
