@@ -957,11 +957,46 @@ object Dedup {
         col("_score").as("score"), col("canonical"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land on the same side. A per-document split
+    * ([[graft.ops.Extended.splitColumn]], q82) scatters the members of
+    * every near-dup cluster independently, so ~23% of each training
+    * document's near-copies end up in val/test — training text leaking
+    * into evaluation, the contamination that per-doc hashing cannot see.
+    * Here the split key is the dup CLUSTER: simhash near-dup pairs →
+    * connected components, and every document hashes by its component
+    * representative (its own id when unpaired), so a whole cluster moves
+    * as one unit.
+    *
+    * Scale shape: the simhash pass + O(log D) component rounds are
+    * q101's (pigeonhole-blocked, hashes-only shuffles); the component
+    * table covers only PAIRED docs — typically a small fraction of the
+    * corpus — and joins back on id; the split itself is a per-row hash.
+    * Deterministic for any input order and any partitioning. */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    val pairs = simHashNearDups(docs, textCol, idCol, maxHamming = maxHamming)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    docs.join(comp.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left_outer")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .withColumn("split", graft.ops.Extended.splitColumn(col("group_id")))
+      .select(col(idCol), col("group_id"), col("split"))
+  }
+
   // ---------------------------------------------------------------------
   // Queries + oracles
   // ---------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // leakage-safe split: near-dup clusters move between train/val/test
+    // as one unit (the oracle replays simhash → closure → group hash)
+    "q151_leakage_safe_split" -> { (s, d) =>
+      leakageSafeSplit(Tables(s, d, "documents"), "text", "doc_id",
+        maxHamming = 2)
+        .orderBy("doc_id")
+    },
+
     // exact dedup: duplicate-group report (hash-shuffle on fingerprint)
     "q50_exact_dup_groups" -> { (s, d) =>
       dupGroups(Tables(s, d, "documents"), "text", "doc_id")
@@ -1382,6 +1417,36 @@ object Dedup {
     "q53_minhash_lsh_pairs" -> q53Oracle,
     // transitive closure over the q55 pair list via recursive CTE, then
     // per-vertex min reachable id = the component label
+    // q151: the q101 closure, every doc joined to its component (own id
+    // when unpaired), split by the component representative's hash —
+    // the same md5-last-hex-char rule as q82's per-doc split
+    "q151_leakage_safe_split" ->
+      s"""WITH RECURSIVE $simHashOracleCore,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |grp AS (
+         |  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN lbl l USING (doc_id))
+         |SELECT doc_id, group_id,
+         |  CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 32, 1) < 'c'
+         |         THEN 'train'
+         |       WHEN substr(md5(CAST(group_id AS VARCHAR)), 32, 1) < 'e'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM grp ORDER BY doc_id""".stripMargin,
     "q101_dedup_clusters" ->
       s"""WITH RECURSIVE $simHashOracleCore,
          |pairs AS (

@@ -381,6 +381,30 @@ class DedupSpec extends SparkSpec {
     base.unionAll(Seq((100000L, src), (100001L, nearDup)).toDF("doc_id", "text"))
   }
 
+  test("leakageSafeSplit: near-dup clusters move between splits as one unit") {
+    // three copies → one cluster (the pair-finding itself is covered by
+    // the simHashNearDups tests; this unit is cluster-level split
+    // consistency — on a 10-token doc even a one-token swap can flip >3
+    // fingerprint bits, so exact copies keep the fixture deterministic)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corp = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (10L, "totally different content about other things entirely now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.leakageSafeSplit(corp, "text", "doc_id", maxHamming = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    // the cluster collapses to one group (min id) with ONE split for all
+    assert(r(1L)._1 == 1L && r(2L)._1 == 1L && r(3L)._1 == 1L)
+    assert(Set(r(1L)._2, r(2L)._2, r(3L)._2).size == 1)
+    // an unpaired doc keeps its own id as group; its split follows the
+    // same md5-last-hex-char rule as the per-doc splitter
+    assert(r(10L)._1 == 10L)
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("10".getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(31)
+    val exp = if (hex < 'c') "train" else if (hex < 'e') "val" else "test"
+    assert(r(10L)._2 == exp)
+  }
+
   test("connectedComponents: chains, disjoint clusters, singleton exclusion") {
     // a 6-vertex PATH (3-7-2-9-4-8, needs several propagation rounds to
     // carry the min to the far end), one triangle with a redundant edge,
