@@ -548,8 +548,12 @@ object TextAnalysis {
         (size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
           / nWords).as("symbol_ratio"),
         // array_intersect dedupes, so this counts DISTINCT stopword
-        // members present — the "contains at least 2 of" membership form
-        size(array_intersect(tokens(lower(t)), array(stopSet.map(lit): _*)))
+        // members present — the "contains at least 2 of" membership form.
+        // lower() the already-split array rather than re-tokenizing
+        // lower(text): lowercasing never changes whitespace, so the
+        // tokens are identical and the document is regex-split once
+        size(array_intersect(transform(toks, tk => lower(tk)),
+          array(stopSet.map(lit): _*)))
           .cast("long").as("n_stop_hits"))
       .withColumn("passes",
         col("n_words").between(minWords, maxWords) &&
@@ -635,14 +639,28 @@ object TextAnalysis {
     * source plus the source-level total (the sum over ALL tokens, not
     * just the listed ones).
     *
+    * TWO-sided: the cell grid is (every source) × (every corpus token),
+    * not just the tokens a source contains — a source that went SILENT
+    * on a token the rest of the corpus carries drifts by that token's
+    * rest rate (`pa = 0`), which is exactly the "crawl batch dropped a
+    * topic" event one-sided scoring is blind to.
+    *
     * Scale shape: the token stream collapses to (source, token) counts
     * in one map-side-combining shuffle; everything after is vocab-sized
-    * — the global-count agg, the token-keyed join, the per-source
-    * window. Source totals and the grand total ride broadcasts. A
-    * single-source corpus has no "rest" to drift from and returns
-    * empty (T_rest > 0 guard). */
+    * — the global-count agg, the sources×vocab grid (sources are
+    * typically tens, so the grid is a small multiple of the vocab), the
+    * token-keyed join, the per-source window. Source totals and the
+    * grand total ride broadcasts. A single-source corpus has no "rest"
+    * to drift from and returns empty (T_rest > 0 guard). The fixed-point
+    * products stay in Long: `scale ≤ 2·10⁹` keeps `(pa−pb)²` under 2^63
+    * always, and the count·scale products are exact while corpus tokens
+    * × scale < 2^63 (~9·10¹² tokens at the 10⁶ default; lower `scale`
+    * for a bigger corpus — Spark ANSI mode and DuckDB both throw loudly
+    * on overflow rather than corrupting). */
   def sourceDriftStats(docs: DataFrame, textCol: String, groupCol: String,
       topN: Int, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0 && scale <= 2000000000L,
+      s"scale=$scale outside (0, 2e9] — (pa-pb)^2 must stay under 2^63")
     val tok = docs.select(col(groupCol).as("src"),
       explode(tokens(lower(col(textCol)))).as("tok"))
     // materialize the (source, token) counts ONCE: four consumers (global
@@ -657,7 +675,10 @@ object TextAnalysis {
     val gt = st.groupBy("tok").agg(sum(col("c")).as("g"))
     val totals = st.groupBy("src").agg(sum(col("c")).as("t"))
     val grand = totals.agg(sum(col("t")).as("grand"))
-    val m = st.join(gt, Seq("tok"))
+    // full sources×vocab grid, absent cells at c=0 (the two-sided half)
+    val m = gt.crossJoin(broadcast(totals.select("src")))
+      .join(st, Seq("src", "tok"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
       .join(broadcast(totals), Seq("src"))
       .crossJoin(broadcast(grand))
       .filter(col("grand") - col("t") > 0)
@@ -878,7 +899,7 @@ object TextAnalysis {
       // tokenize→cell→assemble subtree through fresh exprIds that
       // ReuseExchange can't canonicalize equal — without the leaf the
       // three-exchange build pipeline is planned and partially re-run
-      // per side (6 shuffles → 3). localCheckpoint: same leak rationale
+      // per side (6 shuffles → 2). localCheckpoint: same leak rationale
       // as q126's weight table
       val vecs = hashedBowEmbedding(Tables(s, d, "documents"), "text",
         "doc_id", dim = 16)
@@ -1129,6 +1150,28 @@ object TextAnalysis {
        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE core of the q148/q149 oracles: token stream → h60 →
+    * (cell, sign) → per-(doc, cell) sums → dense 16-cell grid. One
+    * definition so the two hashed-embedding oracles cannot drift if the
+    * hash family (the 2^59 sign bit, the mod-16 cell) ever changes —
+    * same rationale as [[graft.dedup.Dedup]]'s simHashOracleCore. */
+  private val hashedBowOracleCore: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+      |cell AS (SELECT doc_id, h % 16 AS j,
+      |    CASE WHEN (h // 576460752303423488) % 2 = 1 THEN 1 ELSE -1 END AS s
+      |  FROM h),
+      |agg AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
+      |        FROM cell GROUP BY 1, 2),
+      |filled AS (SELECT d.doc_id, gs.j, coalesce(a.v, 0) AS v
+      |  FROM (SELECT DISTINCT doc_id FROM tok) d
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
+      |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q150_source_drift" ->
       """WITH tok AS (SELECT source AS src,
@@ -1138,10 +1181,16 @@ object TextAnalysis {
         |gt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1),
         |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM st GROUP BY 1),
         |gr AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM st),
-        |m AS (SELECT st.src, st.tok,
-        |    CAST(st.c * 1000000 // tot.t AS BIGINT) AS pa,
-        |    CAST((gt.g - st.c) * 1000000 // (gr.grand - tot.t) AS BIGINT) AS pb
-        |  FROM st JOIN gt USING (tok) JOIN tot USING (src) CROSS JOIN gr
+        |grid AS (SELECT s.src, g.tok, g.g
+        |  FROM gt g CROSS JOIN (SELECT src FROM tot) s),
+        |cells AS (SELECT grid.src, grid.tok, grid.g,
+        |    coalesce(st.c, 0) AS c
+        |  FROM grid LEFT JOIN st
+        |    ON st.src = grid.src AND st.tok = grid.tok),
+        |m AS (SELECT cells.src, cells.tok,
+        |    CAST(c * 1000000 // tot.t AS BIGINT) AS pa,
+        |    CAST((g - c) * 1000000 // (gr.grand - tot.t) AS BIGINT) AS pb
+        |  FROM cells JOIN tot USING (src) CROSS JOIN gr
         |  WHERE gr.grand - tot.t > 0),
         |d AS (SELECT src, tok,
         |    CAST((pa - pb) * (pa - pb) // (pa + pb + 1) AS BIGINT) AS drift_fp
@@ -1196,41 +1245,13 @@ object TextAnalysis {
         |SELECT rnk, pair, n_occurrences FROM r WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin,
     "q148_hashed_embedding" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
-        |cell AS (SELECT doc_id, h % 16 AS j,
-        |    CASE WHEN (h // 576460752303423488) % 2 = 1 THEN 1 ELSE -1 END AS s
-        |  FROM h),
-        |agg AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
-        |        FROM cell GROUP BY 1, 2),
-        |filled AS (SELECT d.doc_id, gs.j, coalesce(a.v, 0) AS v
-        |  FROM (SELECT DISTINCT doc_id FROM tok) d
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
-        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j)
+      s"""WITH $hashedBowOracleCore
         |SELECT doc_id,
         |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS emb,
         |  CAST(sum(abs(v)) AS BIGINT) AS l1
         |FROM filled GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q149_hashed_ann_compose" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
-        |cell AS (SELECT doc_id, h % 16 AS j,
-        |    CASE WHEN (h // 576460752303423488) % 2 = 1 THEN 1 ELSE -1 END AS s
-        |  FROM h),
-        |agg AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS v
-        |        FROM cell GROUP BY 1, 2),
-        |filled AS (SELECT d.doc_id, gs.j, coalesce(a.v, 0) AS v
-        |  FROM (SELECT DISTINCT doc_id FROM tok) d
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
-        |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j),
+      s"""WITH $hashedBowOracleCore,
         |vec AS (SELECT doc_id, list(v ORDER BY j) AS emb,
         |    sum(abs(v)) AS l1 FROM filled GROUP BY doc_id),
         |nz AS (SELECT doc_id, emb FROM vec WHERE l1 > 0),

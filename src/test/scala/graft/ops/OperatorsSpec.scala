@@ -290,13 +290,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("source", "src_drift_fp").distinct()
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     // srcC's vocabulary is disjoint from the rest → far larger drift
-    assert(r("srcC") > r("srcA") * 10, r.toString)
+    // (two-sided scoring: A and B also drift on the zzz/yyy tokens they
+    // lack, so C's margin is ~4×, not orders of magnitude)
+    assert(r("srcC") > r("srcA") * 3, r.toString)
     // srcA and srcB carry identical distributions AND identical rests
     // (each other's tokens are the same multiset) → exactly equal drift
     assert(r("srcA") == r("srcB"))
     // a single-source corpus has no "rest" to drift from → empty result
     assert(TextAnalysis.sourceDriftStats(
       docs.filter(col("source") === "srcA"), "text", "source", 3).count() == 0)
+  }
+
+  test("sourceDriftStats is two-sided: a token a source went silent on still drifts") {
+    val docs = Seq(
+      (1L, "s1", "common common common hot hot hot"),
+      (2L, "s2", "common common common")).toDF("doc_id", "source", "text")
+    val s2 = TextAnalysis.sourceDriftStats(docs, "text", "source", topN = 2)
+      .filter(col("source") === "s2").collect()
+    // 'hot' never occurs in s2, yet it is a top drifting token there —
+    // the "crawl batch dropped a topic" event one-sided scoring misses
+    assert(s2.exists(r => r.getString(2) == "hot" && r.getLong(3) > 0),
+      s2.mkString(";"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sourceDriftStats(docs, "text", "source", 2,
+        scale = 3000000000L)
+    }
   }
 
   test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {
