@@ -238,6 +238,84 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One hashed-cell token occurrence of a streamed document
+    * (`cell = h60(token) mod B` — the DSIR cell trick, q130). */
+  final case class SrcTok(src: String, cell: Int)
+  final case class DriftState(counts: Array[Long], total: Long)
+  final case class SrcDrift(src: String, n_tokens: Long, drift_fp: Long)
+
+  /** Streaming drift monitor at ingest — the streaming twin of q150's
+    * mixture monitoring ([[graft.text.TextAnalysis.sourceDriftStats]]):
+    * each source key holds a B-cell hashed token histogram in
+    * `ValueState` — fixed state (`B` longs) regardless of stream length
+    * or vocabulary — and after every batch emits the source's RUNNING
+    * drift against a reference cell distribution trained offline:
+    * `drift_fp = Σ_cells (pa − pb)² div (pa + pb + 1)`, the same
+    * χ²-flavored integer statistic as the batch operator, so a batch
+    * replay over the same cells reproduces every emission exactly (the
+    * spec does). Cells are additive, so emissions are deterministic for
+    * a deterministic batch sequence without any in-batch sort. The
+    * reference rides the processor (B longs), not a join. */
+  class StreamingDriftProcessor(refCells: Array[Long], cells: Int, scale: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SrcTok, SrcDrift] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[DriftState] = _
+    private val refTotal: Long = refCells.sum
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DriftState]("cells",
+        org.apache.spark.sql.Encoders.product[DriftState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SrcTok],
+        timerValues: TimerValues): Iterator[SrcDrift] = {
+      val st = if (state.exists()) state.get()
+        else DriftState(new Array[Long](cells), 0L)
+      val counts = st.counts
+      var total = st.total
+      rows.foreach { r => counts(r.cell) += 1L; total += 1L }
+      state.update(DriftState(counts, total))
+      var drift = 0L
+      var i = 0
+      while (i < cells) {
+        val pa = counts(i) * scale / total
+        val pb = refCells(i) * scale / refTotal
+        val diff = pa - pb
+        drift += diff * diff / (pa + pb + 1)
+        i += 1
+      }
+      Iterator.single(SrcDrift(key, total, drift))
+    }
+  }
+
+  /** Hashed-cell prep for [[driftMonitorStream]]: tokenized text →
+    * one `SrcTok(src, h60 mod cells)` row per token occurrence — and
+    * the SAME expression computes a reference histogram from a batch
+    * corpus (`groupBy(cell).count()`). */
+  def srcTokenCells(docs: DataFrame, textCol: String, srcCol: String,
+      cells: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col(srcCol).as("src"),
+      explode(graft.text.TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .select(col("src"),
+        pmod(graft.text.TextAnalysis.h60(col("tok")), lit(cells.toLong))
+          .cast("int").as("cell"))
+  }
+
+  /** Running per-source drift vs an offline reference (see
+    * [[StreamingDriftProcessor]]); `refCells(i)` = reference count of
+    * cell i, length `cells`. */
+  def driftMonitorStream(toks: Dataset[SrcTok], refCells: Array[Long],
+      cells: Int = 1024, scale: Long = 1000000L): Dataset[SrcDrift] = {
+    require(refCells.length == cells, "refCells must have one entry per cell")
+    require(refCells.exists(_ > 0), "reference histogram is empty")
+    require(scale > 0 && scale <= 2000000000L,
+      s"scale=$scale outside (0, 2e9]")
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.src)
+      .transformWithState(new StreamingDriftProcessor(refCells, cells, scale),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** One simhash quarter-block occurrence of a streamed document:
     * `block` packs (quarter index << 16) | 15-bit quarter key, so each
     * of a document's 4 blocking keys is its own state partition. */

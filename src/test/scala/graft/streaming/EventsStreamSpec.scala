@@ -300,6 +300,61 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift monitor: running drift == batch replay; shifted source drifts more") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      import EventsStream.{SrcDrift, SrcTok}
+      val cells = 64
+      // offline half: the reference cell histogram, built with the SAME
+      // expression the stream prep uses
+      val refDocs = Seq((1L, "ref", "common common common hot"))
+        .toDF("doc_id", "source", "text")
+      val ref = new Array[Long](cells)
+      EventsStream.srcTokenCells(refDocs, "text", "source", cells)
+        .groupBy("cell").count().collect()
+        .foreach(r => ref(r.getInt(0)) = r.getLong(1))
+      // online half: one source matching the reference mix, one shifted
+      val mem = MemoryStream[(String, String)]
+      val toks = EventsStream.srcTokenCells(
+        mem.toDF().toDF("source", "text"), "text", "source", cells)
+        .as[SrcTok]
+      val q = EventsStream.driftMonitorStream(toks, ref, cells).writeStream
+        .format("memory").queryName("drift_stream")
+        .outputMode("update").start()
+      mem.addData(("match", "common common common hot"),
+        ("shift", "zulu xray yankee whiskey"))
+      q.processAllAvailable()
+      mem.addData(("match", "common common hot"), ("shift", "zulu zulu"))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("drift_stream").as[SrcDrift].collect()
+        .groupBy(_.src).map { case (s, xs) => s -> xs.maxBy(_.n_tokens) }
+      // exact batch replay over the full streamed corpus, same cells
+      def replay(texts: Seq[String]): (Long, Long) = {
+        val counts = new Array[Long](cells); var total = 0L
+        for (t <- texts; tok <- t.split("\\s+")) {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.take(15), 16)
+          counts((h % cells).toInt) += 1L; total += 1L
+        }
+        val refTotal = ref.sum
+        var drift = 0L
+        for (i <- 0 until cells) {
+          val pa = counts(i) * 1000000L / total
+          val pb = ref(i) * 1000000L / refTotal
+          drift += (pa - pb) * (pa - pb) / (pa + pb + 1)
+        }
+        (total, drift)
+      }
+      val (tm, dm) = replay(Seq("common common common hot", "common common hot"))
+      val (ts, ds) = replay(Seq("zulu xray yankee whiskey", "zulu zulu"))
+      assert(last("match") == SrcDrift("match", tm, dm), last.toString)
+      assert(last("shift") == SrcDrift("shift", ts, ds), last.toString)
+      assert(ds > dm) // the distribution-shifted source drifts more
+    }
+  }
+
   test("streaming CMS: running estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
