@@ -79,19 +79,100 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Real audio decode: `javax.sound.sampled` header parse — the JDK
+    * ships WAV/AIFF/AU container readers the same way it ships imageio,
+    * so uncompressed audio gets a true decode with no external codecs.
+    * `getAudioFileFormat` reads the container header only (never the
+    * sample data), so a corpus scan pays bytes-in + header-parse.
+    * Feature mapping for the image-shaped schema: `width` = sample rate
+    * (Hz), `height` = channel count, `n_frames` = sample frames (the
+    * audio meaning of "frame": one sample across all channels).
+    * Compressed formats (mp3/ogg/aac) have no JDK reader and fall
+    * through to the deterministic fallback — where an ffmpeg JNI
+    * binding would slot in. */
+  private def audioDecode(a: MediaAsset): Option[MediaFeatures] = {
+    if (a.kind != "audio") return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(a.payload))
+      val fmt = aff.getFormat
+      val frames = if (aff.getFrameLength > 0) aff.getFrameLength else 1
+      Some(MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+        fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        sha256Hex(a.payload)))
+    } catch { case _: Exception => None } // not a JDK-readable container
+  }
+
   private def sha256Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Real video decode: MP4/MOV container box walk (ISO/IEC 14496-12 —
+    * a public byte format, parseable with no codec). Boxes are
+    * `[4-byte big-endian size][4-byte type][payload]`; the walk visits
+    * `moov.trak.tkhd` for the presentation width/height (16.16 fixed
+    * point at payload offset 76 for version 0, 88 for version 1) and
+    * `moov.trak.mdia.minf.stbl.stsz` for the exact sample (frame)
+    * count. Header-only: sample DATA (`mdat`) is never touched, so a
+    * corpus scan pays bytes-in + box walk. Returns None for anything
+    * that isn't a well-formed MP4/MOV (→ deterministic fallback). */
+  private def mp4Decode(a: MediaAsset): Option[MediaFeatures] = {
+    if (a.kind != "video") return None
+    val b = a.payload
+    def u32(off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    def fourcc(off: Int): String =
+      new String(b, off, 4, "ISO-8859-1")
+    // find the first child box of [start, end) with the given type;
+    // returns (payloadStart, payloadEnd)
+    def child(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(off)
+        if (size < 8 || off + size > end) return None // malformed
+        if (fourcc(off + 4) == typ) return Some((off + 8, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    try {
+      // top level must lead with a well-formed box chain containing moov
+      if (b.length < 16 || child(0, b.length, "ftyp").isEmpty) return None
+      for {
+        (moovS, moovE) <- child(0, b.length, "moov")
+        (trakS, trakE) <- child(moovS, moovE, "trak")
+        (tkhdS, tkhdE) <- child(trakS, trakE, "tkhd")
+      } yield {
+        val v = b(tkhdS) & 0xFF
+        val whOff = tkhdS + (if (v == 1) 88 else 76)
+        val (w, h) =
+          if (whOff + 8 <= tkhdE) ((u32(whOff) >> 16).toInt, (u32(whOff + 4) >> 16).toInt)
+          else (0, 0)
+        val frames = (for {
+          (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+          (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+          (stblS, stblE) <- child(minfS, minfE, "stbl")
+          (stszS, stszE) <- child(stblS, stblE, "stsz")
+          if stszS + 12 <= stszE
+        } yield u32(stszS + 8).toInt).getOrElse(1)
+        MediaFeatures(a.asset_id, a.kind, b.length.toLong, w, h,
+          math.max(frames, 1), sha256Hex(b))
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Decode one asset: a REAL javax.imageio decode for recognizable
-    * image payloads; a deterministic sha256-derived pseudo-decode for
-    * everything else (no audio/video codecs in this container — the
-    * fallback keeps every row present and the harness oracles
-    * replayable, since the synthetic corpus's UTF-8 payloads all take
-    * this path). The partitioning, batching and schema contract are
-    * identical for both paths. */
+    * image payloads, a REAL javax.sound header parse for WAV/AIFF/AU
+    * audio payloads, and a REAL ISO-14496-12 box walk for MP4/MOV
+    * video payloads; a deterministic sha256-derived pseudo-decode for
+    * everything else (compressed-audio and non-MP4 video codecs aren't
+    * in this container — the fallback keeps every row present and the
+    * harness oracles replayable, since the synthetic corpus's UTF-8
+    * payloads all take this path). The partitioning, batching and
+    * schema contract are identical for all paths. */
   private def decodeOne(a: MediaAsset): MediaFeatures =
-    imageDecode(a).getOrElse {
+    imageDecode(a).orElse(audioDecode(a)).orElse(mp4Decode(a)).getOrElse {
       val n = a.payload.length.toLong
       val h = java.security.MessageDigest.getInstance("SHA-256").digest(a.payload)
       val hex = h.map("%02x".format(_)).mkString

@@ -1003,6 +1003,69 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(_.checksum.length == 64))
   }
 
+  test("real WAV payloads decode to true rate/channels/frames; junk falls back") {
+    import spark.implicits._
+    def wav(rateHz: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio", wav(16000f, 1, 480)),
+      Multimodal.MediaAsset(2L, "audio", wav(44100f, 2, 1000)),
+      Multimodal.MediaAsset(3L, "audio", "not audio at all".getBytes("UTF-8")),
+      Multimodal.MediaAsset(4L, "image", wav(16000f, 1, 480)) // kind gates decode
+    ).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    // width = sample rate, height = channels, n_frames = sample frames
+    assert(f(1L).width == 16000 && f(1L).height == 1 && f(1L).n_frames == 480)
+    assert(f(2L).width == 44100 && f(2L).height == 2 && f(2L).n_frames == 1000)
+    // undecodable audio payload: deterministic sha-derived fallback
+    assert(f(3L).width >= 64 && f(3L).width < 128)
+    // a WAV under kind "image" never routes through the audio decoder
+    assert(f(4L).width >= 64 && f(4L).width < 128)
+  }
+
+  test("real MP4 payloads decode to true dims/frames via the box walk; junk falls back") {
+    import spark.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("ISO-8859-1")); bb.put(payload)
+      bb.array
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(84) // version-0 payload layout
+      p.position(76); p.putInt(w << 16); p.putInt(h << 16)
+      box("tkhd", p.array)
+    }
+    def stsz(n: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(12)
+      p.position(8); p.putInt(n) // version/flags 0, sample_size 0, count n
+      box("stsz", p.array)
+    }
+    def mp4(w: Int, h: Int, frames: Int): Array[Byte] =
+      box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0)) ++
+        box("moov", box("trak",
+          tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stsz(frames))))))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "video", mp4(640, 360, 240)),
+      Multimodal.MediaAsset(2L, "video", "not a video container".getBytes("UTF-8")),
+      Multimodal.MediaAsset(3L, "audio", mp4(640, 360, 240)) // kind gates decode
+    ).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(f(1L).width == 640 && f(1L).height == 360 && f(1L).n_frames == 240)
+    assert(f(2L).width >= 64 && f(2L).width < 128) // fallback dims
+    assert(f(3L).width >= 64 && f(3L).width < 128) // never the mp4 walker
+  }
+
   test("resize plan never upscales and preserves aspect bound") {
     val feats = Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(spark, sf())).toDF()
