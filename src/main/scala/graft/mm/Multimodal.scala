@@ -109,46 +109,78 @@ object Multimodal {
 
   /** Real video decode: MP4/MOV container box walk (ISO/IEC 14496-12 —
     * a public byte format, parseable with no codec). Boxes are
-    * `[4-byte big-endian size][4-byte type][payload]`; the walk visits
-    * `moov.trak.tkhd` for the presentation width/height (16.16 fixed
-    * point at payload offset 76 for version 0, 88 for version 1) and
-    * `moov.trak.mdia.minf.stbl.stsz` for the exact sample (frame)
-    * count. Header-only: sample DATA (`mdat`) is never touched, so a
-    * corpus scan pays bytes-in + box walk. Returns None for anything
-    * that isn't a well-formed MP4/MOV (→ deterministic fallback). */
+    * `[4-byte big-endian size][4-byte type][payload]` (size 1 → 64-bit
+    * largesize follows the type, the form muxers use for a >4 GiB
+    * `mdat`; size 0 → box extends to end of file — both handled, since
+    * an `mdat` BEFORE `moov` is common muxer output and must be stepped
+    * over, not declared malformed). The walk picks the VIDEO trak —
+    * `mdia.hdlr` handler `'vide'`, falling back to the first trak with
+    * nonzero `tkhd` dims (real files often mux the audio trak first;
+    * taking trak #1 blindly would report 0×0 and the audio sample
+    * count) — then reads `tkhd` width/height (16.16 fixed point at
+    * payload offset 76 for version 0, 88 for version 1) and the exact
+    * frame count from `mdia.minf.stbl.stsz`. Header-only: sample DATA
+    * is never touched, so a corpus scan pays bytes-in + box walk.
+    * Returns None for anything that isn't a well-formed MP4/MOV
+    * (→ deterministic fallback). */
   private def mp4Decode(a: MediaAsset): Option[MediaFeatures] = {
     if (a.kind != "video") return None
     val b = a.payload
     def u32(off: Int): Long =
       ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
         ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def fourcc(off: Int): String =
       new String(b, off, 4, "ISO-8859-1")
-    // find the first child box of [start, end) with the given type;
-    // returns (payloadStart, payloadEnd)
-    def child(start: Int, end: Int, typ: String): Option[(Int, Int)] = {
+    // all child boxes of [start, end) with the given type, as
+    // (payloadStart, payloadEnd); largesize and to-end-of-range boxes
+    // are stepped over/into, a malformed size stops the scan
+    def children(start: Int, end: Int, typ: String): List[(Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
       var off = start
-      while (off + 8 <= end) {
-        val size = u32(off)
-        if (size < 8 || off + size > end) return None // malformed
-        if (fourcc(off + 4) == typ) return Some((off + 8, off + size.toInt))
-        off += size.toInt
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val size32 = u32(off)
+        val (payloadStart, boxEnd) = size32 match {
+          case 0 => (off + 8, end.toLong)            // extends to end
+          case 1 if off + 16 <= end => (off + 16, off + u64(off + 8)) // largesize
+          case s if s >= 8 => (off + 8, off + s)
+          case _ => (off + 8, -1L)                   // malformed
+        }
+        if (boxEnd < payloadStart || boxEnd > end) ok = false
+        else {
+          if (fourcc(off + 4) == typ) out += ((payloadStart, boxEnd.toInt))
+          off = boxEnd.toInt
+          if (boxEnd == end.toLong) ok = false       // consumed the range
+        }
       }
-      None
+      out.toList
     }
+    def child(start: Int, end: Int, typ: String): Option[(Int, Int)] =
+      children(start, end, typ).headOption
+    def trakDims(trakS: Int, trakE: Int): (Int, Int) =
+      child(trakS, trakE, "tkhd").map { case (tkhdS, tkhdE) =>
+        val v = b(tkhdS) & 0xFF
+        val whOff = tkhdS + (if (v == 1) 88 else 76)
+        if (whOff + 8 <= tkhdE) ((u32(whOff) >> 16).toInt, (u32(whOff + 4) >> 16).toInt)
+        else (0, 0)
+      }.getOrElse((0, 0))
+    def isVideoTrak(trakS: Int, trakE: Int): Boolean = (for {
+      (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+      (hdlrS, hdlrE) <- child(mdiaS, mdiaE, "hdlr")
+      if hdlrS + 12 <= hdlrE
+    } yield fourcc(hdlrS + 8) == "vide").getOrElse(false)
     try {
-      // top level must lead with a well-formed box chain containing moov
+      // top level must lead with a well-formed box chain containing ftyp
       if (b.length < 16 || child(0, b.length, "ftyp").isEmpty) return None
       for {
         (moovS, moovE) <- child(0, b.length, "moov")
-        (trakS, trakE) <- child(moovS, moovE, "trak")
-        (tkhdS, tkhdE) <- child(trakS, trakE, "tkhd")
+        traks = children(moovS, moovE, "trak")
+        trak <- traks.find((isVideoTrak _).tupled)
+          .orElse(traks.find(t => trakDims(t._1, t._2) != ((0, 0))))
       } yield {
-        val v = b(tkhdS) & 0xFF
-        val whOff = tkhdS + (if (v == 1) 88 else 76)
-        val (w, h) =
-          if (whOff + 8 <= tkhdE) ((u32(whOff) >> 16).toInt, (u32(whOff + 4) >> 16).toInt)
-          else (0, 0)
+        val (trakS, trakE) = trak
+        val (w, h) = trakDims(trakS, trakE)
         val frames = (for {
           (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
           (minfS, minfE) <- child(mdiaS, mdiaE, "minf")

@@ -272,13 +272,27 @@ object EventsStream {
         else DriftState(new Array[Long](cells), 0L)
       val counts = st.counts
       var total = st.total
-      rows.foreach { r => counts(r.cell) += 1L; total += 1L }
+      rows.foreach { r =>
+        // a cell outside [0, cells) means the prep ran with a different
+        // cell count than this monitor — fail loudly and name it (the
+        // under-range form would otherwise just inflate drift forever)
+        if (r.cell < 0 || r.cell >= cells)
+          throw new IllegalArgumentException(
+            s"cell ${r.cell} outside [0, $cells) — srcTokenCells was built " +
+              "with a different `cells` than this driftMonitorStream")
+        counts(r.cell) += 1L
+        total += 1L
+      }
       state.update(DriftState(counts, total))
       var drift = 0L
       var i = 0
       while (i < cells) {
-        val pa = counts(i) * scale / total
-        val pb = refCells(i) * scale / refTotal
+        // multiplyExact: the per-cell counts grow without bound over a
+        // long-lived stream, and plain Long multiplication would WRAP
+        // silently — garbage drift forever. The batch twin fails loudly
+        // on overflow (Spark ANSI / DuckDB); this is the same contract.
+        val pa = Math.multiplyExact(counts(i), scale) / total
+        val pb = Math.multiplyExact(refCells(i), scale) / refTotal
         val diff = pa - pb
         drift += diff * diff / (pa + pb + 1)
         i += 1

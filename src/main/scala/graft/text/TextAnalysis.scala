@@ -675,11 +675,12 @@ object TextAnalysis {
     val gt = st.groupBy("tok").agg(sum(col("c")).as("g"))
     val totals = st.groupBy("src").agg(sum(col("c")).as("t"))
     val grand = totals.agg(sum(col("t")).as("grand"))
-    // full sources×vocab grid, absent cells at c=0 (the two-sided half)
-    val m = gt.crossJoin(broadcast(totals.select("src")))
+    // full sources×vocab grid, absent cells at c=0 (the two-sided half);
+    // one crossJoin carries BOTH src and t — re-joining totals for t
+    // would be a second broadcast over the same tiny table
+    val m = gt.crossJoin(broadcast(totals))
       .join(st, Seq("src", "tok"), "left_outer")
       .withColumn("c", coalesce(col("c"), lit(0L)))
-      .join(broadcast(totals), Seq("src"))
       .crossJoin(broadcast(grand))
       .filter(col("grand") - col("t") > 0)
       .select(col("src"), col("tok"),

@@ -1054,16 +1054,39 @@ class MultimodalSpec extends SparkSpec {
       box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0)) ++
         box("moov", box("trak",
           tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stsz(frames))))))
+    def hdlr(handler: String): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(24)
+      p.position(8); p.put(handler.getBytes("ISO-8859-1"))
+      box("hdlr", p.array)
+    }
+    def trak(w: Int, h: Int, frames: Int, handler: String): Array[Byte] =
+      box("trak", tkhd(w, h) ++ box("mdia",
+        hdlr(handler) ++ box("minf", box("stbl", stsz(frames)))))
+    // size=1 largesize form (the >4 GiB mdat encoding muxers emit)
+    def largeMdat(n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + n)
+      bb.putInt(1); bb.put("mdat".getBytes("ISO-8859-1")); bb.putLong(16L + n)
+      bb.array
+    }
+    // audio trak muxed FIRST (0×0 dims, bogus frame count) + a
+    // largesize mdat before moov — the walker must step over the mdat
+    // and pick the 'vide' trak, not trak #1
+    val muxed = box("ftyp", "isom".getBytes ++ Array.fill[Byte](8)(0)) ++
+      largeMdat(32) ++
+      box("moov", trak(0, 0, 9999, "soun") ++ trak(640, 360, 240, "vide"))
     val assets = Seq(
       Multimodal.MediaAsset(1L, "video", mp4(640, 360, 240)),
       Multimodal.MediaAsset(2L, "video", "not a video container".getBytes("UTF-8")),
-      Multimodal.MediaAsset(3L, "audio", mp4(640, 360, 240)) // kind gates decode
+      Multimodal.MediaAsset(3L, "audio", mp4(640, 360, 240)), // kind gates decode
+      Multimodal.MediaAsset(5L, "video", muxed)
     ).toDS()
     val f = Multimodal.extractFeatures(assets).collect()
       .map(x => x.asset_id -> x).toMap
     assert(f(1L).width == 640 && f(1L).height == 360 && f(1L).n_frames == 240)
     assert(f(2L).width >= 64 && f(2L).width < 128) // fallback dims
     assert(f(3L).width >= 64 && f(3L).width < 128) // never the mp4 walker
+    assert(f(5L).width == 640 && f(5L).height == 360 && f(5L).n_frames == 240,
+      f(5L).toString)
   }
 
   test("resize plan never upscales and preserves aspect bound") {

@@ -352,6 +352,15 @@ class EventsStreamSpec extends SparkSpec {
       assert(last("match") == SrcDrift("match", tm, dm), last.toString)
       assert(last("shift") == SrcDrift("shift", ts, ds), last.toString)
       assert(ds > dm) // the distribution-shifted source drifts more
+      // EVERY emission matches its replay, not just the final one — a
+      // processor that emitted stale pre-update state in batch 1 but a
+      // correct cumulative value in batch 2 must not pass
+      val all = spark.table("drift_stream").as[SrcDrift].collect().toSet
+      val (tm1, dm1) = replay(Seq("common common common hot"))
+      val (ts1, ds1) = replay(Seq("zulu xray yankee whiskey"))
+      assert(all.contains(SrcDrift("match", tm1, dm1)), all.toString)
+      assert(all.contains(SrcDrift("shift", ts1, ds1)), all.toString)
+      assert(all.size == 4) // two sources × two batches, nothing else
     }
   }
 
