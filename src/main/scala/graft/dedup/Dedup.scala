@@ -799,6 +799,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs (the second Broder resemblance
+    * metric): `C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|` —
+    * the signal symmetric Jaccard cannot see. A TRUNCATED or
+    * quoted-subset document (crawl pagination fragments, AMP page
+    * copies, quote-reply chains) sits almost entirely inside its source
+    * (`C ≈ 1`) while the size mismatch dilutes its Jaccard below any
+    * near-dup threshold. Emits ordered `(sub_id, sup_id, containment)`
+    * rows where sub's shingle set lies inside sup's at ≥ `threshold`.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] — shuffles
+    * carry (id, shingle) and (id, id, count) rows, never documents —
+    * and each unordered intersection feeds BOTH ordered directions, so
+    * the pair scan runs once. Like all shingle-equality self-joins,
+    * cap or pre-filter degenerate shingles on a skewed corpus. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(distinctWordShingles(col(textCol), shingleN)).as("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // the union below consumes this subtree twice (one projection per
+    // direction) through fresh exprIds — leaf it or the whole shingle
+    // join pipeline runs per branch. Pair-count-sized, never corpus-sized
+    val both = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")),
+        Seq("id_b"))
+      .localCheckpoint()
+    both.select(col("id_a").as("sub_id"), col("id_b").as("sup_id"),
+        (col("n_inter").cast("double") / col("size_a")).as("containment"))
+      .union(both.select(col("id_b").as("sub_id"), col("id_a").as("sup_id"),
+        (col("n_inter").cast("double") / col("size_b")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---------------------------------------------------------------------
   // Connected components — pair list → dedup clusters
   // ---------------------------------------------------------------------
@@ -1014,6 +1053,16 @@ object Dedup {
       val docs = Tables(s, d, "documents").filter(col("doc_id") % 10 === 0)
       ngramJaccardPairs(docs, "text", "doc_id", shingleN = 3, threshold = 0.05)
         .orderBy("id_a", "id_b")
+    },
+
+    // asymmetric containment (truncation/subset detector) over the same
+    // corpus slice as q52, at its calibration threshold (this corpus has
+    // no planted subsets, so the interesting rows are the asymmetric
+    // partial overlaps a Jaccard cut would hide)
+    "q153_containment_pairs" -> { (s, d) =>
+      val docs = Tables(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      containmentPairs(docs, "text", "doc_id", shingleN = 3, threshold = 0.05)
+        .orderBy("sub_id", "sup_id")
     },
 
     // MinHash signatures + LSH banding candidate pairs. Fully
@@ -1664,6 +1713,30 @@ object Dedup {
         |                       ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, fp FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q153_containment_pairs" ->
+      """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |              FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |joined AS (SELECT id_a, id_b, n_inter, sa.set_size AS size_a,
+        |           sb.set_size AS size_b
+        |         FROM inter
+        |         JOIN sizes sa ON sa.doc_id = id_a
+        |         JOIN sizes sb ON sb.doc_id = id_b),
+        |ordered AS (
+        |  SELECT id_a AS sub_id, id_b AS sup_id,
+        |    CAST(n_inter AS DOUBLE) / size_a AS containment FROM joined
+        |  UNION ALL
+        |  SELECT id_b AS sub_id, id_a AS sup_id,
+        |    CAST(n_inter AS DOUBLE) / size_b AS containment FROM joined)
+        |SELECT sub_id, sup_id, containment FROM ordered
+        |WHERE containment >= 0.05
+        |ORDER BY sub_id, sup_id""".stripMargin,
     "q52_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |              FROM documents WHERE doc_id % 10 = 0),

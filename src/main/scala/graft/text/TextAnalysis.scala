@@ -701,6 +701,41 @@ object TextAnalysis {
         col("drift_fp"), col("src_drift_fp"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing analytic: for
+    * each candidate vocabulary size V, the fraction of corpus token
+    * OCCURRENCES covered by the top-V types by frequency (ties broken
+    * by token asc, so the curve is total-order deterministic and
+    * oracle-checkable). The decision "is a 32k vocab enough, or does
+    * 128k buy real coverage" reads straight off this table.
+    *
+    * Scale shape: the corpus stream collapses to type counts in one
+    * map-side-combining shuffle; the ranking window and running sum are
+    * vocab-sized; the requested sizes ride a broadcast and each picks
+    * its prefix maximum. Nothing corpus-sized moves after the first
+    * agg. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("c"), asc("tok"))
+    val ranked = counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = ranked.agg(sum(col("c")).as("total"))
+    val sizesDf = docs.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(Tuple1(_))).toDF("vocab_size")
+    ranked.crossJoin(broadcast(sizesDf))
+      .filter(col("rnk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("rnk")).as("n_types"), max(col("cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"), col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("total")).as("coverage"))
+  }
+
   val queries: Map[String, Q] = Map(
     // per-group quantile gating: keep docs above their language's p75
     // length — the "adaptive threshold" quality cut (a global cut-off
@@ -916,6 +951,13 @@ object TextAnalysis {
       graft.sim.Similarity.bruteForceTopK(
         vecs.filter(col("vec_id") < 8), vecs, "vec_id", "embedding", 3)
         .orderBy("query_id", "rnk")
+    },
+
+    // vocabulary coverage curve at tokenizer-sizing checkpoints
+    "q152_vocab_coverage" -> { (s, d) =>
+      vocabCoverage(Tables(s, d, "documents"), "text",
+        sizes = Seq(10, 50, 100, 500, 1000))
+        .orderBy("vocab_size")
     },
 
     // corpus drift per source: top-5 drifting tokens + source-level sum
@@ -1174,6 +1216,23 @@ object TextAnalysis {
       |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q152_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |r AS (SELECT tok, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS rnk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+        |v AS (SELECT unnest([10, 50, 100, 500, 1000]) AS vocab_size)
+        |SELECT v.vocab_size, CAST(max(r.rnk) AS BIGINT) AS n_types,
+        |  CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+        |  CAST(max(r.cum) AS DOUBLE) / t.total AS coverage
+        |FROM v JOIN r ON r.rnk <= v.vocab_size CROSS JOIN t
+        |GROUP BY v.vocab_size, t.total
+        |ORDER BY vocab_size""".stripMargin,
     "q150_source_drift" ->
       """WITH tok AS (SELECT source AS src,
         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -317,6 +317,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage: deterministic curve, monotone, total at full vocab") {
+    // counts: aa×4, bb×2, cc×1, dd×1 (ties cc/dd break by token asc)
+    val corp = Seq((1L, "aa aa bb cc"), (2L, "aa aa bb dd"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(corp, "text", sizes = Seq(1, 2, 3, 10))
+      .orderBy("vocab_size").collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == (1, (1L, 4L, 0.5)))        // top-1: aa covers 4/8
+    assert(r(1) == (2, (2L, 6L, 0.75)))       // + bb
+    assert(r(2) == (3, (3L, 7L, 7.0 / 8.0)))  // + cc (tie-break by token)
+    assert(r(3) == (10, (4L, 8L, 1.0)))       // whole vocab covers everything
+  }
+
   test("domain classifier: planted vocabularies separate; OOV doc scores exactly neutral") {
     val labeled = Seq(
       (1L, "alpha beta alpha beta", true),
@@ -397,6 +410,23 @@ class DedupSpec extends SparkSpec {
     val src = base.filter(col("doc_id") === 0).head().getString(1)
     val nearDup = src.split(" ").toSeq.updated(1, "XYZZY").mkString(" ")
     base.unionAll(Seq((100000L, src), (100001L, nearDup)).toDF("doc_id", "text"))
+  }
+
+  test("containmentPairs: a subset doc has containment 1.0 in its source, asymmetric") {
+    // A's shingle set is a strict subset of B's (B = A + a suffix):
+    // C(A,B) = 1.0 while C(B,A) = |A|/|B| — the truncation signal a
+    // symmetric Jaccard cut would hide
+    val corp = Seq(
+      (1L, "alpha beta gamma delta"),                          // 2 shingles
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // 6 shingles
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(corp, "text", "doc_id", shingleN = 3,
+      threshold = 0.05).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r((1L, 2L)) == 1.0)            // A fully inside B
+    assert(r((2L, 1L)) == 2.0 / 6.0)      // B only partially inside A
+    assert(!r.keySet.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint doc absent
   }
 
   test("leakageSafeSplit: near-dup clusters move between splits as one unit") {
