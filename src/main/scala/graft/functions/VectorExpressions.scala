@@ -80,8 +80,17 @@ case class VectorDot(left: Expression, right: Expression)
   * `element_at` expression nodes — the composed tree at dim=64/bits=4 is
   * 256 multiply-add subtrees whose codegen alone costs seconds and falls
   * back to interpreted eval past the JIT limits.
+  *
+  * `planeOffset` selects an independent hyperplane family for banded
+  * (OR-amplified) LSH: band r uses global plane indices
+  * `planeOffset + p`, so bands draw disjoint rows of the same
+  * deterministic coefficient stream and an external replayer (the
+  * DuckDB oracle) can regenerate any band from the offset alone.
+  * Offset 0 is the historical single-band family — all existing keys
+  * are unchanged.
   */
-case class HyperplaneLshKey(child: Expression, dim: Int, bits: Int)
+case class HyperplaneLshKey(child: Expression, dim: Int, bits: Int,
+    planeOffset: Int = 0)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -101,7 +110,7 @@ case class HyperplaneLshKey(child: Expression, dim: Int, bits: Int)
   @transient private lazy val coefs: Array[Array[Double]] =
     Array.tabulate(bits, dim) { (p, i) =>
       (org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashInt(p * 7919 + i, 42L) % 10007L).toDouble / 10007.0
+        .hashInt((planeOffset + p) * 7919 + i, 42L) % 10007L).toDouble / 10007.0
     }
 
   override def nullSafeEval(v: Any): Any = {
@@ -392,6 +401,13 @@ object VectorFunctions {
   /** Random-hyperplane LSH bucket key (sign bits of `bits` projections). */
   def vec_lsh_key(v: Column, dim: Int, bits: Int): Column =
     column(HyperplaneLshKey(expr(v), dim, bits))
+
+  /** Band `band`'s bucket key for OR-amplified LSH: an independent
+    * hyperplane family at plane offset `band * 24` (24 = the max `bits`
+    * [[graft.sim.Similarity.suggestedLshBits]] will produce, so band
+    * families never overlap whatever the sizing picks). */
+  def vec_lsh_key_band(v: Column, dim: Int, bits: Int, band: Int): Column =
+    column(HyperplaneLshKey(expr(v), dim, bits, planeOffset = band * 24))
 
   /** Fraction of agreeing positions in two minhash signatures. */
   def sig_match_frac(a: Column, b: Column): Column =

@@ -159,6 +159,42 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** OR-amplified (banded) LSH near-dup pairs — [[cosineNearDupPairs]]
+    * with `bands` INDEPENDENT hyperplane families: a pair is a candidate
+    * if it collides in ANY band, so recall amplifies as
+    * 1-(1-p^bits)^bands while per-band buckets stay corpus-sized (pass
+    * `bits = suggestedLshBits(n)`). This is the standard banding scheme
+    * MinHash-LSH uses, applied to sign-random-projection codes — the
+    * knob single-band sizing lacks: adding bands buys recall at linear
+    * (not quadratic) cost.
+    *
+    * Shape: each vector explodes to `bands` (band, bucket) keys (bands
+    * draw disjoint plane offsets — [[graft.functions.VectorFunctions
+    * .vec_lsh_key_band]]), the self-join keys on (band, bucket) so
+    * bands never cross-pollinate, and a final (id_a, id_b) aggregate
+    * drops multi-band re-sightings of the same pair. The cosine for a
+    * pair colliding in b bands is computed b (≤ bands) times — cheaper
+    * than shuffling both 64-float vectors through a pre-cosine distinct,
+    * since the post-threshold aggregate only carries surviving near-dup
+    * pairs (three narrow columns). */
+  def bandedCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bits: Int, bands: Int = 2): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val keys = array((0 until bands).map(r =>
+      graft.functions.VectorFunctions.vec_lsh_key_band(col(vecCol), dim, bits, r)): _*)
+    val keyed = df.select(col(idCol), col(vecCol),
+      posexplode(keys).as(Seq("band", "bucket")))
+    val a = keyed.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = keyed.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max(col("cos")).as("cos"))
+  }
+
   /** Hard-negative mining for retrieval training: each query's top-k
     * most-similar NON-duplicate neighbors — similar enough to be hard,
     * excluded if so similar they're the same document (a near-dup
@@ -506,12 +542,19 @@ object Similarity {
         .orderBy("vec_id")
     },
 
-    // embedding-cosine near-dup pairs via LSH buckets (rows-only)
+    // embedding-cosine near-dup pairs: corpus-sized bits (per-band
+    // buckets stay ~256 as the corpus grows — the q143 geometry) AND
+    // 2-band OR-amplification (recall the single-band sizing gives up).
+    // The r9 sf1 soak measured the fixed-bits version of this query at
+    // 14.9× for 10× data (quadratic in-bucket pair scan); sized banding
+    // holds the scan linear. The count() is one metadata-cheap aggregate.
     "q66_embedding_near_dups" -> { (s, d) =>
       // synthetic embeddings are near-orthogonal (random): 0.2 is already
       // a strong-similarity threshold there; real corpora would use ~0.9
-      cosineNearDupPairs(Tables(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.2, bits = 2)
+      val emb = Tables(s, d, "embeddings")
+      val bits = suggestedLshBits(emb.count(), targetBucket = 256L)
+      bandedCosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.2, bits = bits, bands = 2)
         .orderBy("id_a", "id_b")
     },
 
@@ -529,7 +572,12 @@ object Similarity {
     "q67_cosine_rewrite" -> { (s, d) =>
       val s2 = s.newSession()
       graft.plans.CosineJoinRewrite.ensureRegistered(s2)
-      s2.conf.set(graft.plans.CosineJoinRewrite.BitsConf, "2")
+      val emb0 = Tables(s2, d, "embeddings")
+      // corpus-sized bits for the rewrite's injected bucket key, same
+      // sizing rule as q66/q143 — the conf is the deployment knob, so
+      // sizing it from count() is exactly what a production caller does
+      s2.conf.set(graft.plans.CosineJoinRewrite.BitsConf,
+        suggestedLshBits(emb0.count(), targetBucket = 256L).toString)
       s2.conf.set(graft.plans.CosineJoinRewrite.DimConf, "64")
       val emb = Tables(s2, d, "embeddings")
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
@@ -687,7 +735,11 @@ object Similarity {
     "q136_semdedup" -> q136Oracle,
     // q67 must produce exactly the LSH-bucketed answer (see the query's
     // comment: a green hash proves the optimizer rewrite fired)
-    "q67_cosine_rewrite" -> q66Oracle,
+    // q67 injects ONE sized bucket key (the rewrite adds a single
+    // equi-pair, not bands), so its expected answer is exactly q143's
+    // single-band sized geometry — sharing the oracle makes the two
+    // independent paths (optimizer rule vs API) prove each other
+    "q67_cosine_rewrite" -> q143Oracle,
     "q143_lsh_sized_near_dups" -> q143Oracle
   )
 
@@ -714,20 +766,30 @@ object Similarity {
   /** Shared oracle scaffolding: hyperplane-coefficient CTEs + the bucket
     * expression, with the deterministic coefficient matrix embedded as
     * double literals (see [[q66Oracle]]). */
-  private def lshOracleCtes(dim: Int, bits: Int): (String, String, String) = {
+  private def lshOracleCtes(dim: Int, bits: Int, prefix: String = "c",
+      planeOffset: Int = 0): (String, String, String) = {
     def coefs(p: Int): String = (0 until dim).map { i =>
       java.lang.Double.toString(
         (org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashInt(p * 7919 + i, 42L) % 10007L).toDouble / 10007.0)
+          .hashInt((planeOffset + p) * 7919 + i, 42L) % 10007L).toDouble / 10007.0)
     }.mkString("[", ", ", "]")
     val ctes = (0 until bits).map(p =>
-      s"c$p AS (SELECT ${coefs(p)}::DOUBLE[] AS v)").mkString(",\n")
+      s"$prefix$p AS (SELECT ${coefs(p)}::DOUBLE[] AS v)").mkString(",\n")
     val bucket = (0 until bits).map(p =>
       s"""(CASE WHEN list_aggregate(list_transform(range(1, ${dim + 1}),
-         |      i -> e.embedding[i]::DOUBLE * c$p.v[i]), 'sum') > 0
+         |      i -> e.embedding[i]::DOUBLE * $prefix$p.v[i]), 'sum') > 0
          |    THEN ${1 << p} ELSE 0 END)""".stripMargin).mkString(" +\n    ")
-    (ctes, bucket, (0 until bits).map(p => s"c$p").mkString(", "))
+    (ctes, bucket, (0 until bits).map(p => s"$prefix$p").mkString(", "))
   }
+
+  /** Bits-gated bucket expression over the `prefix`-named plane CTEs —
+    * plane p contributes 2^p only when `p < bb.bits`, so the oracle
+    * replays whatever bits the Spark side derived from its count. */
+  private def gatedBucketSql(dim: Int, maxBits: Int, prefix: String): String =
+    (0 until maxBits).map(p =>
+      s"""(CASE WHEN $p < bb.bits AND list_aggregate(list_transform(range(1, ${dim + 1}),
+         |      i -> e.embedding[i]::DOUBLE * $prefix$p.v[i]), 'sum') > 0
+         |    THEN ${1L << p} ELSE 0 END)""".stripMargin).mkString(" +\n    ")
 
   private def cosSql(a: String, b: String, dim: Int): String =
     s"""list_aggregate(list_transform(range(1, ${dim + 1}),
@@ -749,10 +811,7 @@ object Similarity {
   private def q143Oracle: String = {
     val dim = 64; val maxBits = 24; val target = 256L
     val (ctes, _, tables) = lshOracleCtes(dim, maxBits)
-    val gatedBucket = (0 until maxBits).map(p =>
-      s"""(CASE WHEN $p < bb.bits AND list_aggregate(list_transform(range(1, ${dim + 1}),
-         |      i -> e.embedding[i]::DOUBLE * c$p.v[i]), 'sum') > 0
-         |    THEN ${1L << p} ELSE 0 END)""".stripMargin).mkString(" +\n    ")
+    val gatedBucket = gatedBucketSql(dim, maxBits, "c")
     s"""WITH $ctes,
        |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings),
        |bb AS (SELECT COALESCE((SELECT MIN(t.p) FROM range(1, 25) t(p), n
@@ -1147,21 +1206,39 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** q66 oracle: the hyperplane coefficients are a DETERMINISTIC constant
-    * matrix (xxhash64-derived at plan time), so they can be embedded as
-    * double literals and the bucket keys recomputed by DuckDB — products
-    * and sums fold index-ascending on both engines (the q61/q62-proven
-    * parity), so the sign bits match bit-for-bit. */
+  /** q66 oracle: replay the SIZED, 2-band OR-amplified geometry end to
+    * end. Bits derive from the oracle's own count(*) with the same
+    * integer rule as [[suggestedLshBits]] (see [[q143Oracle]]); band 0
+    * is the plane family at offset 0 (the q143 family), band 1 at
+    * offset 24 ([[graft.functions.VectorFunctions.vec_lsh_key_band]]'s
+    * fixed stride), both embedded as double-literal matrices and gated
+    * per-plane on the derived bits. A pair qualifying in both bands
+    * dedups via UNION — both branches compute the identical
+    * index-ascending double cosine, so the rows are bit-equal and
+    * collapse, matching the Spark side's (id_a, id_b) aggregate. */
   private def q66Oracle: String = {
-    val dim = 64
-    val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)
-    s"""WITH $ctes,
+    val dim = 64; val maxBits = 24; val target = 256L
+    val (ctes0, _, tables0) = lshOracleCtes(dim, maxBits)
+    val (ctes1, _, tables1) = lshOracleCtes(dim, maxBits, prefix = "d",
+      planeOffset = 24)
+    val b0 = gatedBucketSql(dim, maxBits, "c")
+    val b1 = gatedBucketSql(dim, maxBits, "d")
+    s"""WITH $ctes0,
+       |$ctes1,
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings),
+       |bb AS (SELECT COALESCE((SELECT MIN(t.p) FROM range(1, 25) t(p), n
+       |    WHERE (${target}::BIGINT << t.p) >= n.cnt), 24) AS bits),
        |k AS (SELECT e.vec_id, e.embedding,
-       |    $bucket AS bucket
-       |  FROM embeddings e, $tables),
+       |    $b0 AS bucket0,
+       |    $b1 AS bucket1
+       |  FROM embeddings e, $tables0, $tables1, bb),
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${cosSql("a.embedding", "b.embedding", dim)} AS cos
-       |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM k a JOIN k b ON a.bucket0 = b.bucket0 AND a.vec_id < b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding", dim)} AS cos
+       |  FROM k a JOIN k b ON a.bucket1 = b.bucket1 AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
   }

@@ -47,9 +47,13 @@ class PlanDriftSpec extends SparkSpec {
     // sf1-soak cost centers (BASELINE round 9): the LSH pair scans and
     // the multimodal codec boundary — pinned so a lost broadcast or an
     // extra exchange on these can't hide inside their already-heavy cost
-    // 1/1 since round 9: the trailing distinct() was provably redundant
-    // (one bucket per vector → each pair emitted at most once)
-    "q66_embedding_near_dups" -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
+    // 2/1 since round 10: q66 is now SIZED (suggestedLshBits) +
+    // 2-band OR-amplified — the extra exchange is the (id_a, id_b)
+    // aggregate that drops multi-band re-sightings; the bucket join
+    // itself still keys on (band, bucket), one shuffle + broadcast
+    "q66_embedding_near_dups" -> PlanMetrics(2, 1, pushedFilters = true,  prunedSchema = true),
+    // sized via conf since round 10; the injected single bucket key
+    // keeps the 1/1 shape (same geometry and oracle as q143)
     "q67_cosine_rewrite"      -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q70_multimodal_meta"     -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q85_percentiles"         -> PlanMetrics(7, 2, pushedFilters = true,  prunedSchema = true),

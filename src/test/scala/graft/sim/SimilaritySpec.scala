@@ -36,6 +36,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
   }
 
+  test("bandedCosineNearDupPairs: superset of band 0, subset of exact, no pair dupes") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairSet(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", dim = 64, threshold = 0.2, bits = 3))
+    val bandedRows = Similarity.bandedCosineNearDupPairs(
+      emb, "vec_id", "embedding", dim = 64, threshold = 0.2, bits = 3, bands = 2)
+      .collect()
+    val banded = bandedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // band 0 IS the single-band family (plane offset 0): OR-amplification
+    // can only add pairs, and the (id_a, id_b) aggregate must dedup
+    // multi-band collisions down to one row per pair
+    assert(single.subsetOf(banded), "band 0's pairs must survive amplification")
+    assert(banded.size > single.size, "band 1 should recover cross-bucket pairs")
+    assert(bandedRows.length == banded.size, "one output row per pair")
+    // still a subset of the exact answer: banding changes recall, never adds
+    // below-threshold pairs
+    val exact = pairSet(emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id") &&
+        Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.2)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")))
+    assert(banded.subsetOf(exact))
+  }
+
   test("filteredTopK: pre-filter semantics — k survivors, all passing; filter pushed to scan") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val res = Similarity.filteredTopK(emb.filter(col("vec_id") < 4), emb,
