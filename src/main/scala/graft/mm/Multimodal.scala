@@ -43,6 +43,41 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Container sniffing: cheap magic-byte checks that run BEFORE any
+    * format machinery. At corpus scale this is the difference between
+    * a branch on 4 bytes and a per-row provider-registry walk (imageio
+    * reader discovery, javax.sound readers that each throw an internal
+    * UnsupportedAudioFileException on a miss) — on a 100 TB corpus where
+    * most payloads are NOT in a given container, the probe must be
+    * O(bytes-looked-at)=4, not O(providers×exceptions). Real ingest
+    * pipelines sniff magics first for exactly this reason (`file(1)`
+    * does the same). Every container the JDK can actually read has a
+    * fixed magic, so gating on them loses no true decodes:
+    * image — PNG \x89PNG, JPEG FFD8, GIF 'GIF8', BMP 'BM', TIFF II/MM,
+    * WBMP 0x00 0x00 (weak, but 2 zero bytes never lead a text payload);
+    * audio — WAV 'RIFF', AIFF/AIFC 'FORM', AU '.snd';
+    * video — an ISO-BMFF top-level box type in bytes 4..8 ('ftyp' and
+    * the handful of other legal leading boxes). */
+  private def m(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && m(b, 1, "PNG")) ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      m(b, 0, "GIF8") || m(b, 0, "BM") ||
+      (m(b, 0, "II") && b(2) == 0x2A && b(3) == 0) ||
+      (m(b, 0, "MM") && b(2) == 0 && b(3) == 0x2A) ||
+      (b(0) == 0 && b(1) == 0))
+
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && (m(b, 0, "RIFF") || m(b, 0, "FORM") || m(b, 0, ".snd"))
+
+  private val mp4LeadingBoxes =
+    Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pnot", "uuid")
+  private def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 16 && mp4LeadingBoxes.contains(new String(b, 4, 4, "ISO-8859-1"))
+
   /** Real image decode: javax.imageio header parse — width/height (and
     * frame count for multi-frame containers like GIF) WITHOUT decoding
     * pixel data (`ImageReader.getWidth/getHeight` read the header only),
@@ -53,9 +88,13 @@ object Multimodal {
     * in here the same way via an ffmpeg JNI binding — not available in
     * this container, so those kinds stay on the fallback path. */
   private def imageDecode(a: MediaAsset): Option[MediaFeatures] = {
-    if (a.kind != "image") return None
+    if (a.kind != "image" || !looksLikeImage(a.payload)) return None
     try {
-      val iin = javax.imageio.ImageIO.createImageInputStream(
+      // explicit MemoryCacheImageInputStream: ImageIO.createImageInputStream
+      // wraps an InputStream in a temp-FILE-backed cache stream when
+      // ImageIO.getUseCache (default true) — a per-row disk write a corpus
+      // scan must never pay; the payload is already an in-memory array
+      val iin = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(a.payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iin)
@@ -91,7 +130,7 @@ object Multimodal {
     * through to the deterministic fallback — where an ffmpeg JNI
     * binding would slot in. */
   private def audioDecode(a: MediaAsset): Option[MediaFeatures] = {
-    if (a.kind != "audio") return None
+    if (a.kind != "audio" || !looksLikeAudio(a.payload)) return None
     try {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(a.payload))
@@ -124,7 +163,7 @@ object Multimodal {
     * Returns None for anything that isn't a well-formed MP4/MOV
     * (→ deterministic fallback). */
   private def mp4Decode(a: MediaAsset): Option[MediaFeatures] = {
-    if (a.kind != "video") return None
+    if (a.kind != "video" || !looksLikeMp4(a.payload)) return None
     val b = a.payload
     def u32(off: Int): Long =
       ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
