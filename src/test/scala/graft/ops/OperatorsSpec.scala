@@ -1033,6 +1033,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(_.checksum.length == 64))
   }
 
+  test("JPEG and TIFF magics pass the sniff gate to a true decode") {
+    // the magic sniff must not reject containers the JDK can read —
+    // JPEG (FFD8) and TIFF (II*\0 / MM\0*, the byte-order-dependent
+    // magic that is easiest to get wrong) are the formats NOT covered
+    // by the PNG/GIF test above; both writers ship with the JDK
+    import spark.implicits._
+    def enc(fmtName: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmtName, bos)
+      bos.toByteArray
+    }
+    val jpg = enc("jpg", 31, 13)
+    val tif = enc("tiff", 11, 29)
+    assert(jpg(0) == 0xFF.toByte && jpg(1) == 0xD8.toByte)
+    assert((tif(0) == 'I' && tif(1) == 'I') || (tif(0) == 'M' && tif(1) == 'M'))
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", jpg),
+      Multimodal.MediaAsset(2L, "image", tif),
+      Multimodal.MediaAsset(3L, "image", enc("bmp", 7, 19))
+    ).toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(f(1L).width == 31 && f(1L).height == 13)
+    assert(f(2L).width == 11 && f(2L).height == 29)
+    assert(f(3L).width == 7 && f(3L).height == 19)
+  }
+
   test("real WAV payloads decode to true rate/channels/frames; junk falls back") {
     import spark.implicits._
     def wav(rateHz: Float, channels: Int, nFrames: Int): Array[Byte] = {
