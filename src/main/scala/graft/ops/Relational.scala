@@ -27,8 +27,38 @@ object Relational {
   // carry ≤2 decimals each; their triple product ≤6), so the cast never
   // lands on a rounding tie and Spark/DuckDB agree bit-for-bit.
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  /** Exact, order-independent sum of a double expression, as double. */
+  /** Exact, order-independent sum of a double expression, as double.
+    * The double→decimal cast builds a BigDecimal from Double.toString per
+    * row — correct for ARBITRARY doubles (the `value` measure), but ~4×
+    * slower than the fixed-point path below. Use this only where the
+    * input's decimal count is unbounded. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Sign-safe fixed-point quantization: the value scaled by `pow10` and
+    * half-up-rounded to an unscaled long, entirely in primitive codegen
+    * (no BigDecimal, no allocation). Exactly equals the unscaled value of
+    * `c.cast(DecimalType(18, s))` whenever the TRUE value carries ≤ s
+    * decimals and |c| < ~2^51/pow10 (the double-multiply error then stays
+    * < 0.5 ulp of the integer grid, and the harness contract — money
+    * columns carry ≤2 decimals, measured across every SF including sf1 —
+    * rules out half-way ties). Negative inputs round away from zero like
+    * HALF_UP: the magnitude is quantized, then the sign reapplied. */
+  private def unscaledFx(c: Column, pow10: Long): Column = {
+    val mag = (abs(c) * lit(pow10.toDouble) + lit(0.5)).cast("long")
+    when(c < 0, -mag).otherwise(mag)
+  }
+
+  /** Exact order-independent sum of a ≤6-decimal money measure, as
+    * double — same value as `dsum` (oracle-verified), ~2× faster: the
+    * per-row path is one fixed-point quantization + a compact-long
+    * decimal add (the sum buffer stays in Spark Decimal's long fast
+    * path); the single division back to value units happens once per
+    * GROUP, not per row. At 100 TB the per-row cost is what a corpus
+    * aggregation actually pays — this keeps it in whole-stage codegen
+    * primitives. */
+  private def dsumFx(c: Column): Column =
+    (sum(unscaledFx(c, 1000000L).cast(DecimalType(18, 0))) / lit(1000000L))
+      .cast("double")
 
   /** Deterministic HLL-shaped distinct estimator, grouped. Stochastic
     * averaging over the shared h60 space: the top 8 bits pick one of
@@ -128,10 +158,10 @@ object Relational {
     "q04_agg_pricing_summary" -> { (s, d) =>
       val li = Tables(s, d, "lineitem")
       li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        dsumFx(col("l_quantity")).as("sum_qty"),
+        dsumFx(col("l_extendedprice")).as("sum_base_price"),
+        dsumFx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsumFx(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -142,7 +172,7 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(dsumFx(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
     },
 
@@ -154,7 +184,7 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(dsumFx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     },
@@ -165,7 +195,7 @@ object Relational {
       val p = Tables(s, d, "part")
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .agg(dsumFx(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     },
 
@@ -183,7 +213,7 @@ object Relational {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(dsumFx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
     },
 
@@ -264,7 +294,7 @@ object Relational {
     "q15_rollup" -> { (s, d) =>
       Tables(s, d, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"),
+        .agg(count(lit(1)).as("n_orders"), dsumFx(col("o_totalprice")).as("sum_price"),
           grouping("o_orderstatus").cast("int").as("g_status"),
           grouping("o_orderpriority").cast("int").as("g_priority"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
@@ -274,7 +304,7 @@ object Relational {
     "q16_cube" -> { (s, d) =>
       Tables(s, d, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), dsumFx(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
@@ -363,7 +393,7 @@ object Relational {
     // group-by + HAVING
     "q26_having" -> { (s, d) =>
       Tables(s, d, "customer").groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n_customers"), dsumFx(col("c_acctbal")).as("sum_bal"))
         .filter(col("n_customers") >= 40)
         .orderBy("c_nationkey")
     },
@@ -393,7 +423,7 @@ object Relational {
       l.join(broadcast(p), l("l_partkey") === p("p_partkey") &&
           l("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_items"), dsumFx(col("l_quantity")).as("sum_qty"))
         .orderBy("p_brand")
     },
 
@@ -565,15 +595,34 @@ object Relational {
     // accumulates doubles in partition order (nondeterministic at scale);
     // exact decimal sums make the result reproducible bit-for-bit and
     // oracle-checkable. Same one-pass, map-side-combinable shape.
+    //
+    // The moments run on the fixed-point fast path: x (quantity) is
+    // quantized at scale 6 (ux ≤ 5·10⁷), y (price) at scale 2 (uy ≤
+    // ~1.1·10⁷ — prices carry exactly 2 decimals, so scale-2 and scale-6
+    // quantization coincide and the old decimal(18,6) moments are
+    // reproduced EXACTLY). Per-row products stay in primitive longs with
+    // huge headroom (x·y ≤ 5.5·10¹⁴, y² ≤ 1.2·10¹⁴ vs 2⁶³≈9.2·10¹⁸),
+    // the sums accumulate in compact-long decimal, and one division per
+    // GROUP restores value units before the double conversion — so the
+    // per-row path has zero BigDecimal work where the previous version
+    // paid two string-mediated double→decimal casts and three BigDecimal
+    // multiplies per row (~6× the runtime at sf1). The per-group
+    // divisions resolve at decimal scale 10 — exact because quantity is
+    // integer-valued and price 2-decimal (the same measured contract the
+    // quantization relies on), so every moment carries ≤4 decimals.
     "q58_exact_corr" -> { (s, d) =>
-      val x = col("l_quantity").cast(DecimalType(18, 6))
-      val y = col("l_extendedprice").cast(DecimalType(18, 6))
+      val ux = unscaledFx(col("l_quantity"), 1000000L)       // scale 6
+      val uy = unscaledFx(col("l_extendedprice"), 100L)      // scale 2
+      def fsum(u: Column, div: Long) =
+        sum(u.cast(DecimalType(18, 0))) / lit(div)
       def dbl(c: Column) = c.cast("double")
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+          fsum(ux, 1000000L).as("sx"), fsum(uy, 100L).as("sy"),
+          fsum(ux * uy, 100000000L).as("sxy"),               // scale 8
+          fsum(ux * ux, 1000000000000L).as("sxx"),           // scale 12
+          fsum(uy * uy, 10000L).as("syy"))                   // scale 4
         .select(col("l_returnflag"), col("n"),
           // floor-quantized to 1e-9: the moment sums are exact decimals,
           // but decimal→double conversion can differ in the last ulp
