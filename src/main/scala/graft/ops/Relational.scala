@@ -15,8 +15,10 @@ import graft.sources.Tables
   * star schema.
   *
   * Determinism rules (so results hash-match the DuckDB oracle):
-  *  - money/double aggregates go through `DecimalType(18,6)` per row, are
-  *    summed exactly, then cast back to double — order-independent;
+  *  - money/double aggregates are summed exactly then cast back to
+  *    double — order-independent: money measures (≤2 true decimals)
+  *    quantize to fixed-point longs in codegen (`dsumFx`); unbounded
+  *    doubles take the `DecimalType(18,6)` cast per row (`dsum`);
   *  - every result has a total-order `ORDER BY`;
   *  - integer-ish function outputs are cast to the same width both sides.
   */
