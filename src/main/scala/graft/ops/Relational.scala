@@ -34,7 +34,7 @@ object Relational {
     * row — correct for ARBITRARY doubles (the `value` measure), but ~4×
     * slower than the fixed-point path below. Use this only where the
     * input's decimal count is unbounded. */
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private[ops] def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Sign-safe fixed-point quantization: the value scaled by `pow10` and
     * half-up-rounded to an unscaled long, entirely in primitive codegen
@@ -45,7 +45,7 @@ object Relational {
     * columns carry ≤2 decimals, measured across every SF including sf1 —
     * rules out half-way ties). Negative inputs round away from zero like
     * HALF_UP: the magnitude is quantized, then the sign reapplied. */
-  private def unscaledFx(c: Column, pow10: Long): Column = {
+  private[ops] def unscaledFx(c: Column, pow10: Long): Column = {
     val mag = (abs(c) * lit(pow10.toDouble) + lit(0.5)).cast("long")
     when(c < 0, -mag).otherwise(mag)
   }
@@ -58,7 +58,7 @@ object Relational {
     * GROUP, not per row. At 100 TB the per-row cost is what a corpus
     * aggregation actually pays — this keeps it in whole-stage codegen
     * primitives. */
-  private def dsumFx(c: Column): Column =
+  private[ops] def dsumFx(c: Column): Column =
     (sum(unscaledFx(c, 1000000L).cast(DecimalType(18, 0))) / lit(1000000L))
       .cast("double")
 

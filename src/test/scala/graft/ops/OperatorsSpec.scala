@@ -1187,4 +1187,37 @@ class RelationalOpsSpec extends SparkSpec {
       .head().getDouble(1)
     assert(math.abs(est2k - 2000) / 2000.0 < 0.30, s"estimate $est2k for 2000 distinct")
   }
+
+  test("fixed-point sums equal decimal-cast sums on random money values") {
+    // the dsumFx fast path claims bit-identity with dsum for any value
+    // carrying <=2 true decimals (the money contract), INCLUDING
+    // negatives (c_acctbal) and products of 2-decimal factors (<=6
+    // decimals). 20k seeded-random values across the full money range.
+    import org.apache.spark.sql.functions.{col => c}
+    val rnd = new scala.util.Random(58)
+    val money = (1 to 20000).map { i =>
+      // cents in [-1e7, 5e7] -> values in [-1e5, 5e5] with exactly <=2 decimals
+      val cents = rnd.nextLong() % 50000000L
+      (i % 7, cents / 100.0, (rnd.nextInt(200) - 100) / 100.0)
+    }.toDF("g", "v", "f") // f: a 2-decimal factor in [-1, 1)
+    val both = money.groupBy("g").agg(
+      Relational.dsum(c("v")).as("slow_v"), Relational.dsumFx(c("v")).as("fast_v"),
+      // product of 2-decimal values: <=4 decimals, still on the contract
+      Relational.dsum(c("v") * c("f")).as("slow_p"),
+      Relational.dsumFx(c("v") * c("f")).as("fast_p")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"sum mismatch g=${r.get(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+      assert(r.getDouble(3) == r.getDouble(4),
+        s"product-sum mismatch g=${r.get(0)}: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+
+    // row-level: the quantized unscaled long equals the decimal cast's
+    // unscaled value exactly, sign included
+    val q = money.select(
+      Relational.unscaledFx(c("v"), 1000000L).as("fx"),
+      (c("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+        1000000).cast("long").as("ref"))
+    assert(q.filter(c("fx") =!= c("ref")).count() == 0)
+  }
 }
