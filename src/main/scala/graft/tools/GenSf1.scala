@@ -30,13 +30,25 @@ object GenSf1 {
 
   private val Copies = 10
 
-  /** Args: `[dstDir [srcDir]]` — DESTINATION FIRST (defaults
+  /** Args: `[dstDir [srcDir [mode]]]` — DESTINATION FIRST (defaults
     * `/root/repo/.sf1` from `/root/testdata/sf0.1`). The guard below
     * exists because the natural-looking `GenSf1 <srcDir>` invocation
-    * would otherwise OVERWRITE the source dataset. */
+    * would otherwise OVERWRITE the source dataset.
+    *
+    * mode `facts` replicates ONLY the fact tables (orders, lineitem,
+    * events) and copies documents/embeddings unchanged — for building a
+    * THIRD scale decade (sf10 from .sf1): the text-suffix and
+    * rotation tricks don't compose a second time (rotations of 64-dim
+    * vectors admit only 64 distinct variants, so 100 copies would
+    * manufacture exact-duplicate vectors and poison the near-dup
+    * benchmarks), so the 100× decade covers the relational/fact
+    * surface, honestly scoped. Key offsets are derived from the
+    * SOURCE's actual max keys, so replication composes safely from any
+    * already-replicated source. */
   def main(args: Array[String]): Unit = {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/root/repo/.sf1")
+    val factsOnly = args.lift(2).contains("facts")
     require(!dst.startsWith("/root/testdata"),
       s"refusing to write generated data into the driver's testdata tree ('$dst'); " +
         "args are [dstDir [srcDir]] — destination first")
@@ -64,36 +76,52 @@ object GenSf1 {
       val base = Tables(spark, src, name)
       (0 until Copies).map(i => perCopy(base, i)).reduce(_ unionByName _)
     }
+    // next power of 10 above the source's max key: offsets stay
+    // non-overlapping no matter how many replication decades the source
+    // has already been through
+    def stride(name: String, keyCol: String): Long = {
+      val mx = Tables(spark, src, name).agg(max(col(keyCol))).head().getLong(0)
+      var s = 1L; while (s <= mx) s *= 10; s
+    }
 
+    val orderStride = stride("orders", "o_orderkey")
     write(replicated("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000L))
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride))
     }, "orders")
 
     write(replicated("lineitem") { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000L))
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStride))
     }, "lineitem")
 
+    val eventStride = stride("events", "event_id")
+    val userStride = stride("events", "user_id")
     write(replicated("events") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * 1000000L))
-        .withColumn("user_id", col("user_id") + lit(i * 100000L))
+      df.withColumn("event_id", col("event_id") + lit(i * eventStride))
+        .withColumn("user_id", col("user_id") + lit(i * userStride))
     }, "events")
 
-    write(replicated("documents") { (df, i) =>
-      val text = if (i == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$i"))), " ")
-      df.withColumn("doc_id", col("doc_id") + lit(i * 100000L))
-        .withColumn("text", text)
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }, "documents")
+    if (factsOnly) {
+      Seq("documents", "embeddings").foreach(t => write(Tables(spark, src, t), t))
+    } else {
+      val docStride = stride("documents", "doc_id")
+      write(replicated("documents") { (df, i) =>
+        val text = if (i == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$i"))), " ")
+        df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+          .withColumn("text", text)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }, "documents")
 
-    write(replicated("embeddings") { (df, i) =>
-      val emb = if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 64 - i),
-          slice(col("embedding"), 1, i))
-      df.withColumn("vec_id", col("vec_id") + lit(i * 100000L))
-        .withColumn("embedding", emb)
-    }, "embeddings")
+      val vecStride = stride("embeddings", "vec_id")
+      write(replicated("embeddings") { (df, i) =>
+        val emb = if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i))
+        df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+          .withColumn("embedding", emb)
+      }, "embeddings")
+    }
 
     spark.stop()
   }
