@@ -47,7 +47,16 @@ object Relational {
     * HALF_UP: the magnitude is quantized, then the sign reapplied. */
   private[ops] def unscaledFx(c: Column, pow10: Long): Column = {
     val mag = (abs(c) * lit(pow10.toDouble) + lit(0.5)).cast("long")
-    when(c < 0, -mag).otherwise(mag)
+    val signed = when(c < 0, -mag).otherwise(mag)
+    // domain guard: outside ±2^51/pow10 the double-multiply error can
+    // reach the rounding boundary, and NaN/Infinity would cast to
+    // 0/Long.MaxValue and be silently COUNTED where the decimal path
+    // yields NULL (row skipped). `between` is false for NaN/±Inf and
+    // out-of-range, so all off-contract values become NULL — the same
+    // observable behavior as a decimal-cast overflow, never a silently
+    // wrong sum. One primitive comparison per row.
+    val bound = 2.0e15 / pow10
+    when(c.between(-bound, bound), signed)
   }
 
   /** Exact order-independent sum of a ≤6-decimal money measure, as

@@ -1219,5 +1219,13 @@ class RelationalOpsSpec extends SparkSpec {
       (c("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
         1000000).cast("long").as("ref"))
     assert(q.filter(c("fx") =!= c("ref")).count() == 0)
+
+    // off-contract values (NaN, infinities, beyond the quantization
+    // bound) must become NULL — skipped like a decimal-cast overflow,
+    // never silently counted as a garbage long
+    val junk = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 3.0e9, -3.0e9).toDF("v")
+    assert(junk.select(Relational.unscaledFx(c("v"), 1000000L).as("fx"))
+      .filter(c("fx").isNotNull).count() == 0)
   }
 }
