@@ -777,22 +777,35 @@ object Dedup {
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
 
+  /** Shared shingle-inverted-index scaffolding for the pairwise set
+    * metrics ([[ngramJaccardPairs]], [[containmentPairs]]): explode to
+    * (id, distinct-shingle) rows, per-doc set sizes, and the
+    * ordered-pair intersection counts joined with both sizes —
+    * `(id_a, id_b, n_inter, size_a, size_b)`. One definition so a
+    * shingle-handling change (degenerate-shingle caps, tokenization)
+    * can never silently diverge between the metrics. */
+  private def shinglePairCounts(docs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(distinctWordShingles(col(textCol), shingleN)).as("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
+    sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")),
+        Seq("id_b"))
+  }
+
   /** Exact pairwise Jaccard over distinct word-shingle sets, via a
     * shingle-inverted-index join (pairs that share no shingle are never
     * materialized). O(sum over shingles of df²) — use on a candidate
     * subset or post-LSH, not the raw corpus. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(distinctWordShingles(col(textCol), shingleN)).as("shingle"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")), Seq("id_b"))
+    shinglePairCounts(docs, textCol, idCol, shingleN)
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
@@ -815,21 +828,10 @@ object Dedup {
     * cap or pre-filter degenerate shingles on a skewed corpus. */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(distinctWordShingles(col(textCol), shingleN)).as("shingle"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("set_size"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     // the union below consumes this subtree twice (one projection per
     // direction) through fresh exprIds — leaf it or the whole shingle
     // join pipeline runs per branch. Pair-count-sized, never corpus-sized
-    val both = inter
-      .join(sizes.select(col(idCol).as("id_a"), col("set_size").as("size_a")),
-        Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("set_size").as("size_b")),
-        Seq("id_b"))
+    val both = shinglePairCounts(docs, textCol, idCol, shingleN)
       .localCheckpoint()
     both.select(col("id_a").as("sub_id"), col("id_b").as("sup_id"),
         (col("n_inter").cast("double") / col("size_a")).as("containment"))

@@ -123,7 +123,11 @@ object Similarity {
     * soak measured exactly this effect: fixed bits=4 at 10× corpus →
     * 6-8× pair-scan cost (BASELINE.md round 9). */
   def suggestedLshBits(corpusSize: Long, targetBucket: Long = 1024L): Int = {
-    require(corpusSize > 0 && targetBucket > 0)
+    // corpusSize 0 (empty table) sizes like corpus 1: any geometry
+    // yields the same empty pair set, and throwing here would crash a
+    // query that should just return no rows
+    require(corpusSize >= 0 && targetBucket > 0)
+    if (corpusSize == 0) return 1
     // smallest b in [1, 24] with targetBucket·2^b ≥ corpus — the integer
     // form of ceil(log₂(corpus/targetBucket)). Integer on purpose: a SQL
     // oracle can replay the identical choice from its own count(*), with
@@ -180,6 +184,12 @@ object Similarity {
   def bandedCosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bits: Int, bands: Int = 2): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
+    // the band stride is 24 planes (vec_lsh_key_band): bits beyond it
+    // would silently share planes with the next band, correlating the
+    // "independent" families and degrading the OR-amplified recall —
+    // fail loudly instead (suggestedLshBits clamps to 24 by design)
+    require(bits >= 1 && bits <= 24,
+      s"bits must be in [1, 24] (the per-band plane stride), got $bits")
     val keys = array((0 until bands).map(r =>
       graft.functions.VectorFunctions.vec_lsh_key_band(col(vecCol), dim, bits, r)): _*)
     val keyed = df.select(col(idCol), col(vecCol),
@@ -579,9 +589,8 @@ object Similarity {
       s2.conf.set(graft.plans.CosineJoinRewrite.BitsConf,
         suggestedLshBits(emb0.count(), targetBucket = 256L).toString)
       s2.conf.set(graft.plans.CosineJoinRewrite.DimConf, "64")
-      val emb = Tables(s2, d, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val a = emb0.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb0.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
       a.join(b, col("id_a") < col("id_b") &&
           cosine(col("vec_a"), col("vec_b")) >= lit(0.2))
         .select(col("id_a"), col("id_b"),
@@ -1244,8 +1253,11 @@ object Similarity {
   }
 
   /** q142 oracle: the q61 brute ranking over-fetched to k+overFetch
-    * (3+8=11, the op's defaults), the q66 LSH dup-pair graph as a
-    * both-orientations mask, anti-join, re-rank, top-k — the same
+    * (3+8=11, the op's defaults), a fixed bits=2 single-band LSH
+    * dup-pair mask (q66's PRE-round-10 geometry — q66 itself now uses
+    * sized 2-band buckets; q142 keeps the fixed mask deliberately,
+    * matching its Spark side) applied in both orientations, anti-join,
+    * re-rank, top-k — the same
     * best-effort over-fetch semantics as the Spark op. */
   private def q142Oracle: String = {
     val dim = 64
@@ -1309,9 +1321,10 @@ object Similarity {
        |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
-  /** q123 oracle: the q66 LSH-bucket pair replay (restricted to
-    * vec_id < 1000) chained into a recursive transitive closure — the
-    * same closure shape as the q101 oracle. */
+  /** q123 oracle: the fixed bits=2 single-band LSH-bucket pair replay
+    * (q66's pre-round-10 geometry, kept here to match q123's Spark
+    * side; restricted to vec_id < 1000) chained into a recursive
+    * transitive closure — the same closure shape as the q101 oracle. */
   private def q123Oracle: String = {
     val dim = 64
     val (ctes, bucket, tables) = lshOracleCtes(dim, bits = 2)

@@ -86,7 +86,11 @@ class SimilaritySpec extends SparkSpec {
     // 10× the corpus → +log2(10) ≈ +3.3 → +4 bits, same bucket size
     assert(Similarity.suggestedLshBits(1024L * 16 * 10) == 8)
     assert(Similarity.suggestedLshBits(Long.MaxValue) == 24) // clamped
-    intercept[IllegalArgumentException](Similarity.suggestedLshBits(0))
+    // empty corpus sizes like corpus 1 (any geometry gives the empty
+    // pair set; a query over an empty table must not throw)
+    assert(Similarity.suggestedLshBits(0) == 1)
+    intercept[IllegalArgumentException](Similarity.suggestedLshBits(-1))
+    intercept[IllegalArgumentException](Similarity.suggestedLshBits(100, 0))
   }
 
   test("hardNegatives: masked rows promote the next candidate, not shorten the list") {
