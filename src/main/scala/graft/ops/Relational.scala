@@ -60,7 +60,12 @@ object Relational {
   }
 
   /** Exact order-independent sum of a ≤6-decimal money measure, as
-    * double — same value as `dsum` (oracle-verified), ~2× faster: the
+    * double — same value as `dsum` ON THE MONEY DOMAIN |v| ≤ 2·10⁹
+    * (oracle-verified; contract maxima are ~5·10⁵). Outside it the two
+    * diverge deliberately: `dsum`'s decimal cast still includes values
+    * up to 10¹², while this path NULLs them (quantization exactness
+    * can't be guaranteed there, and a skipped row beats a possibly
+    * off-by-1e-6 sum). ~2× faster: the
     * per-row path is one fixed-point quantization + a compact-long
     * decimal add (the sum buffer stays in Spark Decimal's long fast
     * path); the single division back to value units happens once per
@@ -622,8 +627,18 @@ object Relational {
     // integer-valued and price 2-decimal (the same measured contract the
     // quantization relies on), so every moment carries ≤4 decimals.
     "q58_exact_corr" -> { (s, d) =>
-      val ux = unscaledFx(col("l_quantity"), 1000000L)       // scale 6
-      val uy = unscaledFx(col("l_extendedprice"), 100L)      // scale 2
+      // the moments multiply unscaled longs, so each factor must stay
+      // below sqrt(2^63) ≈ 3.04e9 or a product silently WRAPS — a
+      // tighter bound than unscaledFx's own quantization guard. Cap both
+      // factors at 3e9: off-contract rows (quantity beyond ~3e3,
+      // price beyond ~3e7 — the contract maxima are 50 and ~1.1e5) go
+      // NULL and are skipped, never wrapped into a garbage sum.
+      def capped(c: Column, pow10: Long) = {
+        val u = unscaledFx(c, pow10)
+        when(abs(u) <= lit(3000000000L), u)
+      }
+      val ux = capped(col("l_quantity"), 1000000L)           // scale 6
+      val uy = capped(col("l_extendedprice"), 100L)          // scale 2
       def fsum(u: Column, div: Long) =
         sum(u.cast(DecimalType(18, 0))) / lit(div)
       def dbl(c: Column) = c.cast("double")

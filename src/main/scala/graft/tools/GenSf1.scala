@@ -76,15 +76,23 @@ object GenSf1 {
       val base = Tables(spark, src, name)
       (0 until Copies).map(i => perCopy(base, i)).reduce(_ unionByName _)
     }
-    // next power of 10 above the source's max key: offsets stay
+    // next power of 10 above the source's max keys: offsets stay
     // non-overlapping no matter how many replication decades the source
-    // has already been through
-    def stride(name: String, keyCol: String): Long = {
-      val mx = Tables(spark, src, name).agg(max(col(keyCol))).head().getLong(0)
-      var s = 1L; while (s <= mx) s *= 10; s
+    // has already been through. One aggregate pass per table, however
+    // many key columns; a clear error (not a row-access NPE) on an
+    // empty source table
+    def strides(name: String, keyCols: String*): Seq[Long] = {
+      val row = Tables(spark, src, name)
+        .agg(max(col(keyCols.head)), keyCols.tail.map(k => max(col(k))): _*)
+        .head()
+      keyCols.indices.map { i =>
+        require(!row.isNullAt(i),
+          s"source table '$name' is empty — nothing to replicate")
+        var s = 1L; while (s <= row.getLong(i)) s *= 10; s
+      }
     }
 
-    val orderStride = stride("orders", "o_orderkey")
+    val Seq(orderStride) = strides("orders", "o_orderkey")
     write(replicated("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride))
     }, "orders")
@@ -93,8 +101,7 @@ object GenSf1 {
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStride))
     }, "lineitem")
 
-    val eventStride = stride("events", "event_id")
-    val userStride = stride("events", "user_id")
+    val Seq(eventStride, userStride) = strides("events", "event_id", "user_id")
     write(replicated("events") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * eventStride))
         .withColumn("user_id", col("user_id") + lit(i * userStride))
@@ -103,7 +110,7 @@ object GenSf1 {
     if (factsOnly) {
       Seq("documents", "embeddings").foreach(t => write(Tables(spark, src, t), t))
     } else {
-      val docStride = stride("documents", "doc_id")
+      val Seq(docStride) = strides("documents", "doc_id")
       write(replicated("documents") { (df, i) =>
         val text = if (i == 0) col("text")
           else array_join(transform(split(col("text"), " "),
@@ -113,7 +120,7 @@ object GenSf1 {
           .withColumn("n_chars", length(col("text")).cast("long"))
       }, "documents")
 
-      val vecStride = stride("embeddings", "vec_id")
+      val Seq(vecStride) = strides("embeddings", "vec_id")
       write(replicated("embeddings") { (df, i) =>
         val emb = if (i == 0) col("embedding")
           else concat(slice(col("embedding"), i + 1, 64 - i),

@@ -1196,7 +1196,7 @@ class RelationalOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col => c}
     val rnd = new scala.util.Random(58)
     val money = (1 to 20000).map { i =>
-      // cents in [-1e7, 5e7] -> values in [-1e5, 5e5] with exactly <=2 decimals
+      // cents in (-5e7, 5e7) -> values in (-5e5, 5e5) with exactly <=2 decimals
       val cents = rnd.nextLong() % 50000000L
       (i % 7, cents / 100.0, (rnd.nextInt(200) - 100) / 100.0)
     }.toDF("g", "v", "f") // f: a 2-decimal factor in [-1, 1)
