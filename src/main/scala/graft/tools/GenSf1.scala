@@ -35,16 +35,17 @@ object GenSf1 {
     * exists because the natural-looking `GenSf1 <srcDir>` invocation
     * would otherwise OVERWRITE the source dataset.
     *
-    * mode `facts` replicates ONLY the fact tables (orders, lineitem,
-    * events) and copies documents/embeddings unchanged — for building a
-    * THIRD scale decade (sf10 from .sf1): the text-suffix and
-    * rotation tricks don't compose a second time (rotations of 64-dim
-    * vectors admit only 64 distinct variants, so 100 copies would
-    * manufacture exact-duplicate vectors and poison the near-dup
-    * benchmarks), so the 100× decade covers the relational/fact
-    * surface, honestly scoped. Key offsets are derived from the
-    * SOURCE's actual max keys, so replication composes safely from any
-    * already-replicated source. */
+    * mode `facts` replicates everything EXCEPT embeddings (copied
+    * unchanged) — for building a THIRD scale decade (sf10 from .sf1):
+    * the text-suffix trick composes (`tok_i` → `tok_i_j`, vocabularies
+    * stay disjoint across all 100 copies), but the embedding rotation
+    * does not (64-dim rotations admit only 64 distinct variants, so
+    * 100 copies would manufacture exact-duplicate vectors and poison
+    * the near-dup benchmarks). The 100× decade therefore covers the
+    * relational/fact AND text/dedup surfaces; only the
+    * embedding-vector queries stay at the sf1 decade. Key offsets are
+    * derived from the SOURCE's actual max keys, so replication
+    * composes safely from any already-replicated source. */
   def main(args: Array[String]): Unit = {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/root/repo/.sf1")
@@ -107,19 +108,19 @@ object GenSf1 {
         .withColumn("user_id", col("user_id") + lit(i * userStride))
     }, "events")
 
-    if (factsOnly) {
-      Seq("documents", "embeddings").foreach(t => write(Tables(spark, src, t), t))
-    } else {
-      val Seq(docStride) = strides("documents", "doc_id")
-      write(replicated("documents") { (df, i) =>
-        val text = if (i == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"_$i"))), " ")
-        df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
-          .withColumn("text", text)
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }, "documents")
+    val Seq(docStride) = strides("documents", "doc_id")
+    write(replicated("documents") { (df, i) =>
+      val text = if (i == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i"))), " ")
+      df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+        .withColumn("text", text)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
 
+    if (factsOnly) {
+      write(Tables(spark, src, "embeddings"), "embeddings")
+    } else {
       val Seq(vecStride) = strides("embeddings", "vec_id")
       write(replicated("embeddings") { (df, i) =>
         val emb = if (i == 0) col("embedding")
