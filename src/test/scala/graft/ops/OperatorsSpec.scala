@@ -713,6 +713,36 @@ class DedupSpec extends SparkSpec {
     assert(nearPairs.contains((0L, 100000L)))
   }
 
+  test("wide simhash: blocked pairs == brute-force all-pairs; edges mirror 60-bit") {
+    // the 30-bit pigeonhole blocking must be EXACT for maxHamming <= 3:
+    // compare against the unblocked all-pairs two-half Hamming scan
+    val sub = docs.filter(col("doc_id") % 7 === 0 ||
+      col("doc_id").isin(0L, 100000L)) // ensure the known exact-dup pair
+    val fps = Dedup.simHashWideTable(sub, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      (ia, (loA, hiA)) <- fps.toSeq; (ib, (loB, hiB)) <- fps.toSeq
+      if ia < ib
+      h = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+      if h <= 3
+    } yield (ia, ib, h)).sorted
+    val blocked = Dedup.simHashWideNearDups(sub, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
+    // exact duplicate text must land at wide hamming 0 too
+    assert(brute.exists { case (a, b, h) => h == 0 })
+    // the two halves are genuinely independent families: a doc's halves
+    // differ (identical halves would mean the suffix hash is degenerate)
+    assert(fps.values.count { case (lo, hi) => lo != hi } > fps.size / 2)
+    // null text never pairs (same null semantics as the 60-bit form)
+    import sub.sparkSession.implicits._
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val p = Dedup.simHashWideNearDups(withNull, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.toSeq == Seq((1L, 2L)))
+  }
+
   test("LSH index: persisted probe finds the injected dup, no ref-side ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
     val ref = docs.filter(col("doc_id") < 100000L)
