@@ -1324,6 +1324,18 @@ object Dedup {
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("score").as("n_chars"), col("canonical"))
         .orderBy("doc_id")
+    },
+
+    // q101's clusters over the WIDE pair generator: the corpus-scale
+    // exact dedup composition end to end (30-bit buckets keep pair
+    // generation linear; the closure itself was never the bottleneck)
+    "q155_dedup_clusters_wide" -> { (s, d) =>
+      val pairs = simHashWideNearDups(Tables(s, d, "documents"), "text",
+        "doc_id", maxHamming = 3)
+      connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1887,6 +1899,32 @@ object Dedup {
          |FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
          |      bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q101's recursive-CTE closure over the WIDE pair list
+    "q155_dedup_clusters_wide" ->
+      s"""WITH RECURSIVE $simHashWideOracleCore,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
+         |        bit_count(xor(a.sh_hi, b.sh_hi)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT l.doc_id, l.component, s.cluster_size,
+         |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM lbl l JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin
   )
 }
