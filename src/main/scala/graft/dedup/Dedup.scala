@@ -474,7 +474,7 @@ object Dedup {
     * unchanged — the classic pigeonhole blocking, EXACT for
     * `maxHamming ≤ 3`), then verify the full distance. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, leafFingerprints: Boolean = false): DataFrame = {
     require(maxHamming < 4,
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
     // Same plan discipline as [[lshCandidatePairs]] with one difference:
@@ -500,7 +500,17 @@ object Dedup {
     // queries persist-free. When fingerprints are worth materializing —
     // a corpus you dedup repeatedly — that's the persisted-index path
     // (saveLshIndex / q119), not an inline cache.
-    val fps = simHashTable(docs, textCol, idCol)
+    //
+    // `leafFingerprints` offers the corpus-scale tradeoff explicitly.
+    // Measured results differ by fingerprint cost: the WIDE form's
+    // two-hash pipeline wins from leafing (31.6 s → 20.4 s at 500k
+    // docs), but THIS 60-bit form measured NO win there (56.8 s
+    // re-evaluated vs 55.4 s leafed) — with 32 threads the duplicated
+    // single-hash pipeline executes in otherwise-idle slots, so the
+    // queries keep the default. The knob stays for CPU-constrained
+    // deployments where duplicated work is not free.
+    val fps0 = simHashTable(docs, textCol, idCol)
+    val fps = if (leafFingerprints) fps0.localCheckpoint() else fps0
     val blocked = simHashBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
