@@ -548,6 +548,23 @@ object Dedup {
           .otherwise(coalesce(col("sh_hi"), lit(0L))).as("sh_hi"))
   }
 
+  /** The wide fingerprint's 4×30-bit pigeonhole block grid, shared by
+    * [[simHashWideNearDups]] and [[dedupAgainstReferenceWide]] — one
+    * (block_idx, block_key) row per 30-bit quarter of the 120-bit
+    * fingerprint. A pair within Hamming distance 3 shares at least one
+    * unchanged quarter, so blocking is EXACT for maxHamming ≤ 3. One
+    * definition — the two wide near-dup paths cannot drift. */
+  private def simHashWideBlockKeys(fps: DataFrame, idCol: String): DataFrame = {
+    val mask30 = lit((1L << 30) - 1)
+    fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
+      posexplode(array(
+        col("sh_lo").bitwiseAND(mask30),
+        shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
+        col("sh_hi").bitwiseAND(mask30),
+        shiftright(col("sh_hi"), 30).bitwiseAND(mask30))))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+  }
+
   /** Wide SimHash near-dup pairs — the CORPUS-SCALE form of
     * [[simHashNearDups]]. Same exact pigeonhole guarantee (a pair within
     * Hamming distance 3 of the 120-bit fingerprint leaves at least one
@@ -566,7 +583,6 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
-    val mask30 = lit((1L << 30) - 1)
     // leaf the fingerprint table: the self-join below plans the whole
     // tokenize→md5→vote pipeline once PER SIDE (fresh exprIds defeat
     // ReuseExchange — same verified behavior as the 60-bit form). q55
@@ -578,13 +594,7 @@ object Dedup {
     // (re-evaluated) vs 20.4 s (leafed); the 60-bit q55 at the same
     // scale: 33.4 s — a 12.1× decade ratio vs this form's 6.2×.
     val fps = simHashWideTable(docs, textCol, idCol).localCheckpoint()
-    val blocked = fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
-      posexplode(array(
-        col("sh_lo").bitwiseAND(mask30),
-        shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
-        col("sh_hi").bitwiseAND(mask30),
-        shiftright(col("sh_hi"), 30).bitwiseAND(mask30))))
-      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    val blocked = simHashWideBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
     val b = blocked.select(col("block_idx"), col("block_key"),
@@ -598,6 +608,49 @@ object Dedup {
         (hamming(col("lo_a"), col("lo_b")) +
           hamming(col("hi_a"), col("hi_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Incremental dedup against a reference corpus with the WIDE
+    * fingerprint — the production "probe this batch against the full
+    * 100 TB corpus" form of [[dedupAgainstReference]]. Identical output
+    * contract (exact_dup / near_dup / min_ref_hamming per new doc) under
+    * the stricter ≤ maxHamming of 120 bits; the new×ref block join runs
+    * on 30-bit buckets, so the candidate count scales with TRUE
+    * near-dup density instead of n_new·n_ref/2^15. The reference is
+    * never self-joined. */
+  def dedupAgainstReferenceWide(newDocs: DataFrame, refDocs: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val exact = newDocs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .join(refDocs.select(fingerprint(col(textCol)).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(idCol)).withColumn("_exact", lit(1))
+    val nB = simHashWideBlockKeys(
+        simHashWideTable(newDocs, textCol, idCol), idCol)
+      .select(col("block_idx"), col("block_key"), col(idCol).as("id_new"),
+        col("sh_lo").as("lo_new"), col("sh_hi").as("hi_new"))
+    val rB = simHashWideBlockKeys(
+        simHashWideTable(refDocs, textCol, idCol), idCol)
+      .select(col("block_idx"), col("block_key"),
+        col("sh_lo").as("lo_ref"), col("sh_hi").as("hi_ref"))
+    val near = nB.join(rB, Seq("block_idx", "block_key"))
+      .select(col("id_new"), col("lo_new"), col("hi_new"),
+        col("lo_ref"), col("hi_ref")).distinct()
+      .select(col("id_new"),
+        (hamming(col("lo_new"), col("lo_ref")) +
+          hamming(col("hi_new"), col("hi_ref"))).as("h"))
+      .filter(col("h") <= maxHamming)
+      .groupBy(col("id_new")).agg(min(col("h")).as("min_ref_hamming"))
+      .withColumnRenamed("id_new", idCol)
+    newDocs.select(col(idCol))
+      .join(exact, Seq(idCol), "left_outer")
+      .join(near, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_exact"), lit(0)).cast("int").as("exact_dup"),
+        when(col("min_ref_hamming").isNotNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("near_dup"),
+        col("min_ref_hamming").cast("int").as("min_ref_hamming"))
   }
 
   // ---------------------------------------------------------------------
@@ -1237,6 +1290,18 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // q107's incremental dedup on the wide fingerprint — the
+    // corpus-scale probe-batch-vs-reference form; oracle is the
+    // brute-force new×ref min-hamming over both 60-bit halves
+    "q156_dedup_against_reference_wide" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      dedupAgainstReferenceWide(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", maxHamming = 3)
+        .orderBy("doc_id")
+    },
+
     // corpus-wide sentence dedup: global first occurrence survives,
     // documents reassembled in order
     "q105_sentence_dedup" -> { (s, d) =>
@@ -1730,6 +1795,32 @@ object Dedup {
          |near AS (
          |  SELECT n.doc_id, MIN(bit_count(xor(n.simhash, r.simhash))) AS mh
          |  FROM fp n JOIN fp r ON r.doc_id % 10 <> 0
+         |  WHERE n.doc_id % 10 = 0
+         |  GROUP BY n.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS exact_dup,
+         |  CAST(CASE WHEN near.mh <= 3 THEN 1 ELSE 0 END AS INTEGER) AS near_dup,
+         |  CAST(CASE WHEN near.mh <= 3 THEN near.mh ELSE NULL END AS INTEGER)
+         |    AS min_ref_hamming
+         |FROM documents d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near ON near.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "q156_dedup_against_reference_wide" ->
+      s"""WITH $simHashWideOracleCore,
+         |xf AS (SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS xfp
+         |  FROM documents),
+         |exact AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM xf n JOIN xf r ON n.xfp = r.xfp AND r.doc_id % 10 <> 0
+         |  WHERE n.doc_id % 10 = 0),
+         |near AS (
+         |  SELECT n.doc_id,
+         |    MIN(bit_count(xor(n.sh_lo, r.sh_lo)) +
+         |        bit_count(xor(n.sh_hi, r.sh_hi))) AS mh
+         |  FROM wfp n JOIN wfp r ON r.doc_id % 10 <> 0
          |  WHERE n.doc_id % 10 = 0
          |  GROUP BY n.doc_id)
          |SELECT d.doc_id,

@@ -609,6 +609,16 @@ class DedupSpec extends SparkSpec {
     assert(got(1) == ((101L, 0, 1, 0))) // same bag, different order
     assert(got(2) == ((102L, 0, 0, -1)))
     assert(got.length == 3) // only the new batch is scored
+
+    // the wide form keeps the identical output contract on the same
+    // fixture: bag-equality still lands at wide hamming 0 (both 60-bit
+    // vote families see the same token multiset), novel text stays
+    // unflagged under the stricter 120-bit criterion
+    val wide = Dedup.dedupAgainstReferenceWide(newBatch, ref, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(wide.toSeq == got.toSeq)
   }
 
   test("exact dedup finds the injected exact duplicate, keeps min id") {
