@@ -392,9 +392,20 @@ object Dedup {
   /** SimHash fingerprint: per-token h60 hash, bitwise majority vote.
     * Pure expression — for each bit position, sum ±1 over tokens and
     * take the sign. */
-  def simHash(textCol: Column): Column = {
+  def simHash(textCol: Column): Column =
+    simHashFold(textCol, t => graft.text.TextAnalysis.h60(t))
+
+  /** The wide fingerprint's two 60-bit halves as per-row Column
+    * expressions — the streaming-side form of [[simHashWideTable]]
+    * (same hash families: raw token and token||"#2"). */
+  def simHashWideCols(textCol: Column): (Column, Column) =
+    (simHashFold(textCol, t => graft.text.TextAnalysis.h60(t)),
+      simHashFold(textCol,
+        t => graft.text.TextAnalysis.h60(concat(t, lit("#2")))))
+
+  private def simHashFold(textCol: Column, hashFn: Column => Column): Column = {
     val toks = tokens(lower(textCol))
-    val hashes = transform(toks, t => graft.text.TextAnalysis.h60(t))
+    val hashes = transform(toks, hashFn)
     val bitExprs = (0 until simHashBits).map { b =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))

@@ -433,6 +433,91 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class WideBlockDoc(block: Long, doc_id: Long,
+      sh_lo: Long, sh_hi: Long)
+  final case class WideBlockState(ids: Array[Long],
+      los: Array[Long], his: Array[Long])
+
+  /** [[StreamingSimHashProcessor]]'s wide twin: state carries both
+    * 60-bit halves, the verify is the two-half Hamming sum. Same
+    * retention discipline (deterministic in-batch order, at-least-once
+    * membership check, maxBucket cap). */
+  class StreamingWideSimHashProcessor(maxHamming: Int, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, WideBlockDoc, NearDupPair] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[WideBlockState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[WideBlockState]("wide_block_docs",
+        org.apache.spark.sql.Encoders.product[WideBlockState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[WideBlockDoc],
+        timerValues: TimerValues): Iterator[NearDupPair] = {
+      val st = if (state.exists()) state.get()
+        else WideBlockState(Array.empty, Array.empty, Array.empty)
+      val ids = scala.collection.mutable.ArrayBuffer.from(st.ids)
+      val los = scala.collection.mutable.ArrayBuffer.from(st.los)
+      val his = scala.collection.mutable.ArrayBuffer.from(st.his)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      rows.toArray.sortBy(r => (r.doc_id, r.sh_lo, r.sh_hi)).foreach { r =>
+        var i = 0
+        var seen = false
+        while (i < ids.length) {
+          if (ids(i) != r.doc_id) {
+            val ham = java.lang.Long.bitCount(los(i) ^ r.sh_lo) +
+              java.lang.Long.bitCount(his(i) ^ r.sh_hi)
+            if (ham <= maxHamming)
+              out += NearDupPair(math.min(ids(i), r.doc_id),
+                math.max(ids(i), r.doc_id), ham)
+          } else seen = true
+          i += 1
+        }
+        if (!seen && ids.length < maxBucket) {
+          ids += r.doc_id; los += r.sh_lo; his += r.sh_hi
+        }
+      }
+      state.update(WideBlockState(ids.toArray, los.toArray, his.toArray))
+      out.iterator
+    }
+  }
+
+  /** Wide (120-bit) near-dup pair stream — the streaming twin of
+    * [[graft.dedup.Dedup.simHashWideNearDups]]. Fingerprint halves come
+    * from the per-row Column forms (same two hash families as the batch
+    * aggregate), blocks are the 4×30-bit quarters packed as
+    * `(quarter_idx << 30) | key`, and state per block is bounded by
+    * `maxBucket`. At corpus scale the 30-bit key space is what keeps
+    * per-block state TINY (true near-dups only) where the 60-bit
+    * stream's 15-bit blocks accumulate unrelated cohabitants toward the
+    * cap. */
+  def nearDupWideStream(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val (loC, hiC) = graft.dedup.Dedup.simHashWideCols(col(textCol))
+    val mask30 = lit((1L << 30) - 1)
+    val blocked = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        loC.as("sh_lo"), hiC.as("sh_hi"))
+      // same null discipline as the 60-bit stream: null/non-numeric ids
+      // and null text drop exactly like the batch twin drops them
+      .where(col("doc_id").isNotNull && col("sh_lo").isNotNull &&
+        col("sh_hi").isNotNull && col(textCol).isNotNull)
+      .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+        explode(array(
+          lit(0L * (1L << 30)) + col("sh_lo").bitwiseAND(mask30),
+          lit(1L * (1L << 30)) + shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
+          lit(2L * (1L << 30)) + col("sh_hi").bitwiseAND(mask30),
+          lit(3L * (1L << 30)) + shiftright(col("sh_hi"), 30).bitwiseAND(mask30)))
+          .as("block"))
+      .select(col("block"), col("doc_id"), col("sh_lo"), col("sh_hi"))
+      .as[WideBlockDoc]
+    blocked.groupByKey(_.block)
+      .transformWithState(new StreamingWideSimHashProcessor(maxHamming, maxBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.dedup.Dedup.exactDedup]]: fingerprint the payload
     * (whitespace-normalized md5, same family as the batch path) and drop

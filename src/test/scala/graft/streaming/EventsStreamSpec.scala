@@ -276,6 +276,39 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("wide streaming near-dup pairs == batch simHashWideNearDups") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val docs = Seq(
+        (1L, base),
+        (2L, base.replace("delta", "DELTA")), // lowercased away → exact dup
+        (3L, "completely different words about another topic entirely here now"),
+        (4L, base),                            // cross-batch dup
+        (5L, base.replace("kappa", "xappa")))  // near (one token changed)
+      val mem = MemoryStream[(Long, String)]
+      val pairs = EventsStream.nearDupWideStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", maxHamming = 3)
+      val q = pairs.writeStream.format("memory").queryName("neardup_wide_stream")
+        .outputMode("update").start()
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("neardup_wide_stream")
+        .select("id_a", "id_b", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.dedup.Dedup.simHashWideNearDups(
+        docs.toDF("doc_id", "text"), "text", "doc_id", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // exact dups must land at wide hamming 0 through state
+      assert(batch.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+        "cross-batch wide dup expected")
+    }
+  }
+
   test("streaming near-dup: bucket cap stops state growth, verify still runs") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
