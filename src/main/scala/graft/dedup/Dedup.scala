@@ -521,7 +521,7 @@ object Dedup {
     // queries keep the default. The knob stays for CPU-constrained
     // deployments where duplicated work is not free.
     val fps0 = simHashTable(docs, textCol, idCol)
-    val fps = if (leafFingerprints) fps0.localCheckpoint() else fps0
+    val fps = if (leafFingerprints) checkpointLeaf(fps0) else fps0
     val blocked = simHashBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -565,16 +565,21 @@ object Dedup {
     * fingerprint. A pair within Hamming distance 3 shares at least one
     * unchanged quarter, so blocking is EXACT for maxHamming ≤ 3. One
     * definition — the two wide near-dup paths cannot drift. */
-  private def simHashWideBlockKeys(fps: DataFrame, idCol: String): DataFrame = {
+  /** The four 30-bit quarter keys of the 120-bit fingerprint, in
+    * quarter order — THE single definition of the wide block geometry,
+    * consumed by the batch paths here and the streaming twin
+    * ([[graft.streaming.EventsStream.nearDupWideStream]]); a geometry
+    * change propagates to every consumer or compiles nowhere. */
+  def simHashWideQuarterKeys(lo: Column, hi: Column): Seq[Column] = {
     val mask30 = lit((1L << 30) - 1)
-    fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
-      posexplode(array(
-        col("sh_lo").bitwiseAND(mask30),
-        shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
-        col("sh_hi").bitwiseAND(mask30),
-        shiftright(col("sh_hi"), 30).bitwiseAND(mask30))))
-      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
+    Seq(lo.bitwiseAND(mask30), shiftright(lo, 30).bitwiseAND(mask30),
+      hi.bitwiseAND(mask30), shiftright(hi, 30).bitwiseAND(mask30))
   }
+
+  private def simHashWideBlockKeys(fps: DataFrame, idCol: String): DataFrame =
+    fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
+      posexplode(array(simHashWideQuarterKeys(col("sh_lo"), col("sh_hi")): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
 
   /** Wide SimHash near-dup pairs — the CORPUS-SCALE form of
     * [[simHashNearDups]]. Same exact pigeonhole guarantee (a pair within
@@ -604,7 +609,9 @@ object Dedup {
     // and halves the heavy work. Measured at 500k docs: 31.6 s
     // (re-evaluated) vs 20.4 s (leafed); the 60-bit q55 at the same
     // scale: 33.4 s — a 12.1× decade ratio vs this form's 6.2×.
-    val fps = simHashWideTable(docs, textCol, idCol).localCheckpoint()
+    // checkpointLeaf, not raw localCheckpoint: on a cluster with a
+    // checkpoint dir the leaf survives executor loss
+    val fps = checkpointLeaf(simHashWideTable(docs, textCol, idCol))
     val blocked = simHashWideBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("sh_lo").as("lo_a"), col("sh_hi").as("hi_a"))
@@ -1441,7 +1448,8 @@ object Dedup {
        |  FROM tok),
        |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
        |fp AS (SELECT d.doc_id,
-       |    COALESCE(CAST($fp AS BIGINT), 0::BIGINT) AS simhash
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |      ELSE COALESCE(CAST($fp AS BIGINT), 0::BIGINT) END AS simhash
        |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
   }
 
@@ -1466,8 +1474,10 @@ object Dedup {
        |votes AS (SELECT doc_id, ${votes("hl", "vl")}, ${votes("hh", "vh")}
        |  FROM h2 GROUP BY doc_id),
        |wfp AS (SELECT d.doc_id,
-       |    COALESCE(CAST(${fp("vl")} AS BIGINT), 0::BIGINT) AS sh_lo,
-       |    COALESCE(CAST(${fp("vh")} AS BIGINT), 0::BIGINT) AS sh_hi
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |      ELSE COALESCE(CAST(${fp("vl")} AS BIGINT), 0::BIGINT) END AS sh_lo,
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |      ELSE COALESCE(CAST(${fp("vh")} AS BIGINT), 0::BIGINT) END AS sh_hi
        |  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)""".stripMargin
   }
 

@@ -496,7 +496,12 @@ object EventsStream {
     require(maxHamming < 4,
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
     val (loC, hiC) = graft.dedup.Dedup.simHashWideCols(col(textCol))
-    val mask30 = lit((1L << 30) - 1)
+    // quarter keys come from the ONE geometry definition in Dedup,
+    // packed with the quarter index so the stream's grouping key is a
+    // single long — the stream==batch contract cannot drift on geometry
+    val packedBlocks = graft.dedup.Dedup
+      .simHashWideQuarterKeys(col("sh_lo"), col("sh_hi"))
+      .zipWithIndex.map { case (k, q) => lit(q.toLong << 30) + k }
     val blocked = docs
       .select(col(idCol).cast("long").as("doc_id"),
         loC.as("sh_lo"), hiC.as("sh_hi"))
@@ -505,12 +510,7 @@ object EventsStream {
       .where(col("doc_id").isNotNull && col("sh_lo").isNotNull &&
         col("sh_hi").isNotNull && col(textCol).isNotNull)
       .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-        explode(array(
-          lit(0L * (1L << 30)) + col("sh_lo").bitwiseAND(mask30),
-          lit(1L * (1L << 30)) + shiftright(col("sh_lo"), 30).bitwiseAND(mask30),
-          lit(2L * (1L << 30)) + col("sh_hi").bitwiseAND(mask30),
-          lit(3L * (1L << 30)) + shiftright(col("sh_hi"), 30).bitwiseAND(mask30)))
-          .as("block"))
+        explode(array(packedBlocks: _*)).as("block"))
       .select(col("block"), col("doc_id"), col("sh_lo"), col("sh_hi"))
       .as[WideBlockDoc]
     blocked.groupByKey(_.block)
