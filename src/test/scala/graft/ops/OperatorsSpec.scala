@@ -712,6 +712,19 @@ class DedupSpec extends SparkSpec {
     assert(viaFold == viaTable)
   }
 
+  test("simHashWideTable matches the per-row simHashWideCols definition") {
+    // the streaming twin fingerprints with the Column forms while the
+    // batch operators use the aggregate table — the stream==batch
+    // contract rests on this equality, so pin it over real corpus text
+    val subset = docs.filter(col("doc_id") < 20)
+    val (loC, hiC) = Dedup.simHashWideCols(col("text"))
+    val viaCols = subset.select(col("doc_id"), loC.as("lo"), hiC.as("hi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaTable = Dedup.simHashWideTable(subset, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaCols == viaTable)
+  }
+
   test("simhash: identical text → distance 0; near dup → small; corpus spread") {
     val fps = Dedup.simHashTable(
       docs.filter(col("doc_id").isin(0L, 100000L, 100001L)), "text", "doc_id")
