@@ -92,7 +92,21 @@ object Bench {
     // per-query map FIRST, summary fields LAST: the driver archives only
     // the tail of stdout, and a leading "value" on a >2000-char line was
     // truncated away in every prior round (BENCH_r*.json "parsed": null)
-    println(s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir","metric":"total","unit":"sec","n":${results.size},"value":$total}""")
+    val json =
+      s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir","metric":"total","unit":"sec","n":${results.size},"value":$total}"""
+    println(json)
+    // ALSO land the JSON in its own file: the driver archives a stdout
+    // tail, and r10's BENCH artifact came back "parsed": null because the
+    // line was buried in log noise. A dedicated file is machine-readable
+    // without scraping. Overridable for soak runs that want distinct names.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -406,8 +406,16 @@ object VectorFunctions {
     * hyperplane family at plane offset `band * 24` (24 = the max `bits`
     * [[graft.sim.Similarity.suggestedLshBits]] will produce, so band
     * families never overlap whatever the sizing picks). */
-  def vec_lsh_key_band(v: Column, dim: Int, bits: Int, band: Int): Column =
+  def vec_lsh_key_band(v: Column, dim: Int, bits: Int, band: Int): Column = {
+    // the 24-plane stride is the independence contract: bits beyond it
+    // would reuse planes from the next band's family and silently
+    // correlate "independent" bands for any caller that bypasses
+    // bandedCosineNearDupPairs' own guard
+    require(bits >= 1 && bits <= 24,
+      s"vec_lsh_key_band requires 1 <= bits <= 24 (band stride), got $bits")
+    require(band >= 0, s"vec_lsh_key_band requires band >= 0, got $band")
     column(HyperplaneLshKey(expr(v), dim, bits, planeOffset = band * 24))
+  }
 
   /** Fraction of agreeing positions in two minhash signatures. */
   def sig_match_frac(a: Column, b: Column): Column =

@@ -639,8 +639,15 @@ object Relational {
       }
       val ux = capped(col("l_quantity"), 1000000L)           // scale 6
       val uy = capped(col("l_extendedprice"), 100L)          // scale 2
+      // decimal(20,0), not (18,0): a factor in (1e9, 3e9] passes the
+      // wrap cap but its product reaches 9e18 — 19 digits, which a
+      // decimal(18,0) cast nulls out, dropping the row from ONE moment
+      // while n/sx/sy still count it (an inconsistent correlation for
+      // off-contract data). 20 digits hold the full capped range, so
+      // off-contract rows are either included in every moment or
+      // excluded (NULL factor) from every moment — never half-counted.
       def fsum(u: Column, div: Long) =
-        sum(u.cast(DecimalType(18, 0))) / lit(div)
+        sum(u.cast(DecimalType(20, 0))) / lit(div)
       def dbl(c: Column) = c.cast("double")
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")

@@ -402,7 +402,15 @@ object EventsStream {
   /** Blocked near-dup pair stream (see [[StreamingSimHashProcessor]]).
     * The fingerprint is the per-row [[graft.dedup.Dedup.simHash]]
     * expression — no aggregation, so the only stateful operator is the
-    * block-verify stage. */
+    * block-verify stage.
+    *
+    * '''At-least-once pair emission''': a pair within Hamming distance
+    * `maxHamming` can share up to all 4 pigeonhole blocks, and each
+    * shared block emits the pair independently — so the same
+    * `(id_a, id_b)` may appear up to 4 times per micro-batch.
+    * Consumers need a downstream `.distinct()` (or an idempotent
+    * keyed sink) — deduplicating inside the per-block processor is
+    * impossible because blocks are independent state partitions. */
   def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
@@ -489,7 +497,12 @@ object EventsStream {
     * `maxBucket`. At corpus scale the 30-bit key space is what keeps
     * per-block state TINY (true near-dups only) where the 60-bit
     * stream's 15-bit blocks accumulate unrelated cohabitants toward the
-    * cap. */
+    * cap.
+    *
+    * '''At-least-once pair emission''' (same contract as
+    * [[nearDupStream]]): a near-dup pair can share up to 4 quarters and
+    * each shared quarter emits it independently — consumers must
+    * `.distinct()` or write to an idempotent keyed sink. */
   def nearDupWideStream(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1024): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._

@@ -52,7 +52,7 @@ object GenSf1 {
     val factsOnly = args.lift(2).contains("facts")
     require(!dst.startsWith("/root/testdata"),
       s"refusing to write generated data into the driver's testdata tree ('$dst'); " +
-        "args are [dstDir [srcDir]] — destination first")
+        "args are [dstDir [srcDir [mode]]] — destination first")
     require(new java.io.File(dst).getCanonicalPath !=
       new java.io.File(src).getCanonicalPath,
       s"dst and src are the same directory ('$dst') — would overwrite the source")
