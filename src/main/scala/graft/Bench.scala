@@ -19,9 +19,22 @@ object Bench {
     // where partition count must track data volume, not cores — the
     // knob a real deployment sizes (or lets AQE advisory size)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // RUNTIME broadcast threshold sized to the memory this harness
+    // actually has (8 GiB driver heap), not Spark's conservative 10 MiB
+    // default: at sf10 several single-column build sides (q09's distinct
+    // orderkeys, semi-filter key sets) land in the 10-64 MiB band where
+    // a broadcast erases a 15M-row shuffle of the probe side. Raised for
+    // AQE ONLY — its decisions use MEASURED shuffle-stage sizes. The
+    // static planner keeps the default: raising it there was measured
+    // CATASTROPHIC (q06 7.7 s → 49 s at sf10) because pre-execution
+    // size ESTIMATES of aggregate outputs run far under reality and the
+    // planner happily broadcast a 15M-row side. A real deployment tunes
+    // the two thresholds the same asymmetric way.
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "64m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -567,18 +567,26 @@ object Extended {
 
     // as-of join through the hot-key pre-split (Skew.asofPreSplit):
     // identical semantics to q80, but the merge runs on composite
-    // (user, day-bucket) keys with carry rows — the skew remedy proven
+    // (user, time-bucket) keys with carry rows — the skew remedy proven
     // against the same DuckDB ASOF oracle. Times ride as epoch micros
     // (the pre-split needs a numeric axis; micros is the storage
-    // resolution of the rebuilt ts, so `<` is unchanged).
+    // resolution of the rebuilt ts, so `<` is unchanged). The bucket
+    // width is CORPUS-SIZED (suggestedAsofBucketWidth, r11): the old
+    // fixed one-day width let per-bucket population grow linearly with
+    // data volume — at sf10 the within-bucket merge was back to being
+    // the serial tail (7.6×/decade measured). Width invariance of the
+    // result means the oracle and hashes are unchanged at every SF
+    // while the geometry adapts.
     "q96_asof_presplit" -> { (s, d) =>
       val e = Tables(s, d, "events")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("t"), col("value"))
       val r = e.select(col("user_id"), col("t"),
         col("event_id").as("prev_event_id"), col("value").as("prev_value"))
+      val width = Skew.suggestedAsofBucketWidth(r, Seq("user_id"), "t",
+        targetRowsPerBucket = 32L)
       Skew.asofPreSplit(e, r, keys = Seq("user_id"), tsCol = "t",
-        bucketWidth = 86400L * 1000000L, strict = true)
+        bucketWidth = width, strict = true)
         .select("event_id", "user_id", "t", "value", "prev_event_id", "prev_value")
         .orderBy("user_id", "t", "event_id")
     },

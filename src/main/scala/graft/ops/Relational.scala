@@ -193,14 +193,31 @@ object Relational {
     },
 
     // 3-way join + agg + top-k by computed measure (TPC-H Q3 shape)
+    // Eager aggregation (r11): revenue is additive per l_orderkey and
+    // o_orderdate is functionally dependent on it, so the lineitem
+    // reduction runs BELOW the join — the map-side combine collapses
+    // ~4 line items per order before the shuffle moves anything, and the
+    // shuffled rows are 2 columns instead of 4. The subsequent SMJ with
+    // orders reuses the aggregate's hash partitioning on the join key
+    // (no re-shuffle of the reduced side), the BUILDING-customer filter
+    // rides a broadcast at dim scale and degrades to SMJ gracefully
+    // beyond the threshold, and the top-10 is a TakeOrdered, never a
+    // global sort. Catalyst has no agg-below-join pushdown, so this
+    // plan must be declared — measured at sf10: the joined-then-grouped
+    // form shuffled all 60M full-width line items first.
     "q06_join_topk_revenue" -> { (s, d) =>
       val c = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = Tables(s, d, "orders")
       val l = Tables(s, d, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy(l("l_orderkey"), o("o_orderdate"))
+      val rev = l.groupBy(col("l_orderkey"))
         .agg(dsumFx(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      // semi-filter orders BEFORE their shuffle: the customer predicate
+      // drops ~4/5 of orders, and a semi join never duplicates rows, so
+      // it is exactly the inner c⋈o of the original shape (c_custkey is
+      // unique) at a fifth of the shuffle volume
+      val oBld = o.join(c, c("c_custkey") === o("o_custkey"), "left_semi")
+      rev.join(oBld, rev("l_orderkey") === oBld("o_orderkey"))
+        .select(col("l_orderkey"), col("o_orderdate"), col("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     },
@@ -233,11 +250,18 @@ object Relational {
         .orderBy(desc("revenue"), asc("n_name"))
     },
 
-    // left-semi join (EXISTS)
+    // left-semi join (EXISTS). The probe side is pre-distinct'd (r11):
+    // a semi join's SMJ shuffles every qualifying line item, but the
+    // merge only ever needs each orderkey once — the explicit distinct
+    // adds a map-side partial dedup before the shuffle AND gives AQE an
+    // accurately-sized single-column build side it can convert to a
+    // runtime broadcast when it fits the threshold. Same semantics by
+    // definition of semi join.
     "q09_semi_join" -> { (s, d) =>
       val o = Tables(s, d, "orders")
-      val l = Tables(s, d, "lineitem").filter(col("l_quantity") >= 48)
-      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      val keys = Tables(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey")).distinct()
+      o.join(keys, o("o_orderkey") === keys("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
     },

@@ -116,6 +116,47 @@ object Skew {
       .drop("_asof_bucket")
   }
 
+  /** Corpus-sized bucket width for [[asofPreSplit]] — the
+    * `suggestedLshBits` lesson applied to the time axis: a FIXED width
+    * (one day, one hour) is wrong in both directions as the corpus
+    * scales. Too coarse and the hottest key's per-bucket population
+    * grows linearly with data volume (the within-bucket merge re-becomes
+    * the serial hot spot the pre-split exists to break); too fine and
+    * millions of near-empty buckets pay carry machinery for nothing.
+    *
+    * Sizing rule: the HOTTEST key (skew is the whole point — averages
+    * would under-split exactly the key that matters) gets
+    * `ceil(maxPerKey / targetRowsPerBucket)` buckets across the
+    * observed time range, assuming its rows spread roughly uniformly in
+    * time (event streams do; a key whose rows all share one timestamp
+    * cannot be time-split by ANY width). One cheap stats pass: a
+    * map-side-combined count/min/max per key, re-aggregated to three
+    * scalars.
+    *
+    * The result of [[asofPreSplit]] is width-INVARIANT (carry rows make
+    * every bucket see its past), so this only moves performance, never
+    * output — callers can resize per run as the corpus grows.
+    * `tsCol` must be numeric (the [[asofPreSplit]] contract). */
+  def suggestedAsofBucketWidth(right: DataFrame, keys: Seq[String],
+      tsCol: String, targetRowsPerBucket: Long = 4096L): Long = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    val ts = col(tsCol).cast("long")
+    val stats = right
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), min(ts).as("_lo"), max(ts).as("_hi"))
+      .agg(max(col("_n")).as("maxN"), min(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"))
+      .head()
+    if (stats.isNullAt(0)) return Long.MaxValue // empty right: one bucket
+    val maxN = stats.getLong(0)
+    val range = stats.getLong(2) - stats.getLong(1) + 1
+    if (maxN <= targetRowsPerBucket) math.max(range, 1L) // already fits
+    else {
+      val nBuckets = (maxN + targetRowsPerBucket - 1) / targetRowsPerBucket
+      math.max(1L, range / nBuckets)
+    }
+  }
+
   /** Hot-key report: the keys whose row counts exceed `threshold` — the
     * monitoring half of skew handling (decide salting data-driven, not
     * by guesswork). */

@@ -79,6 +79,37 @@ class AsofPreSplitSpec extends SparkSpec {
     finally spark.conf.set(key, prev)
   }
 
+  test("suggestedAsofBucketWidth: hottest key is sized to the target") {
+    // hot: 2000 right rows over t=1..39981 (range 39981); target 500
+    // → ceil(2000/500)=4 buckets → width = range/4 = 9995
+    val w = Skew.suggestedAsofBucketWidth(rightDf, Seq("k"), "t",
+      targetRowsPerBucket = 500L)
+    assert(w == 9995L)
+    // the sized split really does bound the hottest key's per-bucket
+    // population near the target (uniform-in-time rows)
+    val perBucket = rightDf
+      .withColumn("b", floor($"t" / w))
+      .groupBy("k", "b").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBucket <= 520L, s"hottest bucket $perBucket > target+4%")
+    // a corpus whose hottest key fits the target entirely → one bucket
+    // spanning the whole range (no pointless carry machinery)
+    val wide = Skew.suggestedAsofBucketWidth(rightDf, Seq("k"), "t",
+      targetRowsPerBucket = 1000000L)
+    assert(wide >= 39981L)
+    // empty right side → effectively unbucketed
+    assert(Skew.suggestedAsofBucketWidth(
+      rightDf.filter($"k" === "nope"), Seq("k"), "t") == Long.MaxValue)
+  }
+
+  test("pre-split at the suggested width == unsplit native output") {
+    val w = Skew.suggestedAsofBucketWidth(rightDf, Seq("k"), "t",
+      targetRowsPerBucket = 500L)
+    val split = Skew.asofPreSplit(leftDf, rightDf, Seq("k"), "t", w)
+    val plain = Extended.asofJoinNative(leftDf, rightDf, Seq("k"), "t")
+    assert(canon(split) == canon(plain))
+  }
+
   private def spreadAssertions(): Unit = {
     def spread(df: org.apache.spark.sql.DataFrame): Long =
       df.filter($"k" === "hot")
