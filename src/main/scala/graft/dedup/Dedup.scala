@@ -150,7 +150,8 @@ object Dedup {
     val (numPerm, bands, rows) = (meta.getAs[Int]("num_perm"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows"))
     requireBandGeometry(numPerm, bands, rows)
-    val sigs = minHashSignatures(newDocs, textCol, idCol, numPerm)
+    val sigs = graft.plans.LeafPlanRegistry.record(
+        minHashSignatures(newDocs, textCol, idCol, numPerm))
       .localCheckpoint() // one signature pass feeds both files
     sigs.write.mode("append").parquet(s"$path/sigs")
     bandKeys(sigs, idCol, bands, rows)
@@ -184,7 +185,8 @@ object Dedup {
     val refSigs = spark.read.parquet(s"$path/sigs")
     // small by contract (one batch); materialize once — bands and the
     // scoring join would otherwise re-run the shingle pipeline
-    val newSigs = minHashSignatures(newDocs, textCol, idCol, numPerm)
+    val newSigs = graft.plans.LeafPlanRegistry.record(
+        minHashSignatures(newDocs, textCol, idCol, numPerm))
       .localCheckpoint()
     val nb = bandKeys(newSigs, idCol, bands, rows)
     val bf = nb.stat.bloomFilter("band_hash", math.max(1000L, nb.count()), 0.01)
@@ -424,10 +426,12 @@ object Dedup {
     * sharing (self-joins reference the subtree through fresh exprIds, so
     * the exchanges don't canonicalize equal and the subplan runs per
     * reference). */
-  private def checkpointLeaf(df: DataFrame): DataFrame =
+  private def checkpointLeaf(df: DataFrame): DataFrame = {
+    graft.plans.LeafPlanRegistry.record(df) // keep the scan auditable
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+  }
 
   /** q119's per-process index paths, each registered once for
     * delete-on-exit (a fresh JVM per bench/verify run would otherwise
@@ -480,10 +484,42 @@ object Dedup {
         shiftright(col("simhash"), q * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
 
+  /** Corpus-size-aware near-dup entry point — call THIS unless you have
+    * a reason to pick a family by hand. Below `wideThreshold` documents
+    * it runs the 60-bit [[simHashNearDups]] (higher recall on borderline
+    * pairs: ≤ `maxHamming` of 60 bits); at or above it, the wide 120-bit
+    * [[simHashWideNearDups]] (stricter criterion, and the only form
+    * whose within-bucket scan stays linear at corpus scale — the 60-bit
+    * form's fixed 2^15 buckets are a measured quadratic term past ~10^5
+    * docs: 12.9-17.6× per 10× data at 500k, vs 6.2× wide).
+    *
+    * The default threshold is that measured crossover: at 10^5 docs the
+    * 60-bit expected bucket population is ~3 (n/2^15) and the verify
+    * scan is still linear-ish; by 5·10^5 the quadratic term dominates.
+    * Pass `corpusSize` when the caller already knows it (a catalog
+    * count, a manifest) to skip the counting job — which is one
+    * metadata-cheap `count()` otherwise. The two families share the
+    * (id_a, id_b, hamming) output contract, but their PAIR SETS differ
+    * by design (120-bit Hamming ≤ 3 is stricter than 60-bit ≤ 3), so
+    * the dispatch threshold is a semantic knob, not just a perf one —
+    * which is why it is explicit and documented rather than buried. */
+  def nearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, corpusSize: Option[Long] = None,
+      wideThreshold: Long = 100000L): DataFrame = {
+    val n = corpusSize.getOrElse(docs.count())
+    if (n < wideThreshold) simHashNearDups(docs, textCol, idCol, maxHamming)
+    else simHashWideNearDups(docs, textCol, idCol, maxHamming)
+  }
+
   /** SimHash near-dup pairs: block on the 4×15-bit fingerprint quarters
     * (a pair within Hamming distance 3 shares at least one quarter
     * unchanged — the classic pigeonhole blocking, EXACT for
-    * `maxHamming ≤ 3`), then verify the full distance. */
+    * `maxHamming ≤ 3`), then verify the full distance.
+    *
+    * SCALE NOTE: prefer [[nearDups]] (the size-aware dispatcher) as the
+    * entry point — this 60-bit form's fixed 2^15-bucket grid goes
+    * quadratic past ~10^5 documents; [[simHashWideNearDups]] is the
+    * corpus-scale family. */
   def simHashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, leafFingerprints: Boolean = false): DataFrame = {
     require(maxHamming < 4,
@@ -576,8 +612,11 @@ object Dedup {
       hi.bitwiseAND(mask30), shiftright(hi, 30).bitwiseAND(mask30))
   }
 
+  /** Passes through EVERY fps column (the sharded form rides its
+    * `_shard` tag through here); plain callers hand in exactly
+    * (id, sh_lo, sh_hi). */
   private def simHashWideBlockKeys(fps: DataFrame, idCol: String): DataFrame =
-    fps.select(col(idCol), col("sh_lo"), col("sh_hi"),
+    fps.select(col("*"),
       posexplode(array(simHashWideQuarterKeys(col("sh_lo"), col("sh_hi")): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_key")
 
@@ -621,6 +660,62 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
         col("lo_b"), col("hi_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (hamming(col("lo_a"), col("lo_b")) +
+          hamming(col("hi_a"), col("hi_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Shard-then-merge wide near-dup — the form for corpora past the
+    * single-join comfort range of [[simHashWideNearDups]] (its 30-bit
+    * buckets stay ~collision-free to ~10^9 docs per join input; a
+    * 100 TB corpus is bigger). Docs are sharded by a DETERMINISTIC id
+    * hash; each of the S within-shard passes and S(S−1)/2 cross-shard
+    * boundary passes joins two ≤(n/S)-doc block tables on the same
+    * 30-bit quarter keys, so every single join's shuffle and per-bucket
+    * population is bounded by the SHARD size, never the corpus — the
+    * job-size discipline that lets 10^10 docs run as a sequence of
+    * 10^9-doc joins instead of one unbounded one.
+    *
+    * CONTRACT: the union of all passes enumerates exactly the pairs of
+    * the unsharded form — within(i) ∪ cross(i,j) partitions "shares a
+    * quarter key" over doc pairs, so the result is IDENTICAL (spec'd on
+    * a multi-shard corpus), sharding moves job geometry only.
+    * Fingerprints are computed ONCE (one checkpoint leaf, reused by
+    * every pass); cross passes normalize pair order with least/greatest
+    * since id order and shard order are independent. `shards` is meant
+    * to be ceil(corpus/10^9) — small; the pass list is quadratic in it,
+    * and a real deployment would materialize the leaf once and run the
+    * passes as separate jobs off it (the leaf IS that artifact). */
+  def simHashWideNearDupsSharded(docs: DataFrame, textCol: String,
+      idCol: String, shards: Int, maxHamming: Int = 3): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val fps = checkpointLeaf(simHashWideTable(docs, textCol, idCol)
+      .withColumn("_shard",
+        pmod(xxhash64(col(idCol).cast("string")), lit(shards.toLong)).cast("int")))
+    val blocked = simHashWideBlockKeys(fps, idCol)
+    def sideFor(suffix: String, shard: Int) = blocked
+      .filter(col("_shard") === shard)
+      .select(col("block_idx"), col("block_key"),
+        col(idCol).as(s"id_$suffix"),
+        col("sh_lo").as(s"lo_$suffix"), col("sh_hi").as(s"hi_$suffix"))
+    val passes = for { i <- 0 until shards; j <- i until shards } yield {
+      val joined = sideFor("a", i).join(sideFor("b", j),
+        Seq("block_idx", "block_key"))
+      val ordered =
+        if (i == j) joined.filter(col("id_a") < col("id_b"))
+        else joined.select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          // hamming is symmetric — the half columns need no swap
+          col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"),
+          col("block_idx"), col("block_key"))
+      ordered.select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+    }
+    passes.reduce(_ unionByName _)
       .distinct()
       .select(col("id_a"), col("id_b"),
         (hamming(col("lo_a"), col("lo_b")) +
@@ -988,7 +1083,8 @@ object Dedup {
     // the union below consumes this subtree twice (one projection per
     // direction) through fresh exprIds — leaf it or the whole shingle
     // join pipeline runs per branch. Pair-count-sized, never corpus-sized
-    val both = shinglePairCounts(docs, textCol, idCol, shingleN)
+    val both = graft.plans.LeafPlanRegistry.record(
+        shinglePairCounts(docs, textCol, idCol, shingleN))
       .localCheckpoint()
     both.select(col("id_a").as("sub_id"), col("id_b").as("sup_id"),
         (col("n_inter").cast("double") / col("size_a")).as("containment"))

@@ -116,7 +116,8 @@ object Extended {
     // Pass keysDistinct = true to skip the dedup when the keys side is
     // already distinct (saves a full shuffle + aggregate).
     val k0 = keys.select(col(keysKeyCol).as(keyCol))
-    val kMat = (if (keysDistinct) k0 else k0.distinct()).localCheckpoint()
+    val kMat = graft.plans.LeafPlanRegistry.record(
+      if (keysDistinct) k0 else k0.distinct()).localCheckpoint()
     val bf = kMat.stat.bloomFilter(keyCol, expectedItems, fpp)
     large
       .filter(graft.functions.SketchFunctions.bloom_might_contain_long(col(keyCol), bf))

@@ -47,9 +47,23 @@ object IvfIndex {
     * trains IVF from a sample the same way), and, because h60 is the
     * md5-derived cross-engine hash and every later step is fixed-point
     * or bit-stable IEEE arithmetic, the ENTIRE training loop is
-    * replayable by the DuckDB oracle (q65 is a full hash compare). */
+    * replayable by the DuckDB oracle (q65 is a full hash compare).
+    *
+    * `trainSixteenths < 16` trains the quantizer on a DETERMINISTIC
+    * hash-sample of the corpus ([[graft.ops.Extended.hashSample]] on
+    * `idCol` — the same cross-engine md5 discipline, so the oracle
+    * replays the sample with one WHERE clause) while the final cell
+    * assignment still covers every vector. At 100 TB this is the only
+    * sane shape: each Lloyd iteration is a full pass over its training
+    * relation, and a coarse quantizer fitted on 1/16th of the corpus is
+    * statistically indistinguishable from one fitted on all of it (FAISS
+    * caps training points per centroid the same way) — the full-corpus
+    * passes bought nothing but time. Search quality is untouched in the
+    * exact-probe sense: whatever centroids come out, a full-nprobe
+    * search is exhaustive (SampledQuantizerSpec pins this). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, maxIter: Int = 3): Model = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 3,
+      trainSixteenths: Int = 16): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a null vector would assign to a NULL cell, which getAs[Int]
@@ -57,13 +71,18 @@ object IvfIndex {
     // every downstream assignment (semDeDup, balanced sampling, IVF∘PQ)
     // with no error; drop nulls at the shared quantizer, once
     val clean = corpus.filter(col(vecCol).isNotNull)
+    val train = if (trainSixteenths >= 16) clean
+      else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
     val dim = clean.select(size(col(vecCol))).head().getInt(0)
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
-    var centroids: Array[Array[Double]] = clean
+    var centroids: Array[Array[Double]] = train
       .select(col(vecCol)).orderBy(initHash, col(idCol))
       .limit(nlist).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.length == nlist,
+      s"training sample (${centroids.length} vectors) smaller than nlist=$nlist — " +
+        "raise trainSixteenths")
     // fixed-point coordinate sums (the q64 trick): floor(x·1e9) longs add
     // exactly and order-independently, so the trained centroids are
     // IDENTICAL under any partitioning/merge order — a double sum would
@@ -73,7 +92,7 @@ object IvfIndex {
       sum(floor(element_at(col(vecCol), i + 1).cast("double") * lit(1e9))
         .cast("long")).as(s"s_$i"))
     for (_ <- 0 until maxIter) {
-      val stats = clean
+      val stats = train
         .withColumn("cell", assignExpr(col(vecCol), centroids))
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)

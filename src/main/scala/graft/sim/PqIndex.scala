@@ -69,27 +69,39 @@ object PqIndex {
   /** Train all `m` sub-quantizers in ONE Lloyd loop over the exploded
     * (vector × subspace) relation — each iteration is a single
     * aggregation onto `m·ksub` keys (map-side combined; the collected
-    * state is KiB regardless of corpus size). */
+    * state is KiB regardless of corpus size).
+    *
+    * `trainSixteenths < 16` fits the codebooks on a deterministic
+    * hash-sample of the corpus (the [[IvfIndex.build]] discipline —
+    * same md5 rule, oracle-replayable with one WHERE clause). The
+    * sample only shapes the CODEBOOK; [[encode]] and every search path
+    * still cover the full corpus, and at 100 TB the m·maxIter
+    * full-corpus training passes were the wasted work. */
   def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
-      ksub: Int, seed: Long = 42L, maxIter: Int = 2): Codebook = {
+      ksub: Int, seed: Long = 42L, maxIter: Int = 2,
+      trainSixteenths: Int = 16): Codebook = {
     // a null vector would assign to a NULL cell, which Row.getAs[Int]
     // silently unboxes to 0 — corrupting cell 0's centroid instead of
     // failing; drop nulls like every other embedding pass does (and
     // probe dim from the CLEAN relation, so a null landing in the head
     // row can't null out the probe either)
     val clean = corpus.filter(col(vecCol).isNotNull)
+    val train = if (trainSixteenths >= 16) clean
+      else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
     val dim = clean.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
-    val initRows = clean.select(col(vecCol)).orderBy(initHash, col(idCol))
+    val initRows = train.select(col(vecCol)).orderBy(initHash, col(idCol))
       .limit(ksub).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(initRows.length == ksub, s"corpus smaller than ksub=$ksub")
+    require(initRows.length == ksub,
+      s"training sample (${initRows.length} vectors) smaller than ksub=$ksub — " +
+        "raise trainSixteenths")
     val cents: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => initRows(c).slice(j * dsub, (j + 1) * dsub))
-    val subs = clean
+    val subs = train
       .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col(vecCol))
       .select(col(idCol), col("sub"),

@@ -460,6 +460,34 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
+    // deterministic 4/16 hash-sample of the corpus — at 100 TB each
+    // training iteration was a full-corpus pass buying nothing a sample
+    // doesn't — while the final cell assignment and the probe/scan
+    // still cover every vector. The oracle replays the sample with one
+    // WHERE clause on the same md5 rule, then the whole loop as usual.
+    "q157_ann_ivf_sampled" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8,
+        trainSixteenths = 4)
+      IvfIndex.search(model, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // PQ with SAMPLE-trained codebooks (r11): same discipline as q157 —
+    // the per-subspace Lloyd loop reads the 4/16 hash-sample; encode
+    // and the ADC scan still cover the full corpus.
+    "q158_ann_pq_sampled" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8,
+        trainSixteenths = 4)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      PqIndex.searchADC(cb, codes, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // embedding dedup clusters: the q66 near-dup pair graph closed into
     // components by Dedup.connectedComponents — operators COMPOSE (the
     // clustering step is the same one the text pipeline uses in q101);
@@ -734,6 +762,9 @@ object Similarity {
     "q123_embedding_clusters" -> q123Oracle,
     "q63_ann_lsh_topk" -> q63Oracle,
     "q65_ann_ivf_topk" -> q65Oracle,
+    "q157_ann_ivf_sampled" ->
+      ivfProbeOracle(Some("substr(md5(CAST(vec_id AS VARCHAR)), 32, 1) < '4'")),
+    "q158_ann_pq_sampled" -> q158Oracle,
     "q66_embedding_near_dups" -> q66Oracle,
     "q131_semantic_decontaminate" -> q131Oracle,
     "q133_ann_pq_adc" -> q133Oracle,
@@ -878,11 +909,21 @@ object Similarity {
     *    so probe distances cast through REAL exactly like `vec_dot` on
     *    the float arrays;
     *  - top-k: cosine rank within probed cells, same tie-break.
-    */
-  private def q65Oracle: String = {
+    *
+    * `samplePred` (q157) restricts the TRAINING relation — init sample
+    * and Lloyd iterations — to the rows matching the predicate, exactly
+    * mirroring `trainSixteenths` on the Spark side; the final cell
+    * assignment and the probe/scan still run over the full corpus. */
+  private def q65Oracle: String = ivfProbeOracle(samplePred = None)
+
+  private def ivfProbeOracle(samplePred: Option[String]): String = {
     val nlist = 8; val maxIter = 3; val dim = 64
     val k = 3; val nprobe = 3; val seed = 42L
     val up = dim + 1
+    val trainSrc = if (samplePred.isDefined) "train" else "embeddings"
+    val trainCte = samplePred
+      .map(p => s"train AS (SELECT vec_id, embedding FROM embeddings WHERE $p),\n")
+      .getOrElse("")
     // index-ascending double fold of v·c (v float column, c double list)
     def dotVC(v: String, c: String) =
       s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
@@ -901,7 +942,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
          |                 c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
+         |    FROM $trainSrc e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
          |s_$kIt AS (
          |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
          |      $sums
@@ -912,13 +953,13 @@ object Similarity {
          |         ELSE [$centroidList] END AS c
          |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
     val iterations = (1 to maxIter).map(iteration).mkString(",\n")
-    s"""WITH c_0 AS (
+    s"""WITH ${trainCte}c_0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
        |         list_transform(embedding, x -> x::DOUBLE) AS c
        |  FROM (
        |    SELECT vec_id, embedding,
        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
-       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
+       |    FROM $trainSrc ORDER BY h, vec_id LIMIT $nlist)),
        |$iterations,
        |cells AS (
        |  SELECT vec_id, embedding, cell FROM (
@@ -975,6 +1016,17 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** q158 oracle: the q133 replay with the TRAINING relation (init +
+    * Lloyd) restricted to the 4/16 md5 hash-sample — the encode and the
+    * ADC scan still cover the full corpus, mirroring `trainSixteenths`
+    * exactly. */
+  private def q158Oracle: String =
+    s"""WITH ${pqAdcCtes(Some("substr(md5(CAST(vec_id AS VARCHAR)), 32, 1) < '4'"))}
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** q139 oracle: the q133 replay truncated to a `shortlist`-deep ADC
     * candidate set, then EXACT cosine re-ranking of only those rows —
     * the two-stage serve. */
@@ -999,8 +1051,8 @@ object Similarity {
   /** The q133 WITH-body: full PQ training replay, encode, fixed-point
     * ADC scan, ending in CTE `ranked (query_id, neighbor_id, adist_fp,
     * rnk)` over all candidate pairs. */
-  private def pqAdcCtes(): String =
-    s"""${pqTrainCtes("")},
+  private def pqAdcCtes(samplePred: Option[String] = None): String =
+    s"""${pqTrainCtes("", samplePred)},
        |cand AS (
        |  SELECT d.query_id, co.vec_id AS neighbor_id,
        |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
@@ -1018,9 +1070,18 @@ object Similarity {
     * table — ending in `${p}codes (vec_id, sub, code)` and `${p}dtab
     * (query_id, sub, cell, d)`. The prefix keeps the namespace apart
     * when composed with the IVF replay (q134). */
-  private def pqTrainCtes(p: String): String = {
+  private def pqTrainCtes(p: String, samplePred: Option[String] = None): String = {
     val m = 4; val dsub = 16; val ksub = 8; val maxIter = 2
     val seed = 42L
+    // sampled training (q158): init + Lloyd read the `${p}svt` slice of
+    // the exploded relation; codes/dtab (the full-corpus encode + query
+    // tables) are untouched — mirroring `trainSixteenths` on the Spark
+    // side
+    val initSrc = if (samplePred.isDefined) s"${p}tr" else "embeddings"
+    val trainCte = samplePred
+      .map(pr => s"${p}tr AS (SELECT vec_id, embedding FROM embeddings WHERE $pr),\n")
+      .getOrElse("")
+    val svTrainWhere = samplePred.map(pr => s" WHERE $pr").getOrElse("")
     def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
     // index-ascending double fold of subvec·c (subvec float list, c double list)
     def dotVC(v: String, c: String) =
@@ -1041,7 +1102,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY v.vec_id, v.sub
          |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("v.subvec", "c.c")}) ASC,
          |                 c.cell ASC) AS rn
-         |    FROM ${p}sv v JOIN ${p}c_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
+         |    FROM ${p}svt v JOIN ${p}c_${kIt - 1} c ON c.sub = v.sub) WHERE rn = 1),
          |${p}s_$kIt AS (
          |  SELECT sub, cell, CAST(count(*) AS BIGINT) AS n,
          |      $sums
@@ -1053,17 +1114,18 @@ object Similarity {
          |  FROM ${p}c_${kIt - 1} p LEFT JOIN ${p}s_$kIt s
          |    ON s.sub = p.sub AND s.cell = p.cell)""".stripMargin
     val iterations = (1 to maxIter).map(iteration).mkString(",\n")
-    s"""${p}subs AS (SELECT unnest(range(0, $m)) AS sub),
+    s"""${trainCte}${p}subs AS (SELECT unnest(range(0, $m)) AS sub),
        |${p}init AS (
        |  SELECT embedding,
        |    CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell
        |  FROM (
        |    SELECT vec_id, embedding,
        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
-       |    FROM embeddings ORDER BY h, vec_id LIMIT $ksub)),
+       |    FROM $initSrc ORDER BY h, vec_id LIMIT $ksub)),
        |${p}sv AS (
        |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
        |  FROM embeddings e CROSS JOIN ${p}subs s),
+       |${p}svt AS (SELECT * FROM ${p}sv$svTrainWhere),
        |${p}c_0 AS (
        |  SELECT s.sub, i.cell,
        |    list_transform(${sliceOf("i.embedding")}, x -> x::DOUBLE) AS c

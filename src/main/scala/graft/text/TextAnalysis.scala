@@ -670,7 +670,8 @@ object TextAnalysis {
     // leaves here: 17 exchanges → 3). The leaf is vocab×sources-sized —
     // bounded, never corpus-sized. localCheckpoint: same leak rationale
     // as q126
-    val st = tok.groupBy("src", "tok").agg(count(lit(1)).as("c"))
+    val st = graft.plans.LeafPlanRegistry.record(
+        tok.groupBy("src", "tok").agg(count(lit(1)).as("c")))
       .localCheckpoint()
     val gt = st.groupBy("tok").agg(sum(col("c")).as("g"))
     val totals = st.groupBy("src").agg(sum(col("c")).as("t"))
@@ -688,8 +689,9 @@ object TextAnalysis {
         expr(s"((g - c) * ${scale}L) div (grand - t)").as("pb"))
     // the scored relation feeds two consumers (source totals + ranking
     // window) — same leaf treatment, same bounded size
-    val d = m.select(col("src"), col("tok"),
-      expr("((pa - pb) * (pa - pb)) div (pa + pb + 1)").as("drift_fp"))
+    val d = graft.plans.LeafPlanRegistry.record(
+        m.select(col("src"), col("tok"),
+          expr("((pa - pb) * (pa - pb)) div (pa + pb + 1)").as("drift_fp")))
       .localCheckpoint()
     val srcTotal = d.groupBy("src")
       .agg(sum(col("drift_fp")).as("src_drift_fp"))
@@ -812,7 +814,8 @@ object TextAnalysis {
       // the leaf the tokenize→tf→df chain is planned (16 exchanges) and
       // partially re-run per consumer. localCheckpoint, not
       // checkpoint(): same leak rationale as bloomSemiJoin
-      val w = tfIdfWeights(docs, "doc_id", "text").localCheckpoint()
+      val w = graft.plans.LeafPlanRegistry.record(
+        tfIdfWeights(docs, "doc_id", "text")).localCheckpoint()
       // decimal BEFORE multiplying: w reaches tf·10⁶ when df=1, so w·w
       // crosses 2^63 at tf ≥ 3038 — a silent Long wrap here vs a DuckDB
       // range error there; decimal products are exact in both
@@ -937,7 +940,7 @@ object TextAnalysis {
       // three-exchange build pipeline is planned and partially re-run
       // per side (6 shuffles → 2). localCheckpoint: same leak rationale
       // as q126's weight table
-      val vecs = hashedBowEmbedding(Tables(s, d, "documents"), "text",
+      val vecs0 = hashedBowEmbedding(Tables(s, d, "documents"), "text",
         "doc_id", dim = 16)
         // a zero vector has no direction — drop it on BOTH sides so the
         // oracle's raw-division cosine stays well-defined (needs every
@@ -947,7 +950,7 @@ object TextAnalysis {
           (acc, v) => acc + abs(v)) > 0)
         .select(col("doc_id").as("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
-        .localCheckpoint()
+      val vecs = graft.plans.LeafPlanRegistry.record(vecs0).localCheckpoint()
       graft.sim.Similarity.bruteForceTopK(
         vecs.filter(col("vec_id") < 8), vecs, "vec_id", "embedding", 3)
         .orderBy("query_id", "rnk")

@@ -766,6 +766,68 @@ class DedupSpec extends SparkSpec {
     assert(p.toSeq == Seq((1L, 2L)))
   }
 
+  test("sharded wide near-dup == unsharded, at 1, 2 and 3 shards") {
+    // the shard-then-merge contract: within(i) ∪ cross(i,j) partitions
+    // "shares a quarter key" over doc pairs, so the pair set is
+    // IDENTICAL to the single-join form whatever the shard count —
+    // including pairs whose members land in different shards (the
+    // boundary pass) and the known exact-dup pair (0, 100000)
+    val sub = docs.filter(col("doc_id") % 7 === 0 ||
+      col("doc_id").isin(0L, 100000L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val unsharded = canon(Dedup.simHashWideNearDups(sub, "text", "doc_id"))
+    assert(unsharded.nonEmpty) // fixture sanity: something to compare
+    for (s <- Seq(1, 2, 3)) {
+      val sharded = canon(
+        Dedup.simHashWideNearDupsSharded(sub, "text", "doc_id", shards = s))
+      assert(sharded == unsharded, s"shards=$s")
+    }
+    // boundary evidence, CRAFTED: pick two ids that provably land in
+    // DIFFERENT shards at S=2 (probed through the same xxhash64 rule
+    // the operator uses), give them identical text, and require the
+    // sharded run to find the pair — that pair can only come from the
+    // cross-shard pass
+    val s = sub.sparkSession
+    import s.implicits._
+    val byShard = s.range(900001, 900011)
+      .select(col("id"), pmod(xxhash64(col("id").cast("string")), lit(2L))
+        .cast("int").as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val x = byShard.find(_._2 == 0).get._1
+    val y = byShard.find(_._2 == 1).get._1
+    val crafted = Seq(
+      (x, "the quick brown fox jumps over the lazy dog"),
+      (y, "the quick brown fox jumps over the lazy dog"),
+      (5L, "completely different content about spark shuffle geometry"))
+      .toDF("doc_id", "text")
+    val crossPairs = canon(
+      Dedup.simHashWideNearDupsSharded(crafted, "text", "doc_id", shards = 2))
+    assert(crossPairs == canon(Dedup.simHashWideNearDups(crafted, "text", "doc_id")))
+    assert(crossPairs.exists { case (a, b, h) =>
+      Set(a, b) == Set(x, y) && h == 0 }, s"boundary pair ($x,$y) not found")
+  }
+
+  test("nearDups dispatcher: corpus size picks the scale-safe family") {
+    val sub = docs.filter(col("doc_id") % 7 === 0 ||
+      col("doc_id").isin(0L, 100000L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    // below the threshold (this fixture counts well under 10^5): the
+    // 60-bit family, exactly
+    val narrow = canon(Dedup.simHashNearDups(sub, "text", "doc_id"))
+    assert(canon(Dedup.nearDups(sub, "text", "doc_id")) == narrow)
+    // a declared corpus size at/above the threshold dispatches WIDE —
+    // the provided size is trusted (no counting job), so the rule is
+    // testable without 10^5 fixture rows
+    val wide = canon(Dedup.simHashWideNearDups(sub, "text", "doc_id"))
+    assert(canon(Dedup.nearDups(sub, "text", "doc_id",
+      corpusSize = Some(100000L))) == wide)
+    // just under the threshold stays 60-bit
+    assert(canon(Dedup.nearDups(sub, "text", "doc_id",
+      corpusSize = Some(99999L))) == narrow)
+  }
+
   test("LSH index: persisted probe finds the injected dup, no ref-side ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
     val ref = docs.filter(col("doc_id") < 100000L)

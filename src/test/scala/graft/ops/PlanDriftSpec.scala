@@ -61,14 +61,19 @@ class PlanDriftSpec extends SparkSpec {
     "q87_json_extract"        -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q96_asof_presplit"       -> PlanMetrics(6, 0, pushedFilters = false, prunedSchema = true),
     "q98_decontaminate"       -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
-    "q101_dedup_clusters"     -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
-    "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = false),
+    "q101_dedup_clusters"     -> PlanMetrics(3, 0, pushedFilters = true,  prunedSchema = true),
+    "q123_embedding_clusters" -> PlanMetrics(3, 0, pushedFilters = true,  prunedSchema = true),
     // 4/3 since round 10 (was 16/7): the tf-idf weight table is
     // materialized ONCE (localCheckpoint leaf) instead of re-planning
     // the tokenize→tf→df chain for all three consumers (norms + both
-    // self-join sides). pushed/pruned show false only because the scan
-    // now lives inside the leaf's build job, not this plan's text.
-    "q126_tfidf_cosine_pairs" -> PlanMetrics(4, 3, pushedFilters = false, prunedSchema = false),
+    // self-join sides). pushed/pruned are asserted through the LEAF
+    // build plan since r11 (LeafPlanRegistry) — same for q101/q123.
+    "q126_tfidf_cosine_pairs" -> PlanMetrics(4, 3, pushedFilters = true,  prunedSchema = true),
+    // the wide near-dup family + sampled-train IVF: leaf-audited
+    // pushdown (fingerprint/cell builds scan documents/embeddings with
+    // pruned schemas inside their leaves)
+    "q154_simhash_wide_near_dups" -> PlanMetrics(2, 1, pushedFilters = true, prunedSchema = true),
+    "q157_ann_ivf_sampled"    -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
     "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
     // 3 = gh-rank window + per-doc merge window + output range sort
     "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true),
@@ -96,9 +101,10 @@ class PlanDriftSpec extends SparkSpec {
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
     val drifted = pinned.flatMap { case (name, want) =>
-      val got = PlanReport.metrics(
-        graft.SparkEntry.queries(name)(spark, sf()).queryExecution
-          .executedPlan.toString)
+      graft.plans.LeafPlanRegistry.drain() // discard a prior query's leaves
+      val plan = graft.SparkEntry.queries(name)(spark, sf()).queryExecution
+        .executedPlan.toString
+      val got = PlanReport.metrics(plan, graft.plans.LeafPlanRegistry.drain())
       if (got != want) Some(s"$name: expected $want, got $got") else None
     }
     assert(drifted.isEmpty,
