@@ -1466,6 +1466,18 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // the shard-then-merge execution of q154 (3 shards → 3 within + 3
+    // cross passes): the CONTRACT is that sharding moves job geometry
+    // only, so the oracle is q154's brute-force scan VERBATIM — a green
+    // row is a proof of the within∪cross pair-partition argument on
+    // real data, not a spec corpus
+    "q159_simhash_wide_sharded" -> { (s, d) =>
+      simHashWideNearDupsSharded(Tables(s, d, "documents"), "text", "doc_id",
+          shards = 3, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     // exact-substring duplicate spans: every 10-token window that
     // repeats anywhere in the corpus (first occurrence survives),
     // merged into maximal per-doc spans — the fixed-window form of
@@ -2110,6 +2122,17 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q154_simhash_wide_near_dups" ->
+      s"""WITH $simHashWideOracleCore
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) +
+         |       bit_count(xor(a.sh_hi, b.sh_hi)) AS INTEGER) AS hamming
+         |FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) +
+         |      bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // sharded execution shares the unsharded form's oracle — identical
+    // result is the operator's contract
+    "q159_simhash_wide_sharded" ->
       s"""WITH $simHashWideOracleCore
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) +

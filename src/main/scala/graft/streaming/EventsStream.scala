@@ -590,6 +590,107 @@ object EventsStream {
       .drop("_s", "_n")
   }
 
+  final case class AnnCandidate(query_id: Long, neighbor_id: Long, cos: Double)
+  final case class AnnNeighbor(query_id: Long, rnk: Long, neighbor_id: Long,
+      cos: Double)
+  final case class AnnTopKState(ids: Array[Long], cos: Array[Double])
+
+  /** Per-query running top-k: state is the current best-k (sorted by
+    * cos desc, id asc — [[graft.sim.IvfIndex.search]]'s exact ordering),
+    * each batch merges that key's new candidates and re-emits the FULL
+    * refreshed top-k (Update semantics — consumers upsert by
+    * `(query_id, rnk)`). State is 2k scalars per distinct query id;
+    * queries are transient by nature, so a production deployment sets a
+    * TTL on the handle where this harness (like the near-dup streams)
+    * keeps TimeMode.None. */
+  class StreamingTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AnnCandidate, AnnNeighbor] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[AnnTopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AnnTopKState]("ann_topk",
+        org.apache.spark.sql.Encoders.product[AnnTopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AnnCandidate],
+        timerValues: TimerValues): Iterator[AnnNeighbor] = {
+      val st = if (state.exists()) state.get() else AnnTopKState(Array.empty, Array.empty)
+      // re-delivered candidates (at-least-once sources replaying a query
+      // row) dedup by neighbor id — cos is deterministic so last wins
+      val merged = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+      st.ids.indices.foreach(i => merged(st.ids(i)) = st.cos(i))
+      rows.foreach(c => merged(c.neighbor_id) = c.cos)
+      val top = merged.toArray.sortBy { case (id, c) => (-c, id) }.take(k)
+      state.update(AnnTopKState(top.map(_._1), top.map(_._2)))
+      top.iterator.zipWithIndex.map { case ((id, c), i) =>
+        AnnNeighbor(key, i + 1L, id, c)
+      }
+    }
+  }
+
+  /** Streaming ANN probe at ingest — the serving half of the
+    * build-offline/probe-online vector-search cycle
+    * ([[graft.sim.IvfIndex.build]] trains the quantizer in batch; this
+    * probes arriving query embeddings against it). The centroid matrix
+    * embeds in the streaming plan as float-array LITERALS (bounded by
+    * nlist — same discipline as [[classifierGateStream]]'s weight
+    * table), so per-row probe-cell selection is a pure codegen'd
+    * expression: nlist `(|c|² − 2q·c, cell)` structs, `array_sort` (cdist
+    * asc, cell asc — [[graft.sim.IvfIndex]]'s probe ordering exactly),
+    * `slice` nprobe, explode. Candidates come from a STATELESS
+    * stream-static inner join on `cell` against the index relation, and
+    * the only state is [[StreamingTopKProcessor]]'s 2k scalars per
+    * in-flight query.
+    *
+    * Scale note: a stream-static join re-plans the static side per
+    * micro-batch; with `model.cells` backed by the cell-partitioned
+    * parquet layout ([[graft.sim.IvfIndex.save]]), the join key filter
+    * prunes to probed cells only when the optimizer pushes it — for
+    * guaranteed static pruning at 100 TB, the `foreachBatch` form
+    * calling [[graft.sim.IvfIndex.searchIndexed]] per batch is the
+    * drop-in alternative (same result contract; that path collects the
+    * batch's probe set and pushes a literal IN over the partition
+    * column). This declarative form is the one that composes with
+    * further streaming stages.
+    *
+    * Emission: Update-mode running top-k per query — consumers upsert by
+    * `(query_id, rnk)`; with a single-batch trigger (AvailableNow) the
+    * output IS [[graft.sim.IvfIndex.search]]'s result (spec-pinned). */
+  def annProbeStream(queries: DataFrame, model: graft.sim.IvfIndex.Model,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): Dataset[AnnNeighbor] = {
+    import queries.sparkSession.implicits._
+    import graft.functions.VectorFunctions.vec_dot
+    require(k >= 1, "k must be >= 1")
+    val cents = model.centroids.orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](r.fieldIndex("centroid"))))
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe=$nprobe out of range for nlist=${cents.length}")
+    val distStructs = cents.map { case (cellId, c) =>
+      val litC = typedlit(c)
+      struct((vec_dot(litC, litC) - lit(2.0) * vec_dot(col("q_vec"), litC))
+        .as("cdist"), lit(cellId).as("cell"))
+    }
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+      // same null discipline as the batch probe (probesFor drops null
+      // vectors; a null id cannot key the state store)
+      .where(col("query_id").isNotNull && col("q_vec").isNotNull)
+      .withColumn("cell", explode(transform(
+        slice(array_sort(array(distStructs.toIndexedSeq: _*)), 1, nprobe),
+        x => x("cell"))))
+    probed
+      .join(model.cells.select(col("cell"),
+          col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.sim.Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .as[AnnCandidate]
+      .groupByKey(_.query_id)
+      .transformWithState(new StreamingTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each event joins lookup rows for the
     * same key whose event time falls within `[event.ts - horizon,
     * event.ts]` — the streaming enrich pattern (click ↔ impression,

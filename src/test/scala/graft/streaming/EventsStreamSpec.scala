@@ -480,4 +480,47 @@ class EventsStreamSpec extends SparkSpec {
       assert(got == Set((1L, 2L)))
     }
   }
+
+  test("streaming ANN probe == batch IvfIndex.search over the same index") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      // 16 vectors in 4 well-separated clusters (dim 4, exactly
+      // representable floats) so nlist=4 trains clean cells
+      val corpus = (0 until 16).map { i =>
+        val cl = i % 4
+        val base = Array.fill(4)(0.0f)
+        base(cl) = 4.0f
+        base((cl + 1) % 4) = 0.25f * (i / 4) // within-cluster spread
+        (i.toLong, base)
+      }
+      val corpusDf = corpus.toDF("id", "vec")
+      val model = graft.sim.IvfIndex.build(corpusDf, "id", "vec", nlist = 4)
+      // queries are a corpus subset (exercises the self-exclusion) split
+      // across two batches, with q2 RE-DELIVERED in batch 2 — the
+      // at-least-once path must re-emit the identical top-k, not grow it
+      val queries = Seq(2L, 5L, 11L).map(i => corpus(i.toInt))
+      val mem = MemoryStream[(Long, Array[Float])]
+      val out = EventsStream.annProbeStream(
+        mem.toDF().toDF("id", "vec"), model, "id", "vec", k = 3, nprobe = 2)
+      val q = out.writeStream.format("memory").queryName("ann_probe_stream")
+        .outputMode("update").start()
+      mem.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(queries.drop(2) :+ queries.head: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("ann_probe_stream").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = graft.sim.IvfIndex.search(model,
+          queries.toDF("id", "vec"), "id", "vec", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // same probe ordering, same cosine arithmetic, same (cos desc, id
+      // asc) ranking → the stream's running top-k IS the batch result,
+      // bit-identical; the re-delivered query adds no extra rows
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Set(2L, 5L, 11L))
+    }
+  }
 }
