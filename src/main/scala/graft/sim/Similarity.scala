@@ -60,6 +60,34 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** Recall@k of an approximate top-k against the exact one — THE
+    * acceptance metric for every ANN geometry choice (nlist/nprobe, PQ
+    * codebook size, LSH bits): both inputs are `(query_id, neighbor_id,
+    * …)` rankings, output is one row per query with `n_hit / n_exact`.
+    * The denominator is the EXACT side's row count, not `k` — a corpus
+    * (or filtered corpus) with fewer than k eligible neighbors must read
+    * recall 1.0, not be penalized for rows that don't exist.
+    *
+    * Scale shape: the join keys on `(query_id, neighbor_id)` and the
+    * aggregate on `query_id`, so every shuffle is bounded by
+    * |queries|·k — never the corpus. The expensive part at 100 TB is
+    * producing the exact side at all, which is why the production
+    * protocol runs this over a hash-SAMPLED query set
+    * ([[graft.ops.Extended.hashSample]]) against
+    * [[bruteForceTopK]] — recall is a corpus property; a deterministic
+    * sample of queries estimates it without an all-pairs pass. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_k"))
+
   /** Metadata-filtered vector search — the production serve shape ("top-k
     * among documents matching this tenant / language / date range").
     * PRE-filtering, not post-filtering: the predicate is applied to the
@@ -460,6 +488,20 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // recall@k of the q65 IVF probe against the q61 exact ranking — the
+    // ANN acceptance metric as a first-class, oracle-checked query (the
+    // nlist=8/nprobe=3 geometry's recall becomes a pinned NUMBER, not a
+    // claim; drop nprobe and this row is the one that moves)
+    "q160_ann_recall" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      recallAtK(
+        IvfIndex.search(model, queries, "vec_id", "embedding", k = 3, nprobe = 3),
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+        .orderBy("query_id")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -710,24 +752,22 @@ object Similarity {
         |  sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "q61_cosine_topk_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
-        |pairs AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
-        |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
-        |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
-        |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
-        |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
-        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
-        |  FROM pairs)
-        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
-        |ORDER BY query_id, rnk""".stripMargin,
+    "q61_cosine_topk_brute" -> q61Oracle,
+    // recall joins the two rankings each oracle already replays — both
+    // sides nest as subqueries, so a green hash proves the metric over
+    // the SAME two result sets the q61/q65 rows verify individually
+    "q160_ann_recall" ->
+      s"""WITH brute AS (SELECT * FROM ($q61Oracle)),
+         |ivf AS (SELECT * FROM (${ivfProbeOracle(samplePred = None)})),
+         |j AS (
+         |  SELECT b.query_id, b.neighbor_id,
+         |    CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM brute b LEFT JOIN ivf i
+         |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+         |  CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q146_filtered_ann" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
         |pairs AS (
@@ -915,6 +955,25 @@ object Similarity {
     * mirroring `trainSixteenths` on the Spark side; the final cell
     * assignment and the probe/scan still run over the full corpus. */
   private def q65Oracle: String = ivfProbeOracle(samplePred = None)
+
+  private def q61Oracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+      |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
+      |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+      |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
+      |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
+      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |  FROM pairs)
+      |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
 
   private def ivfProbeOracle(samplePred: Option[String]): String = {
     val nlist = 8; val maxIter = 3; val dim = 64

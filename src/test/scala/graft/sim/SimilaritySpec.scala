@@ -125,4 +125,29 @@ class SimilaritySpec extends SparkSpec {
         k = 3, dupThreshold = 0.9, dim = 4, overFetch = -1)
     }
   }
+
+  test("recallAtK: hit fraction per query, denominator is the EXACT side's count") {
+    import spark.implicits._
+    def ranking(rows: (Long, Long)*) =
+      rows.toDF("query_id", "neighbor_id")
+    // q1: perfect overlap; q2: 1 of 3; q3: exact side has only TWO
+    // eligible neighbors (corpus smaller than k) and approx found both —
+    // recall must read 1.0, not 2/3; q4: approx found nothing
+    val exact = ranking((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 20L), (3L, 21L),
+      (4L, 30L), (4L, 31L), (4L, 32L))
+    val approx = ranking((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 99L), (2L, 98L),
+      (3L, 20L), (3L, 21L), (3L, 22L),
+      (4L, 90L), (4L, 91L), (4L, 92L))
+    val got = Similarity.recallAtK(approx, exact)
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 2L, 2L, 1.0),
+      (4L, 3L, 0L, 0.0)))
+  }
 }
