@@ -73,7 +73,15 @@ class PlanDriftSpec extends SparkSpec {
     // pushdown (fingerprint/cell builds scan documents/embeddings with
     // pruned schemas inside their leaves)
     "q154_simhash_wide_near_dups" -> PlanMetrics(2, 1, pushedFilters = true, prunedSchema = true),
+    // sharded execution (r11): 6 pass-joins over the ONE fingerprint
+    // leaf; at sf0.001 every shard side broadcasts (they'd be SMJ at
+    // scale — AQE's call per pass), the 2 shuffles are the pair
+    // distinct + output sort
+    "q159_simhash_wide_sharded" -> PlanMetrics(2, 6, pushedFilters = true, prunedSchema = true),
     "q157_ann_ivf_sampled"    -> PlanMetrics(3, 2, pushedFilters = true,  prunedSchema = true),
+    // the recall composition (r11): q139's 3-window re-rank machinery
+    // over the normalized corpus + the brute ranking + the metric join
+    "q163_ann_recall_pq_rerank" -> PlanMetrics(7, 4, pushedFilters = true, prunedSchema = true),
     "q127_tpch_q5"            -> PlanMetrics(2, 5, pushedFilters = true,  prunedSchema = true),
     // 3 = gh-rank window + per-doc merge window + output range sort
     "q128_duplicate_spans"    -> PlanMetrics(3, 0, pushedFilters = false, prunedSchema = true),
