@@ -238,6 +238,120 @@ object DistinctWordNgrams {
   }
 }
 
+/** Greedy BPE encoding of ONE word under a ranked merge table
+  * (Sennrich et al. 2015, arXiv:1508.07909 §2.2 applied): start from
+  * the word's code points, repeatedly find the adjacent symbol pair
+  * with the LOWEST merge rank and fuse every left-to-right
+  * non-overlapping occurrence of it, until no adjacent pair is in the
+  * table. [[graft.text.TextAnalysis.bpePairCounts]] (q147) is merge
+  * INDUCTION; this is the apply side — together they close the
+  * tokenizer train→encode loop at corpus scale.
+  *
+  * The merge table rides `ctx.addReferenceObj` (same discipline as
+  * [[LangIdBest]]'s lexicon): the generated source is one constant
+  * helper call regardless of table size, so janino's cache hits and a
+  * 50k-merge production table costs the same compile as a 10-merge
+  * test one. Per-row work is the per-word greedy loop — iterative by
+  * nature, so it lives in the helper the generated code calls, not in
+  * inlined codegen; the expression still composes inside
+  * whole-stage-codegen'd `transform`/`flatten` pipelines with zero
+  * serialization boundary. Deterministic: ranks are unique by
+  * construction (a duplicate pair keeps its lowest rank), so there are
+  * no tie-breaks to diverge on. */
+case class BpeEncode(child: Expression, merges: Seq[((String, String), Int)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string (one word), got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.foreach { case ((a, b), r) =>
+      val k = a + BpeEncode.Sep + b
+      val prev = m.get(k)
+      if (prev == null || r < prev.intValue()) m.put(k, Integer.valueOf(r))
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeEncode.compute(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val tbl = ctx.addReferenceObj("bpeTable", table, "java.util.HashMap")
+      s"${ev.value} = graft.functions.BpeEncode.compute($v, $tbl);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  /** Key separator for the (a, b) → rank table; NUL cannot appear in a
+    * symbol produced from a real word. */
+  val Sep = "\u0000"
+
+  def compute(word: UTF8String,
+      table: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = word.toString
+    if (s.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    // split into code points (surrogate-pair safe)
+    var n = 0
+    var i = 0
+    while (i < s.length) { i += Character.charCount(s.codePointAt(i)); n += 1 }
+    var syms = new Array[String](n)
+    i = 0; var idx = 0
+    while (i < s.length) {
+      val cc = Character.charCount(s.codePointAt(i))
+      syms(idx) = s.substring(i, i + cc)
+      idx += 1; i += cc
+    }
+    var done = false
+    while (!done && syms.length > 1) {
+      // lowest-rank adjacent pair present in the table
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = table.get(syms(j) + Sep + syms(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestA = syms(j); bestB = syms(j + 1)
+        }
+        j += 1
+      }
+      if (bestA == null) done = true
+      else {
+        // fuse every left-to-right non-overlapping occurrence
+        val out = new Array[String](syms.length)
+        var w = 0
+        j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bestA && syms(j + 1) == bestB) {
+            out(w) = bestA + bestB; w += 1; j += 2
+          } else { out(w) = syms(j); w += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, w)
+      }
+    }
+    val arr = new Array[Any](syms.length)
+    i = 0
+    while (i < syms.length) { arr(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 object TextFunctions {
   /** Stopword-overlap language ID over a token array column. */
   def lang_id_best(tokens: Column, langs: Seq[(String, Seq[String])]): Column = {
