@@ -20,6 +20,22 @@ import graft.text.TextAnalysis.{tokens, distinctWordShingles, fingerprint}
   *  - candidate verification re-joins only the candidate doc_ids back to
   *    shingle sets — the full corpus is never self-joined.
   */
+
+/** SimHash near-dup family selector for [[Dedup.nearDups]]. The two
+  * concrete families produce DIFFERENT pair sets by design (120-bit
+  * Hamming ≤ 3 is stricter than 60-bit ≤ 3) — `Auto` picks by corpus
+  * size (cost), so callers who need run-over-run reproducibility as the
+  * corpus grows should pin a concrete family. */
+sealed trait NearDupFamily
+object NearDupFamily {
+  /** Size-based dispatch (logs its choice); the exploratory default. */
+  case object Auto extends NearDupFamily
+  /** 60-bit [[Dedup.simHashNearDups]]: higher recall, quadratic past ~10^5 docs. */
+  case object Narrow60 extends NearDupFamily
+  /** 120-bit [[Dedup.simHashWideNearDups]]: stricter, linear at corpus scale. */
+  case object Wide120 extends NearDupFamily
+}
+
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
@@ -496,19 +512,40 @@ object Dedup {
     * The default threshold is that measured crossover: at 10^5 docs the
     * 60-bit expected bucket population is ~3 (n/2^15) and the verify
     * scan is still linear-ish; by 5·10^5 the quadratic term dominates.
-    * Pass `corpusSize` when the caller already knows it (a catalog
-    * count, a manifest) to skip the counting job — which is one
-    * metadata-cheap `count()` otherwise. The two families share the
-    * (id_a, id_b, hamming) output contract, but their PAIR SETS differ
-    * by design (120-bit Hamming ≤ 3 is stricter than 60-bit ≤ 3), so
-    * the dispatch threshold is a semantic knob, not just a perf one —
-    * which is why it is explicit and documented rather than buried. */
+    * The two families share the (id_a, id_b, hamming) output contract,
+    * but their PAIR SETS differ by design (120-bit Hamming ≤ 3 is
+    * stricter than 60-bit ≤ 3), so the dispatch threshold is a semantic
+    * knob, not just a perf one: a corpus growing past `wideThreshold`
+    * CHANGES the produced pair set between runs. Reproducibility-
+    * sensitive pipelines should pin `family = Narrow60 | Wide120`
+    * explicitly ([[NearDupFamily]]) — `Auto` is for exploratory use,
+    * and logs which family it chose (and on what count) so the
+    * discontinuity is visible in the run log, never silent.
+    *
+    * Sizing under `Auto` costs nothing when avoidable: `corpusSize`
+    * (a catalog count, a manifest) wins, then the optimized plan's own
+    * row-count statistic when Catalyst knows it (a LocalRelation, a
+    * CBO-analyzed table — no job at all), and only then a `count()`
+    * job (metadata-cheap on parquet, a real pass on computed inputs). */
   def nearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, corpusSize: Option[Long] = None,
-      wideThreshold: Long = 100000L): DataFrame = {
-    val n = corpusSize.getOrElse(docs.count())
-    if (n < wideThreshold) simHashNearDups(docs, textCol, idCol, maxHamming)
-    else simHashWideNearDups(docs, textCol, idCol, maxHamming)
+      wideThreshold: Long = 100000L,
+      family: NearDupFamily = NearDupFamily.Auto): DataFrame = family match {
+    case NearDupFamily.Narrow60 =>
+      simHashNearDups(docs, textCol, idCol, maxHamming)
+    case NearDupFamily.Wide120 =>
+      simHashWideNearDups(docs, textCol, idCol, maxHamming)
+    case NearDupFamily.Auto =>
+      val (n, how) = corpusSize.map((_, "caller-supplied"))
+        .orElse(docs.queryExecution.optimizedPlan.stats.rowCount
+          .map(c => (c.toLong, "plan statistics")))
+        .getOrElse((docs.count(), "count() job"))
+      val chosen = if (n < wideThreshold) "Narrow60" else "Wide120"
+      System.err.println(s"[nearDups] corpus ≈ $n docs ($how) → $chosen " +
+        s"family (wideThreshold=$wideThreshold; pair-set semantics differ " +
+        "between families — pin `family` for reproducibility)")
+      if (n < wideThreshold) simHashNearDups(docs, textCol, idCol, maxHamming)
+      else simHashWideNearDups(docs, textCol, idCol, maxHamming)
   }
 
   /** SimHash near-dup pairs: block on the 4×15-bit fingerprint quarters

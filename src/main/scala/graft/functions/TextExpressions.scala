@@ -360,6 +360,13 @@ object TextFunctions {
       sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
   }
 
+  /** Greedy BPE encoding of a single-word string column under a ranked
+    * merge table (see [[BpeEncode]]); pairs with duplicate entries keep
+    * their lowest rank. Compose over documents as
+    * `flatten(transform(tokens, w => bpe_encode(w, merges)))`. */
+  def bpe_encode(word: Column, merges: Seq[((String, String), Int)]): Column =
+    GraftBridge.toColumn(BpeEncode(GraftBridge.toExpression(word), merges))
+
   /** Distinct word n-grams (shingles) of a token-array column. */
   def distinct_word_ngrams(tokens: Column, n: Int): Column =
     GraftBridge.toColumn(DistinctWordNgrams(GraftBridge.toExpression(tokens), n))

@@ -82,7 +82,8 @@ object IvfIndex {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(centroids.length == nlist,
       s"training sample (${centroids.length} vectors) smaller than nlist=$nlist — " +
-        "raise trainSixteenths")
+        (if (trainSixteenths < 16) "raise trainSixteenths"
+         else "the corpus itself is smaller than nlist; lower nlist"))
     // fixed-point coordinate sums (the q64 trick): floor(x·1e9) longs add
     // exactly and order-independently, so the trained centroids are
     // IDENTICAL under any partitioning/merge order — a double sum would

@@ -98,7 +98,8 @@ object PqIndex {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(initRows.length == ksub,
       s"training sample (${initRows.length} vectors) smaller than ksub=$ksub — " +
-        "raise trainSixteenths")
+        (if (trainSixteenths < 16) "raise trainSixteenths"
+         else "the corpus itself is smaller than ksub; lower ksub"))
     val cents: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => initRows(c).slice(j * dsub, (j + 1) * dsub))
     val subs = train

@@ -88,10 +88,25 @@ object Similarity {
     * protocol runs this over a hash-SAMPLED query set
     * ([[graft.ops.Extended.hashSample]]) against
     * [[bruteForceTopK]] — recall is a corpus property; a deterministic
-    * sample of queries estimates it without an all-pairs pass. */
+    * sample of queries estimates it without an all-pairs pass.
+    *
+    * The approx side is deduplicated on `(query_id, neighbor_id)`
+    * before the join: several producers in this library legitimately
+    * emit duplicates — the streaming paths document at-least-once
+    * redelivery, and a multiprobe candidate can surface twice — and
+    * without the distinct each duplicate would multiply the joined
+    * exact rows, inflating BOTH `n_exact` and `n_hit` (recall could
+    * read > 1.0). The distinct is bounded by |queries|·k rows, so it
+    * costs one small shuffle, not a corpus pass. One deliberate edge:
+    * a query with ZERO exact-side rows (a corpus with no eligible
+    * neighbors at all) has no denominator and emits NO row — recall is
+    * undefined there, and silently reporting 1.0 would let an
+    * empty-corpus misconfiguration read as perfect; callers wanting
+    * per-query presence should left-join this output from their query
+    * set. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("_hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy("query_id")

@@ -826,6 +826,64 @@ class DedupSpec extends SparkSpec {
     // just under the threshold stays 60-bit
     assert(canon(Dedup.nearDups(sub, "text", "doc_id",
       corpusSize = Some(99999L))) == narrow)
+    // an explicitly pinned family overrides size entirely — the
+    // reproducibility escape hatch for corpora that cross the
+    // threshold between runs (r11 ADVICE)
+    assert(canon(Dedup.nearDups(sub, "text", "doc_id",
+      corpusSize = Some(5L), family = graft.dedup.NearDupFamily.Wide120)) == wide)
+    assert(canon(Dedup.nearDups(sub, "text", "doc_id",
+      corpusSize = Some(100000L),
+      family = graft.dedup.NearDupFamily.Narrow60)) == narrow)
+  }
+
+  test("nearDups Auto sizes from plan statistics without a count job when available") {
+    // a LocalRelation carries an exact rowCount in its plan statistics;
+    // dispatch must read it instead of running a count() job. Jobs are
+    // observed via listener — zero jobs may start during dispatch
+    // (query CONSTRUCTION is lazy; only the sizing could run one).
+    val local = (0 until 30).map(i => (i.toLong, s"short doc number $i"))
+      .toDF("doc_id", "text")
+    assume(local.queryExecution.optimizedPlan.stats.rowCount.isDefined,
+      "LocalRelation stats lost rowCount — dispatcher falls back to count(), rule untestable this way")
+    // suites share the session and run concurrently — count only jobs
+    // carrying THIS test's job group (thread-local properties, so any
+    // count() the dispatcher ran from this thread would carry it; other
+    // suites' jobs don't)
+    val group = "neardups-stats-dispatch"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id")) {
+          descs.add(String.valueOf(
+            j.properties.getProperty("spark.job.description")))
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "nearDups stats dispatch probe")
+    try {
+      val planned = Dedup.nearDups(local, "text", "doc_id")
+      // listener events are async but ordered: run one known marker job
+      // and wait for ITS start event — any job the dispatch had started
+      // would have been delivered before it. An RDD action: exactly one
+      // job (a DataFrame count() is 2+ under AQE's per-stage jobs).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"dispatch ran ${jobs.get() - 1} job(s) despite plan stats: " +
+          descs.toArray.mkString(" | "))
+      // and the statistic steered correctly: 30 docs → narrow family
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      assert(canon(planned) == canon(Dedup.simHashNearDups(local, "text", "doc_id")))
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("LSH index: persisted probe finds the injected dup, no ref-side ids") {

@@ -150,4 +150,25 @@ class SimilaritySpec extends SparkSpec {
       (3L, 2L, 2L, 1.0),
       (4L, 3L, 0L, 0.0)))
   }
+
+  test("recallAtK: duplicate approx rows (at-least-once streams) cannot inflate recall") {
+    import spark.implicits._
+    // the streaming near-dup paths document at-least-once duplicate
+    // emission; feeding such a ranking must give the same recall as its
+    // deduplicated form — before the r12 distinct, each duplicate
+    // multiplied BOTH counters and recall could exceed 1.0
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("query_id", "neighbor_id")
+    val approxDup = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 99L),
+      (2L, 50L), (2L, 50L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approxDup, exact).orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0)))
+    // a query with zero exact rows emits NO row (undefined recall, not
+    // a silent 1.0) — the documented deliberate edge
+    val exactEmpty = Seq((1L, 10L)).toDF("query_id", "neighbor_id")
+    val approxQ2 = Seq((2L, 10L)).toDF("query_id", "neighbor_id")
+    assert(Similarity.recallAtK(approxQ2, exactEmpty)
+      .select("query_id").as[Long].collect().toSeq == Seq(1L))
+  }
 }
