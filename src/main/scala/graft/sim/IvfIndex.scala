@@ -23,6 +23,25 @@ object IvfIndex {
 
   final case class Model(cells: DataFrame, centroids: DataFrame, nlist: Int)
 
+  /** `nlist` sizing for a corpus of `corpusSize` vectors: per-query cost
+    * is the centroid scan (∝ nlist) plus the probed-cell scan
+    * (∝ nprobe·corpus/nlist); the sum is minimized at nlist ≈ √corpus —
+    * the standard FAISS sizing rule. Integer square root on purpose (no
+    * floating-log edge at perfect squares), clamped to [1, maxNlist]
+    * and to the corpus size itself so `build`'s training require can
+    * never fail on a tiny corpus sized by this helper. Companion to
+    * [[Similarity.suggestedLshBits]] / `Skew.suggestedAsofBucketWidth`:
+    * geometry must GROW with the corpus or per-cell population (and the
+    * within-cell scan) grows linearly with scale. */
+  def suggestedNlist(corpusSize: Long, maxNlist: Int = 65536): Int = {
+    require(corpusSize >= 0 && maxNlist >= 1)
+    if (corpusSize <= 1) return 1
+    var s = math.sqrt(corpusSize.toDouble).toLong // isqrt seed; corrected exactly below
+    while (s > 1 && s * s > corpusSize) s -= 1
+    while ((s + 1) * (s + 1) <= corpusSize) s += 1
+    math.min(math.min(maxNlist.toLong, corpusSize), math.max(1L, s)).toInt
+  }
+
   /** Nearest-centroid assignment as a native codegen'd expression
     * ([[graft.functions.NearestCell]]): the centroid matrix rides the
     * generated code's reference array, so every Lloyd iteration (new

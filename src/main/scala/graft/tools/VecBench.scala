@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sim.{IvfIndex, PqIndex, Similarity}
+
+/** ANN decade benchmark (dev tool, NOT library surface): measures the
+  * full similarity-search stack — brute-force truth, hyperplane LSH,
+  * persisted IVF, persisted IVF∘PQ with exact re-rank — on ONE corpus
+  * dir, with geometry SIZED TO THE CORPUS rather than frozen at the
+  * sf0.01 oracle constants:
+  *
+  *  - LSH `bits` = [[Similarity.suggestedLshBits]] (bucket population
+  *    held ~constant as the corpus grows);
+  *  - IVF `nlist` = [[IvfIndex.suggestedNlist]] (≈√n, the FAISS rule),
+  *    `nprobe` = nlist/16 (a fixed ~6% corpus fraction per query);
+  *  - quantizer training on a hash-sample that SHRINKS as the corpus
+  *    grows (full ≤20k, 1/4 ≤200k, 1/16 beyond — production sizing);
+  *  - PQ serves the q163-proven recipe: unit-normalized corpus,
+  *    m=8/ksub=16 codebook, ADC shortlist, exact cosine re-rank.
+  *
+  * Every approximate stack is scored with [[Similarity.recallAtK]]
+  * against the same brute-force truth, so each decade reports BOTH
+  * cost and quality — a fast index that lost its neighbors is not
+  * "scaling". Queries are the 32 lowest `vec_id` rows: GenVecs keeps
+  * copy-0 ids stable across decades, so these are the SAME 32 base
+  * vectors at every scale.
+  *
+  * Index builds go through the persisted layouts (`IvfIndex.save` /
+  * `PqIndex.saveIvfPq` under `.vecbench/`) and searches through the
+  * `searchIndexed*` partition-pruned paths — the cost measured is the
+  * 100 TB shape (build once, serve from a cell-pruned scan), not an
+  * in-memory shortcut.
+  *
+  * One JSON line to stdout (+ SPARK_GRAFT_BENCH_OUT file):
+  * `{"n":…,"geometry":{…},"timings":{…},"recall":{…}}`.
+  */
+object VecBench {
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val k = 10
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = corpus.count()
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val queries = corpus.filter(col("vec_id") < 32)
+
+    val bits = Similarity.suggestedLshBits(n)
+    val nlist = IvfIndex.suggestedNlist(n)
+    val nprobe = math.max(1, nlist / 16)
+    val sixteenths = if (n <= 20000L) 16 else if (n <= 200000L) 4 else 1
+
+    // untimed warmup: scan + the codegen'd vector expression paths
+    queries.select(sum(graft.sim.Similarity.l2Norm(col("embedding")))).head()
+    Similarity.bruteForceTopK(queries, corpus.limit(256), "vec_id", "embedding", k).count()
+
+    // brute truth — timed, then pinned locally (320 rows) so the recall
+    // joins never recompute the corpus pass
+    val (exactRows, tBrute) = timed {
+      Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k).collect()
+    }
+    val exactSchema = Similarity.bruteForceTopK(
+      queries, corpus.limit(1), "vec_id", "embedding", k).schema
+    val exact = spark.createDataFrame(
+      java.util.Arrays.asList(exactRows: _*), exactSchema)
+
+    def meanRecall(approx: DataFrame): Double = {
+      val r = Similarity.recallAtK(approx, exact)
+        .agg(avg(col("recall_at_k"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+
+    // LSH
+    val (lshRows, tLsh) = timed {
+      Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k, dim, bits).collect()
+    }
+    val lshDf = spark.createDataFrame(java.util.Arrays.asList(lshRows: _*), exactSchema)
+    val rLsh = meanRecall(lshDf)
+
+    // IVF: build+persist (the cell-partitioned layout), then the
+    // partition-pruned indexed search
+    val idxRoot = s"${sys.props.getOrElse("user.dir", ".")}/.vecbench"
+    val ivfPath = s"$idxRoot/ivf_$n"
+    val (_, tIvfBuild) = timed {
+      val m = IvfIndex.build(corpus, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      IvfIndex.save(m, ivfPath)
+    }
+    val (ivfRows, tIvfSearch) = timed {
+      IvfIndex.searchIndexed(spark, ivfPath, queries, "vec_id", "embedding",
+        k, nprobe).collect()
+    }
+    val ivfDf = spark.createDataFrame(java.util.Arrays.asList(ivfRows: _*), exactSchema)
+    val rIvf = meanRecall(ivfDf)
+
+    // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
+    // codes layout, ADC shortlist + exact cosine re-rank
+    val normPath = s"$idxRoot/norm_$n"
+    val pqPath = s"$idxRoot/ivfpq_$n"
+    val shortlist = 100
+    val (_, tPqBuild) = timed {
+      Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(normPath)
+      val normed = spark.read.parquet(normPath)
+      val ivfN = IvfIndex.build(normed, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      val cb = PqIndex.train(normed, "vec_id", "embedding", m = 8, ksub = 16,
+        trainSixteenths = sixteenths)
+      PqIndex.saveIvfPq(ivfN, cb, "vec_id", "embedding", pqPath)
+    }
+    val (pqRows, tPqSearch) = timed {
+      val normed = spark.read.parquet(normPath)
+      val qN = normed.filter(col("vec_id") < 32)
+      val short = PqIndex.searchIndexedIvfAdc(spark, pqPath, qN, "vec_id",
+        "embedding", shortlist, nprobe).select("query_id", "neighbor_id")
+      val qv = qN.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val nv = normed.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+      nv.join(broadcast(short.join(qv, Seq("query_id"))), Seq("neighbor_id"))
+        .withColumn("cos", Similarity.cosine(col("q_vec"), col("n_vec")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos")
+        .collect()
+    }
+    val pqDf = spark.createDataFrame(java.util.Arrays.asList(pqRows: _*), exactSchema)
+    val rPq = meanRecall(pqDf)
+
+    val json =
+      s"""{"metric":"vecbench","unit":"sec","n":$n,"dim":$dim,"dir":"$dir",""" +
+      s""""geometry":{"k":$k,"bits":$bits,"nlist":$nlist,"nprobe":$nprobe,"train_sixteenths":$sixteenths,"pq_m":8,"pq_ksub":16,"shortlist":$shortlist},""" +
+      f""""timings":{"brute":$tBrute%.3f,"lsh":$tLsh%.3f,"ivf_build":$tIvfBuild%.3f,"ivf_search":$tIvfSearch%.3f,"ivfpq_build":$tPqBuild%.3f,"ivfpq_search":$tPqSearch%.3f},""" +
+      f""""recall":{"lsh":$rLsh%.4f,"ivf":$rIvf%.4f,"ivfpq_rerank":$rPq%.4f}}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[vecbench] wrote $p")
+    }
+    spark.stop()
+  }
+}
