@@ -255,6 +255,7 @@ object PqIndex {
     import spark.implicits._
     ivf.cells.filter(col(vecCol).isNotNull)
       .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell"))
+      .repartition(col("cell")) // see IvfIndex.save: tasks × nlist files otherwise
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
@@ -291,6 +292,7 @@ object PqIndex {
     newVectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
         nearest_cell(col(vecCol), centroids).as("cell"))
+      .repartition(col("cell")) // one file per touched cell, not per task per cell
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
   }
 

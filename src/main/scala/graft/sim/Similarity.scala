@@ -172,6 +172,54 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** Multi-table (OR-amplified) LSH top-k: `tables` INDEPENDENT
+    * hyperplane families (band offsets of the same deterministic
+    * coefficient stream — [[graft.functions.VectorFunctions.vec_lsh_key_band]]),
+    * each contributing its bucket(+multiprobe) candidates; the union is
+    * deduplicated and exact-cosine ranked. This is the recall knob
+    * single-table LSH lacks at scale: [[suggestedLshBits]] holds BUCKET
+    * POPULATION constant as the corpus grows, so the fraction of true
+    * top-k sharing any one bucket falls with every decade (measured:
+    * recall 1.0 → 0.41 → 0.17 at 2k → 20k → 200k with one table) —
+    * adding tables multiplies the candidate pool by ~L while each
+    * table's bucket stays constant-sized, recovering recall at cost
+    * linear in L (the standard E2LSH/FAISS `IndexLSH` trade).
+    *
+    * Scale shape: the corpus is scanned ONCE, posexplode keying each
+    * vector into its L (table, bucket) slots; queries (small by
+    * contract) broadcast with their multiprobe expansion; the only
+    * shuffle is the candidate dedup, bounded by |queries|·L·bucket —
+    * never the corpus. */
+  def lshTopKTables(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int = 4, tables: Int = 2,
+      multiprobe: Boolean = true): DataFrame = {
+    require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
+    import graft.functions.VectorFunctions.vec_lsh_key_band
+    def keys(vec: Column): Column =
+      array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket")))
+    val probes = if (multiprobe)
+      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
+    else array(lit(0L))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket0")))
+      .select(col("query_id"), col("q_vec"), col("tbl"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      // dedup across tables/probes BEFORE ranking: a pair's cosine is
+      // the same wherever it surfaced, so max() is pure dedup
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
   /** `bits` sizing for the LSH pair scans: per-bucket population is
     * ~corpus/2^bits and the within-bucket pair scan is quadratic in it,
     * so hold bucket size constant as the corpus grows —
@@ -582,6 +630,31 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Multi-table (OR-amplified) LSH top-k (r12): three independent
+    // band families each vote their bucket+multiprobe candidates; the
+    // union is deduplicated and exact-cosine ranked. The recall knob
+    // single-table LSH lacks once suggestedLshBits holds bucket size
+    // constant at scale — see [[lshTopKTables]].
+    "q164_ann_lsh_multitable" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      lshTopKTables(emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 4, tables = 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // recall@k of the multi-table stack against the q61 exact ranking —
+    // the q161 counterpart: what L=3 tables buy back over one table at
+    // the same bits becomes a pinned, oracle-checked number
+    "q165_ann_recall_lsh_multitable" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      recallAtK(
+        lshTopKTables(queries, emb, "vec_id", "embedding", k = 3, dim = 64,
+          bits = 4, tables = 3),
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+        .orderBy("query_id")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -839,6 +912,8 @@ object Similarity {
     "q160_ann_recall" ->
       recallOracle(ivfProbeOracle(samplePred = None), q61Oracle),
     "q161_ann_recall_lsh" -> recallOracle(q63Oracle, q61Oracle),
+    "q164_ann_lsh_multitable" -> q164Oracle,
+    "q165_ann_recall_lsh_multitable" -> recallOracle(q164Oracle, q61Oracle),
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1007,6 +1082,45 @@ object Similarity {
        |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
        |  FROM cand)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q164 oracle: the multi-table lshTopKTables plan in SQL — L
+    * independent band families (plane offsets t·24 of the same
+    * deterministic coefficient stream, exactly `vec_lsh_key_band`),
+    * each with the multiprobe expansion, candidates union-DISTINCTed
+    * across tables, then exact-cosine ranked. */
+  private def q164Oracle: String = {
+    val dim = 64; val bits = 4; val tables = 3; val k = 3
+    val per = (0 until tables).map(t =>
+      t -> lshOracleCtes(dim, bits, s"t${t}c", planeOffset = t * 24))
+    val allCtes = per.map(_._2._1).mkString(",\n")
+    val masks = (0L +: (0 until bits).map(b => 1L << b)).mkString("[", ", ", "]")
+    val kCtes = per.map { case (t, (_, bucket, tabs)) =>
+      s"""k$t AS (SELECT e.vec_id, $bucket AS bucket
+         |  FROM embeddings e, $tabs)""".stripMargin
+    }.mkString(",\n")
+    val candCtes = (0 until tables).map { t =>
+      s"""c$t AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM k$t q, unnest($masks::BIGINT[]) AS m(m), k$t c
+         |  WHERE q.vec_id < 8 AND c.bucket::BIGINT = xor(q.bucket::BIGINT, m.m)
+         |    AND c.vec_id <> q.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until tables).map(t => s"SELECT * FROM c$t").mkString(" UNION ALL ")
+    s"""WITH $allCtes,
+       |$kCtes,
+       |$candCtes,
+       |cand AS (SELECT DISTINCT query_id, neighbor_id FROM ($unions)),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding", dim)} AS cos
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
 

@@ -691,6 +691,56 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming multi-table LSH probe at ingest — the LSH counterpart of
+    * [[annProbeStream]], and the zero-model serving path: there is no
+    * trained quantizer to embed, because the "index" is just the corpus
+    * keyed by the same deterministic hyperplane stream every engine can
+    * recompute. Each arriving query row computes its L band-family
+    * bucket keys as pure codegen'd expressions
+    * ([[graft.functions.VectorFunctions.vec_lsh_key_band]] — the exact
+    * families [[graft.sim.Similarity.lshTopKTables]] uses), multiprobe-
+    * expands them, and draws candidates from a STATELESS stream-static
+    * join on `(tbl, bucket)`. Cross-table duplicate candidates fold in
+    * [[StreamingTopKProcessor]]'s per-neighbor merge — the same
+    * discipline that makes at-least-once redelivery idempotent also
+    * dedups the OR-amplified tables, so no distinct stage is needed.
+    * With a single-batch trigger the output IS `lshTopKTables`'s
+    * result (spec-pinned, including a re-delivered query). */
+  def lshProbeStream(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int, tables: Int,
+      multiprobe: Boolean = true): Dataset[AnnNeighbor] = {
+    import queries.sparkSession.implicits._
+    import graft.functions.VectorFunctions.vec_lsh_key_band
+    require(k >= 1, "k must be >= 1")
+    require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
+    def keys(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)
+    val c = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"),
+        posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket")))
+    val probes = if (multiprobe)
+      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
+    else array(lit(0L))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+      // same null discipline as annProbeStream: a null id cannot key the
+      // state store, a null vector has no bucket
+      .where(col("query_id").isNotNull && col("q_vec").isNotNull)
+      .select(col("query_id"), col("q_vec"),
+        posexplode(keys(col("q_vec"))).as(Seq("tbl", "bucket0")))
+      .select(col("query_id"), col("q_vec"), col("tbl"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.sim.Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+      .as[AnnCandidate]
+      .groupByKey(_.query_id)
+      .transformWithState(new StreamingTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each event joins lookup rows for the
     * same key whose event time falls within `[event.ts - horizon,
     * event.ts]` — the streaming enrich pattern (click ↔ impression,

@@ -41,11 +41,12 @@ object GenSf1 {
     * stay disjoint across all 100 copies), but the embedding rotation
     * does not (64-dim rotations admit only 64 distinct variants, so
     * 100 copies would manufacture exact-duplicate vectors and poison
-    * the near-dup benchmarks). The 100× decade therefore covers the
-    * relational/fact AND text/dedup surfaces; only the
-    * embedding-vector queries stay at the sf1 decade. Key offsets are
-    * derived from the SOURCE's actual max keys, so replication
-    * composes safely from any already-replicated source. */
+    * the near-dup benchmarks). For embedding decades use [[GenVecs]]
+    * instead (r12): its permutation+sign orthogonal transforms compose
+    * collision-free across decades, which is how the ANN surface got
+    * its 200k/2M-vector corpora. Key offsets are derived from the
+    * SOURCE's actual max keys, so replication composes safely from any
+    * already-replicated source. */
   def main(args: Array[String]): Unit = {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val dst = args.headOption.getOrElse("/root/repo/.sf1")

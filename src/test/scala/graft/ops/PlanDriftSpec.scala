@@ -104,7 +104,12 @@ class PlanDriftSpec extends SparkSpec {
     "q142_hard_negatives"     -> PlanMetrics(5, 3, pushedFilters = true,  prunedSchema = true),
     // corpus-sized bits (suggestedLshBits from count): same 1/1 shape
     // as q66 — the sizing changes the bucket key's geometry, not the plan
-    "q143_lsh_sized_near_dups" -> PlanMetrics(1, 1, pushedFilters = true, prunedSchema = true)
+    "q143_lsh_sized_near_dups" -> PlanMetrics(1, 1, pushedFilters = true, prunedSchema = true),
+    // multi-table LSH (r12): the broadcast is the multiprobe-expanded
+    // query side of the (tbl, bucket) join; the 3 shuffles are the
+    // cross-table pair dedup, the top-k window, and the output sort —
+    // the corpus contributes ONE exploded scan and no shuffle
+    "q164_ann_lsh_multitable" -> PlanMetrics(3, 1, pushedFilters = true, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {

@@ -68,6 +68,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), plan)
   }
 
+  test("save lands each cell as ONE data file (repartition-by-cell before partitionBy)") {
+    // without the shuffle every write task emits a file per cell it
+    // holds → tasks × nlist files; with it each cell is wholly inside
+    // one task. Repartition the source 8 ways first so the failure mode
+    // (8 tasks × cells files) is actually reachable in this spec.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_files").toString
+    val spread = IvfIndex.build(emb.repartition(8), "vec_id", "embedding", nlist = 8)
+    IvfIndex.save(spread, dir)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${d.getName}: $parts data files, want exactly 1")
+    }
+  }
+
   test("append: new vectors join the index without retraining; full probe == brute force over the union") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
     val firstHalf = emb.filter(col("vec_id") % 2 === 0)

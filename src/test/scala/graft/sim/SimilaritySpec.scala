@@ -93,6 +93,38 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.suggestedLshBits(100, 0))
   }
 
+  test("lshTopKTables: L=1 == lshTopK exactly; more tables never lose recall; no pair dupes") {
+    val emb = graft.sources.Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // table 0 IS the single-table hyperplane family (band offset 0)
+    val one = key(Similarity.lshTopKTables(queries, emb, "vec_id", "embedding",
+      k = 3, dim = 64, bits = 4, tables = 1))
+    val single = key(Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 3, dim = 64, bits = 4))
+    assert(one == single)
+    // recall is monotone in L: candidate pools are nested by construction
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopKTables(queries, emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 4, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r1 = recall(1); val r3 = recall(3)
+    assert(r3 >= r1, s"L=3 recall $r3 < L=1 recall $r1")
+    assert(r3 > 0.5, s"L=3 recall $r3") // measured 0.96 at sf0.01
+    // candidates surfacing in several tables dedup to ONE ranked row
+    val rows = Similarity.lshTopKTables(queries, emb, "vec_id", "embedding",
+      k = 3, dim = 64, bits = 4, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == rows.distinct.length)
+    intercept[IllegalArgumentException](Similarity.lshTopKTables(
+      queries, emb, "vec_id", "embedding", 3, 64, 4, tables = 0))
+  }
+
   test("hardNegatives: masked rows promote the next candidate, not shorten the list") {
     val c = corpus(nDups = 6)
     val got = Similarity.hardNegatives(

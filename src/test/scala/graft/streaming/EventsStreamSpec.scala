@@ -523,4 +523,45 @@ class EventsStreamSpec extends SparkSpec {
       assert(streamed.map(_._1) == Set(2L, 5L, 11L))
     }
   }
+
+  test("streaming multi-table LSH probe == batch lshTopKTables over the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      // spread vectors with both-sign components so 2-bit hyperplane
+      // buckets are actually populated on both sides of each plane
+      val corpus = (0 until 24).map { i =>
+        val v = Array.tabulate(4)(j =>
+          (((i * 7 + j * 3) % 11) - 5).toFloat / 4.0f)
+        (i.toLong, v)
+      }
+      val corpusDf = corpus.toDF("id", "vec")
+      val queries = Seq(3L, 9L, 17L).map(i => corpus(i.toInt))
+      val mem = MemoryStream[(Long, Array[Float])]
+      val out = EventsStream.lshProbeStream(
+        mem.toDF().toDF("id", "vec"), corpusDf, "id", "vec",
+        k = 3, dim = 4, bits = 2, tables = 2)
+      val q = out.writeStream.format("memory").queryName("lsh_probe_stream")
+        .outputMode("update").start()
+      mem.addData(queries.take(1): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers query 3 (at-least-once): the merged running
+      // top-k must re-emit the identical rows, not grow
+      mem.addData(queries.drop(1) :+ queries.head: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("lsh_probe_stream").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = graft.sim.Similarity.lshTopKTables(
+          queries.toDF("id", "vec"), corpusDf, "id", "vec",
+          k = 3, dim = 4, bits = 2, tables = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // same band families, same cosine arithmetic, same (cos desc, id
+      // asc) ranking; the cross-table candidate dedup happens in the
+      // processor's per-neighbor merge → bit-identical to the batch form
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Set(3L, 9L, 17L))
+    }
+  }
 }
