@@ -655,6 +655,24 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // IVF geometry SIZED TO THE CORPUS (r12): nlist = suggestedNlist
+    // (≈√n — the q143 discipline applied to the IVF family) with an
+    // init-only quantizer, profiled per cell. The oracle rederives the
+    // SAME nlist from its own count(*), picks the SAME h60 init sample
+    // via a windowed rank (no literal LIMIT — the whole geometry is
+    // dynamic), and reassigns every vector with NearestCell's exact
+    // arithmetic — a green hash proves the sizing rule cross-engine at
+    // whatever SF the driver runs.
+    "q166_ann_ivf_sized" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val nlist = IvfIndex.suggestedNlist(emb.count())
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist, maxIter = 0)
+      model.cells.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy("cell")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -914,6 +932,7 @@ object Similarity {
     "q161_ann_recall_lsh" -> recallOracle(q63Oracle, q61Oracle),
     "q164_ann_lsh_multitable" -> q164Oracle,
     "q165_ann_recall_lsh_multitable" -> recallOracle(q164Oracle, q61Oracle),
+    "q166_ann_ivf_sized" -> q166Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1122,6 +1141,44 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q166 oracle: corpus-SIZED IVF geometry replayed end to end — nlist
+    * is floor(sqrt(count(*))) computed by the oracle itself (the
+    * integer-exact region of [[IvfIndex.suggestedNlist]]: these corpus
+    * sizes sit far below the 65536 cap and a correctly-rounded double
+    * sqrt floors to the true isqrt for any count < 2^52), the init
+    * sample is the nl lowest-h60 rows via a windowed rank (no literal
+    * LIMIT — the whole geometry is dynamic), and every vector assigns
+    * to its nearest INIT centroid with NearestCell's exact arithmetic
+    * (the q65-proven fold). */
+  private def q166Oracle: String = {
+    val dim = 64; val seed = 42L; val up = dim + 1
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    s"""WITH nl AS (
+       |  SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INTEGER) AS nl
+       |  FROM embeddings),
+       |h AS (SELECT vec_id, embedding,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
+       |  FROM embeddings),
+       |r AS (SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY h, vec_id) AS rn FROM h),
+       |c_0 AS (SELECT CAST(r.rn AS INTEGER) - 1 AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS c
+       |  FROM r, nl WHERE r.rn <= nl.nl),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
+       |                 c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c_0 c) WHERE rn = 1)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(vec_id) AS min_id, max(vec_id) AS max_id
+       |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
   }
 
   /** q65 oracle: replay IVF end to end in DuckDB — init sample, three
