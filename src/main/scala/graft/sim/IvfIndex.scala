@@ -28,18 +28,22 @@ object IvfIndex {
     * (∝ nprobe·corpus/nlist); the sum is minimized at nlist ≈ √corpus —
     * the standard FAISS sizing rule. Integer square root on purpose (no
     * floating-log edge at perfect squares), clamped to [1, maxNlist]
-    * and to the corpus size itself so `build`'s training require can
-    * never fail on a tiny corpus sized by this helper. Companion to
+    * (isqrt(n) ≤ n for every n, so `build`'s training require can never
+    * fail on a corpus sized by this helper). Companion to
     * [[Similarity.suggestedLshBits]] / `Skew.suggestedAsofBucketWidth`:
     * geometry must GROW with the corpus or per-cell population (and the
     * within-cell scan) grows linearly with scale. */
   def suggestedNlist(corpusSize: Long, maxNlist: Int = 65536): Int = {
     require(corpusSize >= 0 && maxNlist >= 1)
     if (corpusSize <= 1) return 1
-    var s = math.sqrt(corpusSize.toDouble).toLong // isqrt seed; corrected exactly below
-    while (s > 1 && s * s > corpusSize) s -= 1
-    while ((s + 1) * (s + 1) <= corpusSize) s += 1
-    math.min(math.min(maxNlist.toLong, corpusSize), math.max(1L, s)).toInt
+    // isqrt seed corrected exactly below; the correction compares via
+    // division (s² ≤ n ⟺ s ≤ n/s in integer arithmetic) because the
+    // squared form overflows Long past n ≈ 9.2e18 and the overflowed
+    // negative square would spin the loop for ~2.3e9 iterations
+    var s = math.max(1L, math.sqrt(corpusSize.toDouble).toLong)
+    while (s > 1 && s > corpusSize / s) s -= 1
+    while (s + 1 <= corpusSize / (s + 1)) s += 1
+    math.min(maxNlist.toLong, s).toInt
   }
 
   /** Nearest-centroid assignment as a native codegen'd expression
@@ -182,18 +186,27 @@ object IvfIndex {
     * "index" is just a directory layout, and a probe becomes a
     * partition-pruned scan that never opens the other cells' files.
     *
-    * The `repartition(cell)` before the write is load-bearing at scale:
-    * cell assignment is a map stage over corpus splits, so every write
-    * task holds rows of ~every cell and `partitionBy` would emit one
-    * file PER TASK PER CELL — tasks × nlist files (measured: ~45k files
-    * for 2M vectors / nlist=1414 / 32 tasks; at 10k tasks × 65k cells
-    * that is a dead filesystem). One shuffle keyed on `cell` lands each
-    * cell wholly inside one task → exactly one file per cell. */
+    * See [[writeByCell]] for the file-per-cell discipline every
+    * cell-partitioned write in this package shares. */
   def save(model: Model, path: String): Unit = {
-    model.cells.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    writeByCell(model.cells, s"$path/cells", org.apache.spark.sql.SaveMode.Overwrite)
     model.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** THE cell-partitioned write, shared by every IVF/IVF∘PQ layout
+    * writer so none can lose the discipline independently: the
+    * `repartition(cell)` before `partitionBy` is load-bearing at scale —
+    * cell assignment is a map stage over corpus splits, so every write
+    * task holds rows of ~every cell and a bare `partitionBy` would emit
+    * one file PER TASK PER CELL, tasks × nlist files (measured: 45,248
+    * files for 2M vectors / nlist=1414 / 32 tasks; at 10k tasks × 65k
+    * cells a dead filesystem). One shuffle keyed on `cell` lands each
+    * cell wholly inside one task → exactly one file per cell
+    * (spec-pinned in IvfIndexSpec). */
+  private[sim] def writeByCell(df: DataFrame, path: String,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    df.repartition(col("cell"))
+      .write.partitionBy("cell").mode(mode).parquet(path)
 
   def load(spark: SparkSession, path: String): Model = {
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -213,11 +226,11 @@ object IvfIndex {
       idCol: String, vecCol: String): Unit = {
     val model = load(spark, path)
     val centroids = centroidMatrix(model.centroids)
-    newVectors.filter(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol),
-        assignExpr(col(vecCol), centroids).as("cell"))
-      .repartition(col("cell")) // one file per touched cell, not per task per cell
-      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+    writeByCell(
+      newVectors.filter(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol),
+          assignExpr(col(vecCol), centroids).as("cell")),
+      s"$path/cells", org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Search a persisted index with STATIC partition pruning: the union of

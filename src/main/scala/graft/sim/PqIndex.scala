@@ -204,9 +204,18 @@ object PqIndex {
     * shuffled. */
   def searchAdcRerank(cb: Codebook, codes: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      shortlist: Int): DataFrame = {
-    val short = searchADC(cb, codes, queries, idCol, vecCol, shortlist)
-      .select("query_id", "neighbor_id")
+      shortlist: Int): DataFrame =
+    rerankExact(
+      searchADC(cb, codes, queries, idCol, vecCol, shortlist)
+        .select("query_id", "neighbor_id"),
+      corpus, queries, idCol, vecCol, k)
+
+  /** THE exact-cosine re-rank stage, shared by both two-stage serves:
+    * full vectors are fetched for just |queries| × shortlist rows via an
+    * equi join with the BROADCAST shortlist, so the vector store is
+    * scanned once and never shuffled. */
+  private def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -216,6 +225,19 @@ object PqIndex {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
+
+  /** The persisted-index form of the two-stage serve: ADC shortlist from
+    * the partition-pruned [[searchIndexedIvfAdc]] scan, then
+    * [[rerankExact]] against the full-vector `corpus` relation — the
+    * complete production read path (pruned code files for candidates,
+    * one corpus-side fetch for exactly |queries| × shortlist vectors). */
+  def searchIndexedIvfAdcRerank(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    rerankExact(
+      searchIndexedIvfAdc(spark, path, queries, idCol, vecCol, shortlist, nprobe)
+        .select("query_id", "neighbor_id"),
+      corpus, queries, idCol, vecCol, k)
 
   /** The shared IVF∘PQ scan: probe rows (query_id, q_vec, cell) carry
     * their ADC table into an equi join on `cell`, so each query reads
@@ -253,10 +275,10 @@ object PqIndex {
       vecCol: String, path: String): Unit = {
     val spark = ivf.cells.sparkSession
     import spark.implicits._
-    ivf.cells.filter(col(vecCol).isNotNull)
-      .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell"))
-      .repartition(col("cell")) // see IvfIndex.save: tasks × nlist files otherwise
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    IvfIndex.writeByCell(
+      ivf.cells.filter(col(vecCol).isNotNull)
+        .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"), col("cell")),
+      s"$path/codes", org.apache.spark.sql.SaveMode.Overwrite)
     ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     (for (j <- 0 until cb.m; c <- 0 until cb.ksub)
       yield (j, c, cb.centroids(j)(c).toSeq, cb.dim))
@@ -289,11 +311,11 @@ object PqIndex {
       newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val cb = loadCodebook(spark, path)
     val centroids = IvfIndex.centroidMatrix(spark.read.parquet(s"$path/centroids"))
-    newVectors.filter(col(vecCol).isNotNull)
-      .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
-        nearest_cell(col(vecCol), centroids).as("cell"))
-      .repartition(col("cell")) // one file per touched cell, not per task per cell
-      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    IvfIndex.writeByCell(
+      newVectors.filter(col(vecCol).isNotNull)
+        .select(col(idCol), codesExpr(cb, col(vecCol)).as("codes"),
+          nearest_cell(col(vecCol), centroids).as("cell")),
+      s"$path/codes", org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Search a persisted IVF∘PQ index with STATIC partition pruning: the

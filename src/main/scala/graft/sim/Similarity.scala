@@ -151,25 +151,59 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 4,
       multiprobe: Boolean = true): DataFrame = {
-    val key = hyperplaneKey(col(vecCol), dim, bits)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      key.as("bucket"))
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      key.as("bucket0"))
-    // probe own bucket + (optionally) each 1-bit-flipped neighbor bucket
-    val probes = if (multiprobe)
-      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
-    else array(lit(0L))
-    val q = broadcast(qBase
-      .select(col("query_id"), col("q_vec"),
-        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket")))
+    // single-table candidates are duplicate-free by construction (a
+    // neighbor lives in exactly one bucket per table and multiprobe
+    // buckets are distinct XORs), so no dedup stage before the ranking
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits,
+        tables = 1, multiprobe = multiprobe)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cos")
+  }
+
+  /** THE LSH candidate generation, shared by [[lshTopK]] (tables = 1),
+    * [[lshTopKTables]], and the streaming probe
+    * (`EventsStream.lshProbeStream`) so the three paths can never
+    * desynchronize on band families, multiprobe masks, or null
+    * discipline. Both sides key into their `tables` band-family
+    * `(tbl, bucket)` slots with ONE posexplode scan each; the query side
+    * multiprobe-expands (own bucket + each 1-bit flip); the join
+    * self-excludes and scores exact cosine. `broadcastQueries` is true
+    * on the batch paths (queries are small by contract) and false from
+    * streaming — a stream cannot be broadcast, and the stream-static
+    * join wants the corpus static. Output `(query_id, neighbor_id,
+    * cos)`, ids cast long (the state-store key type); duplicates are
+    * possible ACROSS tables only — multi-table callers dedup
+    * (lshTopKTables' aggregate, the streaming processor's per-neighbor
+    * merge). Null ids/vectors drop on both sides: a null id cannot key
+    * state and a null vector has no bucket. */
+  private[graft] def lshCandidateScan(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bits: Int, tables: Int,
+      multiprobe: Boolean, broadcastQueries: Boolean = true): DataFrame = {
+    require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
+    import graft.functions.VectorFunctions.vec_lsh_key_band
+    def keys(vec: Column): Column =
+      array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)
+    val c = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"),
+        posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket")))
+    val probes = if (multiprobe)
+      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
+    else array(lit(0L))
+    val qBase = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+      .where(col("query_id").isNotNull && col("q_vec").isNotNull)
+      .select(col("query_id"), col("q_vec"),
+        posexplode(keys(col("q_vec"))).as(Seq("tbl", "bucket0")))
+      .select(col("query_id"), col("q_vec"), col("tbl"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
+    val q = if (broadcastQueries) broadcast(qBase) else qBase
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cos"))
   }
 
   /** Multi-table (OR-amplified) LSH top-k: `tables` INDEPENDENT
@@ -193,24 +227,8 @@ object Similarity {
   def lshTopKTables(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 4, tables: Int = 2,
       multiprobe: Boolean = true): DataFrame = {
-    require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
-    import graft.functions.VectorFunctions.vec_lsh_key_band
-    def keys(vec: Column): Column =
-      array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket")))
-    val probes = if (multiprobe)
-      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
-    else array(lit(0L))
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket0")))
-      .select(col("query_id"), col("q_vec"), col("tbl"),
-        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    q.join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits, tables, multiprobe)
       // dedup across tables/probes BEFORE ranking: a pair's cosine is
       // the same wherever it surfaced, so max() is pure dedup
       .groupBy("query_id", "neighbor_id")

@@ -710,31 +710,13 @@ object EventsStream {
       vecCol: String, k: Int, dim: Int, bits: Int, tables: Int,
       multiprobe: Boolean = true): Dataset[AnnNeighbor] = {
     import queries.sparkSession.implicits._
-    import graft.functions.VectorFunctions.vec_lsh_key_band
     require(k >= 1, "k must be >= 1")
-    require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
-    def keys(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)
-    val c = corpus
-      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"),
-        posexplode(keys(col(vecCol))).as(Seq("tbl", "bucket")))
-    val probes = if (multiprobe)
-      array((lit(0L) +: (0 until bits).map(b => shiftleft(lit(1L), b))): _*)
-    else array(lit(0L))
-    val q = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
-      // same null discipline as annProbeStream: a null id cannot key the
-      // state store, a null vector has no bucket
-      .where(col("query_id").isNotNull && col("q_vec").isNotNull)
-      .select(col("query_id"), col("q_vec"),
-        posexplode(keys(col("q_vec"))).as(Seq("tbl", "bucket0")))
-      .select(col("query_id"), col("q_vec"), col("tbl"),
-        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
-    q.join(c, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        graft.sim.Similarity.cosine(col("q_vec"), col("c_vec")).as("cos"))
+    // THE batch candidate generation (band families, multiprobe masks,
+    // null discipline live in exactly one place — lshCandidateScan);
+    // broadcastQueries=false: a stream cannot broadcast, the
+    // stream-static join keeps the corpus static
+    graft.sim.Similarity.lshCandidateScan(queries, corpus, idCol, vecCol,
+        dim, bits, tables, multiprobe, broadcastQueries = false)
       .as[AnnCandidate]
       .groupByKey(_.query_id)
       .transformWithState(new StreamingTopKProcessor(k),

@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.sim.{IvfIndex, PqIndex, Similarity}
 
 /** ANN decade benchmark (dev tool, NOT library surface): measures the
@@ -121,6 +120,31 @@ object VecBench {
     val ivfDf = spark.createDataFrame(java.util.Arrays.asList(ivfRows: _*), exactSchema)
     val rIvf = meanRecall(ivfDf)
 
+    // optional `sweep` mode: walk nprobe across a 16× range around the
+    // default — the measured recall-vs-scan-fraction curve for THIS
+    // corpus size, i.e. the number a deployment reads before picking its
+    // latency/recall point. Reuses the persisted index; each point is an
+    // independent partition-pruned search.
+    // the default nlist/16 point is re-measured inside the sweep on
+    // purpose: all five points then share one methodology (same warm
+    // JVM, same cache state), so the curve is internally comparable
+    val sweepJson: Option[String] = if (args.lift(1).contains("sweep")) {
+      val points = Seq(nlist / 64, nlist / 32, nlist / 16, nlist / 8, nlist / 4)
+        .map(math.max(1, _)).distinct
+      val rows = points.map { np =>
+        val (r, t) = timed {
+          IvfIndex.searchIndexed(spark, ivfPath, queries, "vec_id", "embedding",
+            k, np).collect()
+        }
+        val rec = meanRecall(spark.createDataFrame(
+          java.util.Arrays.asList(r: _*), exactSchema))
+        f"""{"nprobe":$np,"frac":${np.toDouble / nlist}%.4f,"sec":$t%.3f,"recall":$rec%.4f}"""
+      }
+      val line = s"""{"metric":"vecbench_nprobe_sweep","n":$n,"nlist":$nlist,"points":[${rows.mkString(",")}]}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -153,17 +177,10 @@ object VecBench {
       val (pqRows, t) = timed {
         val normed = spark.read.parquet(normPath)
         val qN = normed.filter(col("vec_id") < 32)
-        val short = PqIndex.searchIndexedIvfAdc(spark, pqPath, qN, "vec_id",
-          "embedding", shortlist, nprobe).select("query_id", "neighbor_id")
-        val qv = qN.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-        val nv = normed.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
-        val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-        nv.join(broadcast(short.join(qv, Seq("query_id"))), Seq("neighbor_id"))
-          .withColumn("cos", Similarity.cosine(col("q_vec"), col("n_vec")))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= k)
-          .select("query_id", "rnk", "neighbor_id", "cos")
-          .collect()
+        // the library's two-stage serve, not a hand-rolled rerank — the
+        // bench must measure the q163-proven path itself
+        PqIndex.searchIndexedIvfAdcRerank(spark, pqPath, normed, qN,
+          "vec_id", "embedding", k, nprobe, shortlist).collect()
       }
       val pqDf = spark.createDataFrame(java.util.Arrays.asList(pqRows: _*), exactSchema)
       (t, meanRecall(pqDf))
@@ -178,8 +195,12 @@ object VecBench {
       f""""recall":{"lsh":$rLsh%.4f,"lsh_multi":$rLshM%.4f,"ivf":$rIvf%.4f,"ivfpq_rerank_s100":$rPq100%.4f,"ivfpq_rerank_s1000":$rPq1k%.4f}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      // sweep line rides in the same artifact (one JSON object per line)
+      // — the recall-vs-nprobe curve is the point of the mode, so it
+      // must land in the pinned file, not just scroll past on stdout
+      val payload = (json +: sweepJson.toSeq).mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[vecbench] wrote $p")
     }
     spark.stop()

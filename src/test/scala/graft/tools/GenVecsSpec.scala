@@ -65,6 +65,9 @@ class GenVecsSpec extends SparkSpec {
     assert(IvfIndex.suggestedNlist(1000000) == 1000) // perfect square, no rounding edge
     assert(IvfIndex.suggestedNlist(999999) == 999)
     assert(IvfIndex.suggestedNlist(1L << 40) == 65536) // cap
+    // near-overflow corpus sizes: the isqrt correction compares via
+    // division, so no Long-squared overflow spin (returns immediately)
+    assert(IvfIndex.suggestedNlist(Long.MaxValue) == 65536)
     assert(IvfIndex.suggestedNlist(100, maxNlist = 4) == 4)
     // never exceeds the corpus itself (build's training require)
     assert(IvfIndex.suggestedNlist(3) <= 3)
