@@ -1574,6 +1574,22 @@ object Dedup {
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // the PRODUCTION corpus-scale composition end to end: SHARDED wide
+    // pair generation (q159's bounded job geometry — every join's
+    // shuffle capped by the shard, never the corpus) feeding the same
+    // closure as q155. The oracle is q155's recursive CTE VERBATIM, so
+    // a green row proves the within∪cross shard-merge identity survives
+    // the full pipeline (pairs → components → keep flags), not just the
+    // pair list q159 checks.
+    "q167_dedup_clusters_wide_sharded" -> { (s, d) =>
+      val pairs = simHashWideNearDupsSharded(Tables(s, d, "documents"), "text",
+        "doc_id", shards = 3, maxHamming = 3)
+      connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2179,7 +2195,18 @@ object Dedup {
          |      bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     // q101's recursive-CTE closure over the WIDE pair list
-    "q155_dedup_clusters_wide" ->
+    "q155_dedup_clusters_wide" -> wideClustersOracle,
+    // the sharded execution shares q155's oracle VERBATIM: the q159
+    // shard-merge identity composed through the closure — a green row
+    // proves sharding moves job geometry only, end to end
+    "q167_dedup_clusters_wide_sharded" -> wideClustersOracle
+  )
+
+  /** q155/q167 oracle: the recursive-CTE transitive closure over the
+    * wide (120-bit, Hamming ≤ 3) pair list. Shared on purpose — the
+    * sharded pipeline's contract is result identity with the unsharded
+    * one, so both keys replay the SAME SQL. */
+  private def wideClustersOracle: String =
       s"""WITH RECURSIVE $simHashWideOracleCore,
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2204,5 +2231,4 @@ object Dedup {
          |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM lbl l JOIN sizes s USING (component)
          |ORDER BY doc_id""".stripMargin
-  )
 }

@@ -109,7 +109,14 @@ class PlanDriftSpec extends SparkSpec {
     // query side of the (tbl, bucket) join; the 3 shuffles are the
     // cross-table pair dedup, the top-k window, and the output sort —
     // the corpus contributes ONE exploded scan and no shuffle
-    "q164_ann_lsh_multitable" -> PlanMetrics(3, 1, pushedFilters = true, prunedSchema = true)
+    "q164_ann_lsh_multitable" -> PlanMetrics(3, 1, pushedFilters = true, prunedSchema = true),
+    // sharded pairs → closure (r12): the pass-joins' exchanges live in
+    // the per-round jobs (q159's shape); the final plan is the
+    // labels⋈sizes output — pair distinct + component agg + output sort.
+    // At sf0.001 every pass side broadcasts inside the rounds, so the
+    // FINAL plan carries 0 BroadcastExchange (components' last join is
+    // a shuffle join on the label key).
+    "q167_dedup_clusters_wide_sharded" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
