@@ -116,6 +116,71 @@ object Similarity {
         (col("n_hit").cast("double") / col("n_exact").cast("double"))
           .as("recall_at_k"))
 
+  /** Doubling nprobe ladder ending exactly at `nlist`: 1, 2, 4, …,
+    * nlist. The last step probes EVERY cell, where the IVF scan
+    * degenerates to brute force and pooled recall is 1.0 by
+    * construction — so a calibration walking this ladder always
+    * reaches any target ≤ 1 (the invariant [[suggestedNprobe]]'s
+    * totality rests on). */
+  def nprobeLadder(nlist: Int): Seq[Int] = {
+    require(nlist >= 1, s"nlist=$nlist must be >= 1")
+    (Iterator.iterate(1L)(_ * 2).takeWhile(_ < nlist).map(_.toInt) ++
+      Iterator(nlist)).toSeq
+  }
+
+  /** Pooled recall@k of the IVF probe at each ladder step — the
+    * RECALL-side companion of the cost-side sizing rules
+    * ([[IvfIndex.suggestedNlist]], [[suggestedLshBits]],
+    * `Skew.suggestedAsofBucketWidth`). Those keep the scan bounded as
+    * the corpus grows; this one prices what a given scan fraction
+    * (nprobe/nlist) BUYS — measured on this corpus, not assumed from
+    * geometry. The brute-force exact ranking (the expensive part — at
+    * scale run it over a hash-SAMPLED query set,
+    * [[graft.ops.Extended.hashSample]]: recall is a corpus property a
+    * deterministic query sample estimates) is materialized once as a
+    * bounded leaf (|queries|·k rows) and reused by every step; each
+    * step then costs one partition-bounded IVF search. Recall is
+    * POOLED (micro-averaged): BIGINT hit/exact totals with ONE double
+    * division at the end — integer-exact until the final op, so the
+    * number is identical across engines, partitionings, and summation
+    * orders (a mean of per-query double recalls would not be). */
+  def ivfRecallCurve(model: IvfIndex.Model, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      ladder: Seq[Int]): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1),
+      s"ladder=$ladder must be non-empty, all steps >= 1")
+    val exact = graft.plans.LeafPlanRegistry.record(
+      bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint()
+    ladder.map { np =>
+      recallAtK(IvfIndex.search(model, queries, idCol, vecCol, k, np), exact)
+        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+        .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The recall-side sizing rule itself: the smallest ladder step whose
+    * pooled recall@k on `queries` reaches `targetRecall`. Total by the
+    * [[nprobeLadder]] invariant (the nprobe = nlist step is exact
+    * search, recall 1.0). The collect is the ladder table — at most
+    * log₂(nlist)+1 rows of four numbers, model-sized calibration
+    * state, never corpus rows. Protocol at scale: calibrate once on a
+    * hash-sampled query set, then serve the full query stream at the
+    * returned nprobe (q168 pins the curve AND the choice
+    * cross-engine). */
+  def suggestedNprobe(model: IvfIndex.Model, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1]")
+    ivfRecallCurve(model, queries, corpus, idCol, vecCol, k,
+        nprobeLadder(model.nlist))
+      .collect()
+      .filter(_.getAs[Double]("recall") >= targetRecall)
+      .map(_.getAs[Int]("nprobe")).min
+  }
+
   /** Metadata-filtered vector search — the production serve shape ("top-k
     * among documents matching this tenant / language / date range").
     * PRE-filtering, not post-filtering: the predicate is applied to the
@@ -691,6 +756,29 @@ object Similarity {
         .orderBy("cell")
     },
 
+    // the RECALL-side sizing rule, oracle-checked (r12): the nprobe
+    // ladder's pooled recall@k on the q160 geometry, with the chosen
+    // row = suggestedNprobe's pick (min step reaching 0.9 — total
+    // because the nprobe = nlist step IS exact search, recall 1.0).
+    // The oracle replays the whole calibration: one training replay,
+    // one probe ranking at full ladder depth, per-step prefix slices,
+    // pooled BIGINT-sum recall, the same min-step choice. The chosen
+    // flag is computed IN-PLAN (single-row min broadcast), so a green
+    // hash pins both the curve and the decision cross-engine.
+    "q168_ann_nprobe_sized" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val curve = ivfRecallCurve(model, queries, emb, "vec_id", "embedding",
+        k = 3, ladder = nprobeLadder(8))
+      val chosen = curve.filter(col("recall") >= 0.9)
+        .agg(min("nprobe").as("_chosen"))
+      curve.crossJoin(broadcast(chosen))
+        .select(col("nprobe"), col("n_exact"), col("n_hit"), col("recall"),
+          (col("nprobe") === col("_chosen")).cast("int").as("chosen"))
+        .orderBy("nprobe")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -951,6 +1039,7 @@ object Similarity {
     "q164_ann_lsh_multitable" -> q164Oracle,
     "q165_ann_recall_lsh_multitable" -> recallOracle(q164Oracle, q61Oracle),
     "q166_ann_ivf_sized" -> q166Oracle,
+    "q168_ann_nprobe_sized" -> q168Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1281,19 +1370,26 @@ object Similarity {
        |  CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 
-  private def ivfProbeOracle(samplePred: Option[String]): String = {
-    val nlist = 8; val maxIter = 3; val dim = 64
-    val k = 3; val nprobe = 3; val seed = 42L
-    val up = dim + 1
+  // index-ascending double fold of v·c (v float column, c double list) —
+  // shared by the IVF replays (ivfTrainCtes, probe/ladder oracles)
+  private def ivfDotVC(v: String, c: String, dim: Int): String =
+    s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+  private def ivfNormC(c: String): String =
+    s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+
+  /** The IVF TRAINING replay shared by the probe oracle (q65/q157/
+    * q160-family) and the nprobe-ladder oracle (q168): init sample +
+    * 3 unrolled Lloyd iterations + final full-corpus assignment
+    * (`cells`) + REAL-rounded served centroids (`cf`). Returned WITHOUT
+    * the leading WITH so callers append their own probe/ranking CTEs. */
+  private def ivfTrainCtes(samplePred: Option[String]): String = {
+    val nlist = 8; val maxIter = 3; val dim = 64; val seed = 42L
     val trainSrc = if (samplePred.isDefined) "train" else "embeddings"
     val trainCte = samplePred
       .map(p => s"train AS (SELECT vec_id, embedding FROM embeddings WHERE $p),\n")
       .getOrElse("")
-    // index-ascending double fold of v·c (v float column, c double list)
-    def dotVC(v: String, c: String) =
-      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
-    def normC(c: String) =
-      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    def dotVC(v: String, c: String) = ivfDotVC(v, c, dim)
+    def normC(c: String) = ivfNormC(c)
     val sums = (0 until dim).map(i =>
       s"CAST(SUM(CAST(floor(embedding[${i + 1}]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s_$i")
       .mkString(",\n      ")
@@ -1318,7 +1414,7 @@ object Similarity {
          |         ELSE [$centroidList] END AS c
          |  FROM c_${kIt - 1} p LEFT JOIN s_$kIt s ON s.cell = p.cell)""".stripMargin
     val iterations = (1 to maxIter).map(iteration).mkString(",\n")
-    s"""WITH ${trainCte}c_0 AS (
+    s"""${trainCte}c_0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) - 1 AS cell,
        |         list_transform(embedding, x -> x::DOUBLE) AS c
        |  FROM (
@@ -1335,14 +1431,28 @@ object Similarity {
        |    FROM embeddings e CROSS JOIN c_$maxIter c) WHERE rn = 1),
        |cf AS (
        |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
-       |  FROM c_$maxIter),
-       |probes AS (
-       |  SELECT query_id, q_vec, cell FROM (
+       |  FROM c_$maxIter)""".stripMargin
+  }
+
+  /** The per-query probe ranking over the served (REAL-rounded)
+    * centroids, kept to `maxProbe` ranked cells (pr retained so ladder
+    * consumers can slice deeper prefixes without re-ranking). Appends
+    * to [[ivfTrainCtes]]. */
+  private def ivfProbesCte(maxProbe: Int): String = {
+    val dim = 64
+    s"""probes AS (
+       |  SELECT query_id, q_vec, cell, pr FROM (
        |    SELECT e.vec_id AS query_id, e.embedding AS q_vec, f.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
+       |        ORDER BY (${ivfNormC("f.c")} - 2.0 * ${ivfDotVC("e.embedding", "f.c", dim)}) ASC,
        |                 f.cell ASC) AS pr
-       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 8) WHERE pr <= $nprobe),
+       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 8) WHERE pr <= $maxProbe)""".stripMargin
+  }
+
+  private def ivfProbeOracle(samplePred: Option[String]): String = {
+    val dim = 64; val k = 3; val nprobe = 3
+    s"""WITH ${ivfTrainCtes(samplePred)},
+       |${ivfProbesCte(nprobe)},
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${cosSql("p.q_vec", "a.embedding", dim)} AS cos
@@ -1355,6 +1465,50 @@ object Similarity {
        |  FROM cand)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q168 oracle: the nprobe-LADDER replay — ONE training replay
+    * ([[ivfTrainCtes]]), one probe ranking kept to the full ladder
+    * depth, then each ladder step slices its `pr <= nprobe` prefix,
+    * ranks, takes top-k, and joins the brute-force truth for POOLED
+    * (BIGINT-sum) recall; the chosen row is the min step reaching the
+    * 0.9 target (total because the nprobe = nlist step replays exact
+    * search — recall exactly 1.0). Mirrors
+    * [[Similarity.ivfRecallCurve]] / [[Similarity.suggestedNprobe]]
+    * semantics step for step. */
+  private def q168Oracle: String = {
+    val dim = 64; val k = 3; val nlist = 8; val target = 0.9
+    val ladder = "[1, 2, 4, 8]"
+    s"""WITH ${ivfTrainCtes(None)},
+       |${ivfProbesCte(nlist)},
+       |cand AS (
+       |  SELECT p.query_id, p.pr, a.vec_id AS neighbor_id,
+       |    ${cosSql("p.q_vec", "a.embedding", dim)} AS cos
+       |  FROM probes p JOIN cells a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id),
+       |steps AS (SELECT unnest($ladder) AS nprobe),
+       |ranked AS (
+       |  SELECT s.nprobe, c.query_id, c.neighbor_id,
+       |    row_number() OVER (PARTITION BY s.nprobe, c.query_id
+       |      ORDER BY c.cos DESC, c.neighbor_id ASC) AS rnk
+       |  FROM steps s JOIN cand c ON c.pr <= s.nprobe),
+       |approx AS (SELECT nprobe, query_id, neighbor_id FROM ranked WHERE rnk <= $k),
+       |brute AS (SELECT * FROM (${bruteOracle("vec_id < 8", k)})),
+       |j AS (
+       |  SELECT s.nprobe, b.query_id, b.neighbor_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM steps s CROSS JOIN brute b
+       |  LEFT JOIN approx a ON a.nprobe = s.nprobe
+       |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+       |curve AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM j GROUP BY nprobe)
+       |SELECT nprobe, n_exact, n_hit, recall,
+       |  CAST(CASE WHEN nprobe = (SELECT min(nprobe) FROM curve WHERE recall >= $target)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM curve ORDER BY nprobe""".stripMargin
   }
 
   /** q133 oracle: replay product quantization end to end in DuckDB —

@@ -203,4 +203,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.recallAtK(approxQ2, exactEmpty)
       .select("query_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("nprobeLadder: doubling steps ending exactly at nlist") {
+    assert(Similarity.nprobeLadder(1) == Seq(1))
+    assert(Similarity.nprobeLadder(2) == Seq(1, 2))
+    assert(Similarity.nprobeLadder(8) == Seq(1, 2, 4, 8))
+    // non-power-of-two nlist: last step is nlist itself, not a power
+    assert(Similarity.nprobeLadder(6) == Seq(1, 2, 4, 6))
+    assert(Similarity.nprobeLadder(1000).last == 1000)
+    intercept[IllegalArgumentException](Similarity.nprobeLadder(0))
+  }
+
+  test("ivfRecallCurve/suggestedNprobe: last step is exact (recall 1.0), choice monotone in target") {
+    val emb = graft.sources.Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val curve = Similarity.ivfRecallCurve(model, queries, emb, "vec_id",
+        "embedding", k = 3, ladder = Similarity.nprobeLadder(8))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // the totality invariant: probing every cell IS brute force
+    assert(curve.last._2 == 1.0)
+    // recall never decreases as nprobe grows (probe sets are nested)
+    assert(curve.sliding(2).forall { case Array((_, a), (_, b)) => b >= a })
+    // suggestedNprobe picks the min qualifying step, monotone in target
+    val loose = Similarity.suggestedNprobe(model, queries, emb, "vec_id",
+      "embedding", k = 3, targetRecall = 0.1)
+    val strict = Similarity.suggestedNprobe(model, queries, emb, "vec_id",
+      "embedding", k = 3, targetRecall = 1.0)
+    assert(loose <= strict && strict <= 8)
+    intercept[IllegalArgumentException](Similarity.suggestedNprobe(
+      model, queries, emb, "vec_id", "embedding", k = 3, targetRecall = 1.5))
+  }
 }
