@@ -14,10 +14,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle partitions default to the core count (the driver's sf0.1
-    // contract); SPARK_GRAFT_SHUFFLE overrides for larger-SF soaks,
-    // where partition count must track data volume, not cores — the
-    // knob a real deployment sizes (or lets AQE advisory size)
+    // shuffle partitions START at the core count; once the session is
+    // up they are re-derived from the fact table's metadata row count
+    // via Skew.suggestedShufflePartitions (cores floor / volume
+    // ceiling — the r11 sf10 sweep encoded as a rule, replacing the
+    // hand-tuned override). SPARK_GRAFT_SHUFFLE still wins when set —
+    // the recording knob for partition-count sweeps themselves.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // RUNTIME broadcast threshold sized to the memory this harness
     // actually has (8 GiB driver heap), not Spark's conservative 10 MiB
@@ -40,6 +42,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // derive the partition count from the CORPUS, not the harness: the
+    // fact table's metadata row count (parquet footers — no data scan)
+    // through Skew.suggestedShufflePartitions. ~128 B/row is the
+    // measured shuffled width of the widest fact projections; at
+    // harness SFs the cores floor wins (reproducing the hand-tuned 32
+    // of the r11 sf10 sweep), at cluster volumes the bytes ceiling
+    // takes over. shuffle.partitions is a runtime SQL conf, so setting
+    // it here rebinds every subsequent non-AQE plan.
+    if (!sys.env.contains("SPARK_GRAFT_SHUFFLE")) {
+      val factRows = try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        catch { case _: Throwable => 0L }
+      val derived = graft.ops.Skew.suggestedShufflePartitions(
+        factRows, avgRowBytes = 128L, cores = cpus.toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", derived.toString)
+      System.err.println(s"[bench] shuffle partitions: $derived " +
+        s"(factRows=$factRows, cores=$cpus)")
+    }
 
     // warmup: parquet scan + hash agg + shuffle + broadcast join + sort
     try {

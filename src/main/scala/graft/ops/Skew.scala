@@ -157,6 +157,47 @@ object Skew {
     }
   }
 
+  /** Corpus-scaled shuffle-partition count — the last of the sizing
+    * rules ([[suggestedAsofBucketWidth]], `Similarity.suggestedLshBits`,
+    * `IvfIndex.suggestedNlist`, `Similarity.suggestedNprobe`), applied
+    * to the one knob every shuffle shares. Two regimes, take the max:
+    *
+    *  - **cores floor**: below the point where any partition risks
+    *    spill, more-than-core partitions are pure per-partition
+    *    overhead (task launch, one output file per reducer, merge
+    *    machinery). Measured at sf10 on local[32]: 32 partitions beat
+    *    96 and 256 across the 7-query join tail (BASELINE.md r11) —
+    *    with no network to amortize, nothing pays back the extra tasks.
+    *  - **bytes ceiling**: once `estRows · avgRowBytes` exceeds
+    *    `cores · targetPartitionBytes`, partition count must track data
+    *    VOLUME or per-task shuffle blocks outgrow executor memory and
+    *    spill — the 100 TB regime. `targetPartitionBytes` is the
+    *    per-task in-memory budget (default 1 GiB: a safe fraction of
+    *    the 4 GiB/task this harness runs; size it to YOUR executor
+    *    memory / cores on a real cluster).
+    *
+    * At 100 TB / 128-byte rows / 1 GiB target this returns ~100k
+    * partitions regardless of cores — volume dominates; at harness SFs
+    * it returns the core count — the measured local optimum. The rule
+    * reproduces the hand-tuned 32 at sf10 (60M-row fact × ~128 B ≈
+    * 7.7 GB < 32 GiB core budget) and replaces it with a derivation a
+    * cluster deployment can re-run with its own numbers. */
+  def suggestedShufflePartitions(estRows: Long, avgRowBytes: Long,
+      cores: Int, targetPartitionBytes: Long = 1L << 30): Int = {
+    require(estRows >= 0 && avgRowBytes > 0 && cores >= 1 &&
+      targetPartitionBytes > 0,
+      s"estRows=$estRows avgRowBytes=$avgRowBytes cores=$cores " +
+        s"targetPartitionBytes=$targetPartitionBytes out of range")
+    val estBytes = // saturate instead of overflowing (10^19-byte corpora)
+      if (estRows > Long.MaxValue / avgRowBytes) Long.MaxValue
+      else estRows * avgRowBytes
+    // overflow-safe ceiling divide (estBytes may be Long.MaxValue)
+    val byVolume = (estBytes / targetPartitionBytes +
+      (if (estBytes % targetPartitionBytes > 0) 1L else 0L))
+      .min(Int.MaxValue.toLong).toInt
+    math.max(cores, byVolume)
+  }
+
   /** Hot-key report: the keys whose row counts exceed `threshold` — the
     * monitoring half of skew handling (decide salting data-driven, not
     * by guesswork). */

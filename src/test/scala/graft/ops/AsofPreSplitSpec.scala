@@ -102,6 +102,29 @@ class AsofPreSplitSpec extends SparkSpec {
       rightDf.filter($"k" === "nope"), Seq("k"), "t") == Long.MaxValue)
   }
 
+  test("suggestedShufflePartitions: cores floor locally, volume ceiling at cluster scale") {
+    // the r11 sf10 measurement encoded: 60M-row fact × 128 B ≈ 7.7 GB
+    // sits under the 32-core × 1 GiB budget → the rule reproduces the
+    // hand-tuned 32 (which beat 96 and 256 in the recorded sweep)
+    assert(Skew.suggestedShufflePartitions(60_000_000L, 128L, 32) == 32)
+    // harness SFs: cores floor everywhere
+    assert(Skew.suggestedShufflePartitions(600_000L, 128L, 32) == 32)
+    assert(Skew.suggestedShufflePartitions(0L, 128L, 4) == 4)
+    // cluster regime: 100 TB at 128 B/row → volume dominates ANY core
+    // count (the extrapolation the r11 recording documented)
+    val cluster = Skew.suggestedShufflePartitions(
+      100L * (1L << 40) / 128L, 128L, 32000)
+    assert(cluster == 102400) // 100 TiB / 1 GiB
+    // boundary: one byte past the core budget adds a partition
+    val coreBudget = 32L << 30
+    assert(Skew.suggestedShufflePartitions(coreBudget / 128L, 128L, 32) == 32)
+    assert(Skew.suggestedShufflePartitions(coreBudget / 128L + 1L, 128L, 32) == 33)
+    // saturation, not overflow, on absurd inputs
+    assert(Skew.suggestedShufflePartitions(Long.MaxValue, 1024L, 8) == Int.MaxValue)
+    intercept[IllegalArgumentException](
+      Skew.suggestedShufflePartitions(-1L, 128L, 32))
+  }
+
   test("pre-split at the suggested width == unsplit native output") {
     val w = Skew.suggestedAsofBucketWidth(rightDf, Seq("k"), "t",
       targetRowsPerBucket = 500L)
