@@ -181,6 +181,64 @@ object Similarity {
       .map(_.getAs[Int]("nprobe")).min
   }
 
+  /** Pooled recall@k of the multi-table LSH stack at each table count
+    * 1..maxTables — [[ivfRecallCurve]]'s sibling for the OR-amplified
+    * family. ONE candidate scan at `maxTables` band families (tbl rides
+    * through [[lshCandidateScan]]) is leafed and each ladder step
+    * slices its `tbl < L` prefix — band families 0..L-1 are EXACTLY the
+    * families `lshTopKTables(tables = L)` keys on, so each slice
+    * reproduces that operator's candidate set without re-scanning the
+    * corpus per step. The ladder is linear, not doubling: L is small by
+    * contract (≤ 16) and cost is linear in L. Unlike the nprobe ladder
+    * there is NO exactness endpoint — more tables never lose recall
+    * (candidate sets are nested; spec'd) but nothing guarantees 1.0 at
+    * any L, which is why [[suggestedLshTables]] is partial. */
+  def lshRecallCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int, maxTables: Int,
+      multiprobe: Boolean = true): DataFrame = {
+    require(maxTables >= 1 && maxTables <= 16,
+      s"maxTables=$maxTables out of [1,16]")
+    val exact = graft.plans.LeafPlanRegistry.record(
+      bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint()
+    // bounded leaf: |queries| × their probed buckets' populations — the
+    // rows every step would otherwise recompute from the corpus scan
+    val cands = graft.plans.LeafPlanRegistry.record(
+      lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits,
+        tables = maxTables, multiprobe = multiprobe)).localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    (1 to maxTables).map { nTables =>
+      val approx = cands.filter(col("tbl") < nTables)
+        .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+      recallAtK(approx, exact)
+        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+        .select(lit(nTables).as("tables"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The LSH recall-side sizing rule: the smallest table count whose
+    * pooled recall@k reaches `targetRecall` — or None when even
+    * `maxTables` falls short (no exactness endpoint exists in the LSH
+    * family; an honest rule reports that instead of silently returning
+    * the best miss — callers escalate to more tables, fewer bits, or
+    * the IVF family's total [[suggestedNprobe]]). Collect is the
+    * ladder table, ≤ maxTables ≤ 16 rows. */
+  def suggestedLshTables(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int, maxTables: Int,
+      targetRecall: Double): Option[Int] = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1]")
+    val qualifying = lshRecallCurve(queries, corpus, idCol, vecCol, k, dim,
+        bits, maxTables)
+      .collect()
+      .filter(_.getAs[Double]("recall") >= targetRecall)
+      .map(_.getAs[Int]("tables"))
+    if (qualifying.isEmpty) None else Some(qualifying.min)
+  }
+
   /** Metadata-filtered vector search — the production serve shape ("top-k
     * among documents matching this tenant / language / date range").
     * PRE-filtering, not post-filtering: the predicate is applied to the
@@ -238,7 +296,7 @@ object Similarity {
     * on the batch paths (queries are small by contract) and false from
     * streaming — a stream cannot be broadcast, and the stream-static
     * join wants the corpus static. Output `(query_id, neighbor_id,
-    * cos)`, ids cast long (the state-store key type); duplicates are
+    * cos, tbl)`, ids cast long (the state-store key type); duplicates are
     * possible ACROSS tables only — multi-table callers dedup
     * (lshTopKTables' aggregate, the streaming processor's per-neighbor
     * merge). Null ids/vectors drop on both sides: a null id cannot key
@@ -265,10 +323,13 @@ object Similarity {
       .select(col("query_id"), col("q_vec"), col("tbl"),
         explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
     val q = if (broadcastQueries) broadcast(qBase) else qBase
+    // tbl rides along so ladder consumers (lshRecallCurve) can slice a
+    // tables-prefix without re-scanning; single-table and typed
+    // consumers ignore it (Dataset.as[AnnCandidate] drops extras)
     q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cos"))
+        cosine(col("q_vec"), col("c_vec")).as("cos"), col("tbl"))
   }
 
   /** Multi-table (OR-amplified) LSH top-k: `tables` INDEPENDENT
@@ -779,6 +840,27 @@ object Similarity {
         .orderBy("nprobe")
     },
 
+    // q168's sibling for the OR-amplified LSH family (r12): the table
+    // ladder's pooled recall@k with the suggestedLshTables choice.
+    // ONE candidate scan at maxTables=4 band families, each step
+    // slicing its tbl < L prefix (families 0..L-1 ARE lshTopKTables(L)'s
+    // key set). Unlike q168 no step is guaranteed exact, so the chosen
+    // flag can be all-zero — coalesced to 0 on both sides, which is the
+    // honest "no L qualifies, escalate" answer, not an error.
+    "q169_ann_lsh_tables_sized" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val curve = lshRecallCurve(queries, emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 4, maxTables = 4)
+      val chosen = curve.filter(col("recall") >= 0.9)
+        .agg(min("tables").as("_chosen"))
+      curve.crossJoin(broadcast(chosen))
+        .select(col("tables"), col("n_exact"), col("n_hit"), col("recall"),
+          coalesce((col("tables") === col("_chosen")).cast("int"), lit(0))
+            .as("chosen"))
+        .orderBy("tables")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -1040,6 +1122,7 @@ object Similarity {
     "q165_ann_recall_lsh_multitable" -> recallOracle(q164Oracle, q61Oracle),
     "q166_ann_ivf_sized" -> q166Oracle,
     "q168_ann_nprobe_sized" -> q168Oracle,
+    "q169_ann_lsh_tables_sized" -> q169Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1248,6 +1331,69 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q169 oracle: the table-LADDER replay — q164's L independent band
+    * families built once (tagged by table index), each ladder step
+    * union-DISTINCTs its `tbl < L` prefix, exact-cosine ranks, takes
+    * top-k, and joins the brute truth for pooled recall; the chosen row
+    * is the min step reaching 0.9 — possibly NONE (no exactness
+    * endpoint in the LSH family), in which case every chosen flag is 0
+    * on both engines. Mirrors [[Similarity.lshRecallCurve]] /
+    * [[Similarity.suggestedLshTables]] step for step. */
+  private def q169Oracle: String = {
+    val dim = 64; val bits = 4; val maxTables = 4; val k = 3; val target = 0.9
+    val per = (0 until maxTables).map(t =>
+      t -> lshOracleCtes(dim, bits, s"t${t}c", planeOffset = t * 24))
+    val allCtes = per.map(_._2._1).mkString(",\n")
+    val masks = (0L +: (0 until bits).map(b => 1L << b)).mkString("[", ", ", "]")
+    val kCtes = per.map { case (t, (_, bucket, tabs)) =>
+      s"""k$t AS (SELECT e.vec_id, $bucket AS bucket
+         |  FROM embeddings e, $tabs)""".stripMargin
+    }.mkString(",\n")
+    val candCtes = (0 until maxTables).map { t =>
+      s"""c$t AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM k$t q, unnest($masks::BIGINT[]) AS m(m), k$t c
+         |  WHERE q.vec_id < 8 AND c.bucket::BIGINT = xor(q.bucket::BIGINT, m.m)
+         |    AND c.vec_id <> q.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until maxTables)
+      .map(t => s"SELECT $t AS tbl, query_id, neighbor_id FROM c$t")
+      .mkString(" UNION ALL ")
+    val ladder = (1 to maxTables).mkString("[", ", ", "]")
+    s"""WITH $allCtes,
+       |$kCtes,
+       |$candCtes,
+       |cand_all AS ($unions),
+       |steps AS (SELECT unnest($ladder) AS tables),
+       |cand AS (SELECT DISTINCT s.tables, ca.query_id, ca.neighbor_id
+       |  FROM steps s JOIN cand_all ca ON ca.tbl < s.tables),
+       |scored AS (SELECT cand.tables, cand.query_id, cand.neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding", dim)} AS cos
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT tables, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY tables, query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored),
+       |approx AS (SELECT tables, query_id, neighbor_id FROM ranked WHERE rnk <= $k),
+       |brute AS (SELECT * FROM (${bruteOracle("vec_id < 8", k)})),
+       |j AS (
+       |  SELECT s.tables, b.query_id, b.neighbor_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM steps s CROSS JOIN brute b
+       |  LEFT JOIN approx a ON a.tables = s.tables
+       |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+       |curve AS (
+       |  SELECT tables, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM j GROUP BY tables)
+       |SELECT tables, n_exact, n_hit, recall,
+       |  CAST(CASE WHEN tables = (SELECT min(tables) FROM curve WHERE recall >= $target)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM curve ORDER BY tables""".stripMargin
   }
 
   /** q166 oracle: corpus-SIZED IVF geometry replayed end to end — nlist

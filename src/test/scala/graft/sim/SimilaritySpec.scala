@@ -204,6 +204,39 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("lshRecallCurve: each prefix slice == the standalone lshTopKTables recall; monotone; partial rule") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val emb = graft.sources.Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val curve = Similarity.lshRecallCurve(queries, emb, "vec_id", "embedding",
+        k = 3, dim = 64, bits = 4, maxTables = 3)
+      .orderBy("tables").collect()
+      .map(r => (r.getAs[Int]("tables"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 3))
+    // the slicing identity: step L's pooled recall equals running the
+    // standalone L-table operator through the same metric
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+    curve.foreach { case (nt, nHit, _) =>
+      val standalone = Similarity.recallAtK(
+        Similarity.lshTopKTables(queries, emb, "vec_id", "embedding",
+          k = 3, dim = 64, bits = 4, tables = nt),
+        exact).agg(fsum("n_hit")).head().getLong(0)
+      assert(standalone == nHit, s"tables=$nt: curve $nHit != standalone $standalone")
+    }
+    // candidate sets are nested, so recall never decreases with L
+    assert(curve.sliding(2).forall { case Array((_, _, a), (_, _, b)) => b >= a })
+    // the partial rule: an unreachable target reports None (never a
+    // silent best-miss), a trivial one reports the min step
+    assert(Similarity.suggestedLshTables(queries, emb, "vec_id", "embedding",
+      k = 3, dim = 64, bits = 4, maxTables = 3, targetRecall = 1.0).isEmpty ||
+      curve.last._3 == 1.0)
+    val trivial = Similarity.suggestedLshTables(queries, emb, "vec_id",
+      "embedding", k = 3, dim = 64, bits = 4, maxTables = 3,
+      targetRecall = math.max(curve.head._3, 1e-9))
+    assert(trivial.contains(1))
+  }
+
   test("nprobeLadder: doubling steps ending exactly at nlist") {
     assert(Similarity.nprobeLadder(1) == Seq(1))
     assert(Similarity.nprobeLadder(2) == Seq(1, 2))
