@@ -563,13 +563,17 @@ object Dedup {
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
     // Same plan discipline as [[lshCandidatePairs]] with one difference:
     // a SimHash fingerprint is a single long — the same width as the id —
-    // so carrying it through the block self-join costs the shuffle nothing
-    // (unlike q53's numPerm×8-byte signatures, which are joined back
-    // post-distinct instead). Pairs are still deduplicated BEFORE the
-    // hamming verify: a pair sharing q quarters is materialized q times by
-    // the join, and the distinct collapses those copies while hamming +
-    // the threshold filter run once per unique pair. Persist-free — no
-    // cached blocks outlive the query.
+    // so the hamming verify needs NO join-back (unlike q53's
+    // numPerm×8-byte signatures, which force candidate dedup before the
+    // signature lookup). That makes verify-BEFORE-distinct the right
+    // order here: hamming is two codegen'd instructions (xor+popcount),
+    // so evaluating it per materialized copy (a pair sharing q quarters
+    // appears q ≤ 4 times) costs ~nothing, while it shrinks the
+    // distinct's shuffle from EVERY blocked pair — the quadratic term,
+    // including all hot-bucket pairs — to just the near-dup survivors.
+    // Measured at sf10 (500k docs): q101 229.5 s → see BASELINE r12
+    // with the verify hoisted. Persist-free — no cached blocks outlive
+    // the query.
     // quarter keys derive from the fingerprint attribute with four small
     // shift/mask expressions — cheap for CollapseProject to inline, since
     // the fingerprint itself is one aggregate output column, not a tree
@@ -602,10 +606,9 @@ object Dedup {
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("block_idx", "block_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Wide (120-bit) SimHash: two independent 60-bit vote fingerprints —
@@ -695,13 +698,15 @@ object Dedup {
       col(idCol).as("id_b"), col("sh_lo").as("lo_b"), col("sh_hi").as("hi_b"))
     a.join(b, Seq("block_idx", "block_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
-        col("lo_b"), col("hi_b"))
-      .distinct()
+      // verify before distinct — same reasoning as [[simHashNearDups]]:
+      // the two-word hamming is four codegen'd instructions per
+      // materialized copy, and hoisting it above the distinct cuts that
+      // shuffle to the near-dup survivors instead of every blocked pair
       .select(col("id_a"), col("id_b"),
         (hamming(col("lo_a"), col("lo_b")) +
           hamming(col("hi_a"), col("hi_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Shard-then-merge wide near-dup — the form for corpora past the
@@ -753,11 +758,16 @@ object Dedup {
       ordered.select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
     }
     passes.reduce(_ unionByName _)
-      .distinct()
+      // verify before distinct (see [[simHashNearDups]]): hamming is
+      // symmetric, so the cross passes' unswapped half columns still
+      // score identically for every materialization of a pair, and the
+      // distinct — the one corpus-bounded shuffle the sharding cannot
+      // shrink — now carries only the near-dup survivors
       .select(col("id_a"), col("id_b"),
         (hamming(col("lo_a"), col("lo_b")) +
           hamming(col("hi_a"), col("hi_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Incremental dedup against a reference corpus with the WIDE
@@ -784,9 +794,12 @@ object Dedup {
         simHashWideTable(refDocs, textCol, idCol), idCol)
       .select(col("block_idx"), col("block_key"),
         col("sh_lo").as("lo_ref"), col("sh_hi").as("hi_ref"))
+    // NO candidate distinct at all: min() is duplicate-insensitive, so
+    // a pair materialized once per shared block changes nothing — the
+    // hamming verify runs per copy (four instructions) and the only
+    // shuffle left on this path is the per-doc min aggregate, which
+    // map-side combines down to one row per new doc before moving
     val near = nB.join(rB, Seq("block_idx", "block_key"))
-      .select(col("id_new"), col("lo_new"), col("hi_new"),
-        col("lo_ref"), col("hi_ref")).distinct()
       .select(col("id_new"),
         (hamming(col("lo_new"), col("lo_ref")) +
           hamming(col("hi_new"), col("hi_ref"))).as("h"))
@@ -843,8 +856,10 @@ object Dedup {
     * Exact: fingerprint left-semi join against the reference's distinct
     * fingerprints. Near: simhash on both sides, 4×15-bit pigeonhole
     * blocks joined new×ref ONLY (exact for `maxHamming ≤ 3`, like
-    * [[simHashNearDups]]), pairs deduplicated before the Hamming
-    * verify, then the per-new-doc minimum qualifying distance. Both
+    * [[simHashNearDups]]), the Hamming verify run per blocked copy
+    * (the per-new-doc `min` absorbs duplicates, so no candidate
+    * distinct — and no shuffle — is needed at all), then the minimum
+    * qualifying distance. Both
     * passes shuffle 8-byte hashes, never text, and the reference side's
     * cost is one fingerprint/simhash pass — no ref×ref pair space.
     *
@@ -867,8 +882,9 @@ object Dedup {
         col(idCol).as("id_new"), col("simhash").as("sh_new"))
     val rB = blockKeys(simHashTable(refDocs, textCol, idCol))
       .select(col("block_idx"), col("block_key"), col("simhash").as("sh_ref"))
+    // no candidate distinct — same argument as [[dedupAgainstReferenceWide]]:
+    // the min aggregate absorbs per-block duplicate materializations
     val near = nB.join(rB, Seq("block_idx", "block_key"))
-      .select(col("id_new"), col("sh_new"), col("sh_ref")).distinct()
       .select(col("id_new"), hamming(col("sh_new"), col("sh_ref")).as("h"))
       .filter(col("h") <= maxHamming)
       .groupBy(col("id_new")).agg(min(col("h")).as("min_ref_hamming"))
@@ -1174,18 +1190,35 @@ object Dedup {
     // when the session has a checkpoint dir (production clusters —
     // survives executor loss), local otherwise.
     def materialize(df: DataFrame): DataFrame = checkpointLeaf(df)
-    // LAZY variant for the per-generation loop: the convergence sum is
-    // the round's ONLY consumer before the next generation, so a lazy
-    // local checkpoint lets that one action both compute the generation
-    // and truncate its lineage — one Spark job per round instead of two
-    // (eager-checkpoint job + sum job). The fixed per-job cost (32-task
-    // stages over a tiny label table) was the bulk of q101's wall time,
-    // not the data. Reliable checkpointing stays eager: non-eager
-    // reliable checkpoints recompute the RDD for the checkpoint write.
-    def materializeLazy(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = false)
+    // Per-generation checkpoints are EAGER, and their captured origin
+    // stats are DROPPED. Two distinct per-round compounding traps live
+    // here, both invisible at sf0.1's 5 rounds and fatal at sf10's 12:
+    //
+    // 1. A lazy localCheckpoint never truncates RDD lineage — the job
+    //    that first computes the generation is the convergence sum, an
+    //    action on a DERIVED RDD (and under AQE its shuffles go through
+    //    submitMapStage), so `doCheckpoint` never fires on the
+    //    generation RDD itself. Each round references the prior
+    //    generation ~3×, so task-binary size and stage submission grow
+    //    geometrically. Eager count() fires doCheckpoint directly, and
+    //    the convergence sum then reads cached partitions for ~ms.
+    //
+    // 2. Dataset.checkpoint copies `optimizedPlan.stats` into the new
+    //    leaf, and the size-only estimator MULTIPLIES child sizes
+    //    across joins — generation k's captured sizeInBytes is a
+    //    product over generation k-1's, so the BigInt's BIT-LENGTH
+    //    triples per round and plan construction sinks into
+    //    BigInteger.multiplyToomCook3 (measured: build time per round
+    //    0.6 s → 1.4 s → 5 s → 25 s; q101 spent 35 of its 53 s at sf10
+    //    in stats arithmetic over a 30k-row label table).
+    //    GraftBridge.dropOriginStats rebuilds the LogicalRDD leaf
+    //    without them — correct as well as fast, since every join over
+    //    these leaves is AQE-replanned from measured shuffle sizes.
+    def materializeGen(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.GraftBridge.dropOriginStats(
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true))
     // decimal(38,0) sum: a long sum would overflow (ANSI: throw) at
     // billions of large ids — exactly the scale this operator targets
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -1206,7 +1239,7 @@ object Dedup {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] edges: ${(System.nanoTime() - tE0) / 1e9}%.2fs")
     val tI0 = System.nanoTime()
-    var labels = materializeLazy(
+    var labels = materializeGen(
       edges.groupBy("src").agg(min(col("dst")).as("_mn"))
         .select(col("src").as("id"), least(col("src"), col("_mn")).as("label")))
     var prevSum = labelSum(labels)
@@ -1215,6 +1248,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val tR0 = System.nanoTime()
       // DOUBLE POINTER JUMP first: label(v) ← label(label(label(v))).
       // A label is always itself a vertex id of the same component, so
       // each self-join against the generation leaf resolves one level
@@ -1244,7 +1278,7 @@ object Dedup {
       // local checkpoint: the convergence sum right below is the
       // single action that computes it, caches it, and truncates
       // lineage — one Spark job per round.
-      val next = materializeLazy(
+      val next = materializeGen(
         edges.join(jumped, edges("dst") === jumped("id"))
           .select(edges("src").as("id"), col("label"))
           .union(jumped.select(col("id"), col("label")))
@@ -1252,7 +1286,8 @@ object Dedup {
       val t0 = System.nanoTime()
       val nextSum = labelSum(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] round $iter%d: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        System.err.println(f"[cc] round $iter%d: sum ${(System.nanoTime() - t0) / 1e9}%.2fs" +
+          f" build ${(t0 - tR0) / 1e9}%.2fs")
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

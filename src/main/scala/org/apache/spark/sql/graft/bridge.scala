@@ -21,6 +21,32 @@ object GraftBridge {
   /** Analyzed plan of a DataFrame (for building composite plans). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Rebuild a checkpointed DataFrame's `LogicalRDD` leaf WITHOUT its
+    * captured `originStats`/`originConstraints` — the chain breaker for
+    * iterative algorithms. `Dataset.checkpoint`/`localCheckpoint`
+    * unconditionally copy `optimizedPlan.stats` into the leaf
+    * ([[org.apache.spark.sql.execution.LogicalRDD]].fromDataset), and
+    * the default size-only estimator MULTIPLIES child `sizeInBytes`
+    * across joins — so checkpoint-of-a-plan-over-checkpoints compounds
+    * the stat VALUE every generation. The BigInt's bit-length then
+    * grows geometrically and the driver ends up in
+    * `BigInteger.multiplyToomCook3` during plain plan construction
+    * (measured: 25 s of stats arithmetic in one 30k-row generation by
+    * round 11 of a connected-components loop). Dropping the origin
+    * stats resets the leaf to `defaultSizeInBytes`, which is the right
+    * call anyway — these leaves feed AQE-replanned joins that use
+    * MEASURED shuffle sizes at runtime, not static estimates. The RDD
+    * (and its truncated lineage) is reused as-is; no data moves. */
+  def dropOriginStats(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession, new org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
+      case _ => df
+    }
+
   /** Introspection of a SparkSessionExtensions instance (test support for
     * the declarative `spark.sql.extensions` install path). */
   def builtStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
