@@ -1302,6 +1302,71 @@ object Dedup {
         (col("id") === col("label")).as("keep"))
   }
 
+  /** Incremental connected components — the daily-crawl shape for the
+    * CLUSTER table: fold a new batch's near-dup pairs into an existing
+    * clustering without re-running the closure over the historical pair
+    * graph. The identity that makes it exact: a component is fully
+    * described by its star edges (member → representative), and
+    * `CC(oldPairs ∪ newPairs) == CC(starEdges(CC(oldPairs)) ∪ newPairs)`
+    * — connectivity classes are preserved when each old component is
+    * collapsed to its star, and the min-id label of every class is
+    * unchanged because the representative IS the class minimum. So the
+    * output CONTRACT equals a full recompute, row for row (q170 pins
+    * this against the batch oracle verbatim), while the work drops from
+    * closure-over-history to closure over |old components' members| star
+    * edges + the new pairs — and the star forest has diameter 1, so the
+    * propagation rounds track the NEW batch's bridging depth, not the
+    * historical graph's.
+    *
+    * `components` is [[connectedComponents]] output (only `id` and
+    * `component` are read); `newPairs` is any pair list touching the
+    * new batch — at minimum new×new and new×old pairs (old×old
+    * connectivity is already in the star; see
+    * [[simHashNearDupsAgainst]] for the pair generator with exactly
+    * that contract). Old components may MERGE when a new pair bridges
+    * them (labels only ever decrease); they never split. */
+  def appendComponents(components: DataFrame, newPairs: DataFrame,
+      idACol: String, idBCol: String): DataFrame = {
+    val star = components.filter(col("id") =!= col("component"))
+      .select(col("id").as(idACol), col("component").as(idBCol))
+    // representatives of singleton-free components appear only on the
+    // star's dst side; ids in no old pair arrive via newPairs or not at
+    // all — both sides of the union carry the same two-column shape
+    connectedComponents(
+      star.unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol)
+  }
+
+  /** Near-dup pairs of a NEW batch against the full corpus (itself
+    * included): every pair with at least one end in `newDocs`, i.e.
+    * new×new and new×old — and never old×old, which is the whole point:
+    * at 100 TB the historical pair graph is already collapsed into the
+    * cluster table ([[appendComponents]]) and regenerating its pairs
+    * daily is the cost this operator deletes. Same 4×15-bit pigeonhole
+    * blocking and verify-before-distinct discipline as
+    * [[simHashNearDups]] (exact for `maxHamming ≤ 3`); pair order is
+    * normalized with least/greatest since a new doc can sit on either
+    * side of an id comparison. Output `(id_a, id_b, hamming)`,
+    * id_a < id_b, the family's shared contract. */
+  def simHashNearDupsAgainst(newDocs: DataFrame, allDocs: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val nB = simHashBlockKeys(simHashTable(newDocs, textCol, idCol), idCol)
+      .select(col("block_idx"), col("block_key"),
+        col(idCol).as("id_n"), col("simhash").as("sh_n"))
+    val aB = simHashBlockKeys(simHashTable(allDocs, textCol, idCol), idCol)
+      .select(col("block_idx"), col("block_key"),
+        col(idCol).as("id_o"), col("simhash").as("sh_o"))
+    nB.join(aB, Seq("block_idx", "block_key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        hamming(col("sh_n"), col("sh_o")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Canonical-document selection — the survivorship rule a production
     * dedup actually wants: within each duplicate cluster keep the
     * BEST member by a quality attribute (longest / highest-scoring),
@@ -1625,6 +1690,28 @@ object Dedup {
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // the INCREMENTAL dedup-cluster maintenance shape (r12): 90% of the
+    // corpus is "history" already collapsed into a cluster table, the
+    // doc_id%10==0 slice arrives as today's batch — new pairs come from
+    // the batch-vs-corpus block join (never old×old), and
+    // appendComponents folds them into the standing clusters via the
+    // star-edges identity. The oracle is q101's full-corpus closure
+    // VERBATIM, so a green hash proves incremental == batch recompute.
+    "q170_incremental_components" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+      val standing = connectedComponents(
+        simHashNearDups(oldDocs, "text", "doc_id", maxHamming = 2),
+        "id_a", "id_b")
+      val newPairs = simHashNearDupsAgainst(newDocs, docs, "text", "doc_id",
+        maxHamming = 2)
+      appendComponents(standing, newPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1915,30 +2002,12 @@ object Dedup {
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM grp ORDER BY doc_id""".stripMargin,
-    "q101_dedup_clusters" ->
-      s"""WITH RECURSIVE $simHashOracleCore,
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lbl AS (
-         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
-         |  FROM reach GROUP BY src),
-         |sizes AS (
-         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-         |  FROM lbl GROUP BY component)
-         |SELECT l.doc_id, l.component, s.cluster_size,
-         |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM lbl l JOIN sizes s USING (component)
-         |ORDER BY doc_id""".stripMargin,
+    "q101_dedup_clusters" -> narrowClustersOracle,
+    // the INCREMENTAL execution shares q101's oracle VERBATIM (the q167
+    // pattern): appendComponents' contract is result identity with the
+    // batch recompute, so a green row proves the star-edges identity
+    // CC(old ∪ new) == CC(star(CC(old)) ∪ new) end to end on real data
+    "q170_incremental_components" -> narrowClustersOracle,
     // q138: the q101 closure re-ranked by n_chars (ties → lowest id)
     "q138_canonical_selection" ->
       s"""WITH RECURSIVE $simHashOracleCore,
@@ -2236,6 +2305,35 @@ object Dedup {
     // proves sharding moves job geometry only, end to end
     "q167_dedup_clusters_wide_sharded" -> wideClustersOracle
   )
+
+  /** q101/q170 oracle: the recursive-CTE transitive closure over the
+    * narrow (60-bit, Hamming ≤ 2) pair list. Shared on purpose — the
+    * incremental pipeline's contract is result identity with the batch
+    * recompute, so both keys replay the SAME SQL. */
+  private def narrowClustersOracle: String =
+      s"""WITH RECURSIVE $simHashOracleCore,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lbl AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |sizes AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT l.doc_id, l.component, s.cluster_size,
+         |  CAST(CASE WHEN l.doc_id = l.component THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM lbl l JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin
 
   /** q155/q167 oracle: the recursive-CTE transitive closure over the
     * wide (120-bit, Hamming ≤ 3) pair list. Shared on purpose — the

@@ -478,6 +478,64 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 11)
   }
 
+  test("appendComponents: bridge merges standing clusters; new singleton pair; unpaired absent") {
+    // standing clusters {2,3,7} and {9,40} from "yesterday's" pairs
+    val oldPairs = Seq((3L, 7L), (7L, 2L), (9L, 40L)).toDF("id_a", "id_b")
+    val standing = Dedup.connectedComponents(oldPairs, "id_a", "id_b")
+    // today: 100-7 bridges NOTHING new in, 7-9 BRIDGES the two standing
+    // clusters (labels must merge to the global min 2), 60-61 is a brand
+    // new isolated pair; doc 999 arrives pairless and must NOT be emitted
+    val newPairs = Seq((100L, 7L), (7L, 9L), (60L, 61L)).toDF("id_a", "id_b")
+    val got = Dedup.appendComponents(standing, newPairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byId = got.map(t => t._1 -> t).toMap
+    Seq(2L, 3L, 7L, 9L, 40L, 100L).foreach { v =>
+      assert(byId(v)._2 == 2L && byId(v)._3 == 6L, s"v=$v got ${byId(v)}")
+    }
+    Seq(60L, 61L).foreach(v => assert(byId(v)._2 == 60L && byId(v)._3 == 2L))
+    assert(got.length == 8)
+    // the identity the operator ships on: incremental == full recompute
+    val full = Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == full.toSeq)
+  }
+
+  test("simHashNearDupsAgainst: exactly the pairs touching the new batch, on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.simHashNearDupsAgainst(newDocs, docs, "text", "doc_id",
+        maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute truth: the full pair list, filtered to pairs with >= 1 new end
+    val all = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = all.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // and NEVER an old×old pair, whatever the corpus
+    assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+  }
+
+  test("q170 composition: incremental clusters == batch recompute on real docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val standing = Dedup.connectedComponents(
+      Dedup.simHashNearDups(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", maxHamming = 2), "id_a", "id_b")
+    val inc = Dedup.appendComponents(standing,
+      Dedup.simHashNearDupsAgainst(docs.filter(col("doc_id") % 10 === 0),
+        docs, "text", "doc_id", maxHamming = 2), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val batch = Dedup.connectedComponents(
+      Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 2),
+      "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(inc == batch)
+  }
+
   test("canonicalPerCluster: highest score survives, ties break to lowest id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val attrs = Seq(
