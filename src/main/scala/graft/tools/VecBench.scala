@@ -145,6 +145,34 @@ object VecBench {
       Some(line)
     } else None
 
+    // optional `lshsweep` mode: the q169 sizing rule at THIS corpus
+    // size — lshRecallCurve walks table counts 1..8 from ONE candidate
+    // scan at 8 band families, and the chosen row is suggestedLshTables'
+    // min step reaching 0.9 (possibly none: the LSH family has no
+    // exactness endpoint, and at corpora where constant-population
+    // buckets hold a vanishing fraction of the true top-k, the honest
+    // answer IS "no L ≤ 8 qualifies — escalate to IVF's total rule").
+    // The timing includes the rule's own brute-force calibration pass:
+    // the number reported is what a deployment actually pays to SIZE
+    // the geometry, not just to run the sized geometry once.
+    val lshSweepJson: Option[String] = if (args.tail.contains("lshsweep")) {
+      val maxT = 8
+      val (curve, tCurve) = timed {
+        Similarity.lshRecallCurve(queries, corpus, "vec_id", "embedding",
+          k, dim, bits, maxTables = maxT).orderBy("tables").collect()
+      }
+      val chosen = curve.filter(_.getAs[Double]("recall") >= 0.9)
+        .map(_.getAs[Int]("tables")).sorted.headOption
+      val pts = curve.map { r =>
+        f"""{"tables":${r.getAs[Int]("tables")},"recall":${r.getAs[Double]("recall")}%.4f}"""
+      }
+      val line = s"""{"metric":"vecbench_lsh_tables","n":$n,"bits":$bits,""" +
+        f""""sec":$tCurve%.3f,"target":0.9,""" +
+        s""""chosen":${chosen.getOrElse(-1)},"points":[${pts.mkString(",")}]}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -198,7 +226,8 @@ object VecBench {
       // sweep line rides in the same artifact (one JSON object per line)
       // — the recall-vs-nprobe curve is the point of the mode, so it
       // must land in the pinned file, not just scroll past on stdout
-      val payload = (json +: sweepJson.toSeq).mkString("", "\n", "\n")
+      val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq))
+        .mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[vecbench] wrote $p")
