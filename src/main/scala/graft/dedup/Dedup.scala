@@ -599,6 +599,18 @@ object Dedup {
     // deployments where duplicated work is not free.
     val fps0 = simHashTable(docs, textCol, idCol)
     val fps = if (leafFingerprints) checkpointLeaf(fps0) else fps0
+    simHashNearDupsFromFps(fps, idCol, maxHamming)
+  }
+
+  /** [[simHashNearDups]] over a PRECOMPUTED fingerprint table
+    * (`(idCol, simhash)` — [[simHashTable]]'s contract): the standing-
+    * state form, pairing a stored fingerprint table without re-running
+    * the tokenize→vote pipeline. Same blocking, same
+    * verify-before-distinct order, same output contract. */
+  def simHashNearDupsFromFps(fps: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
     val blocked = simHashBlockKeys(fps, idCol)
     val a = blocked.select(col("block_idx"), col("block_key"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
@@ -1349,13 +1361,26 @@ object Dedup {
     * side of an id comparison. Output `(id_a, id_b, hamming)`,
     * id_a < id_b, the family's shared contract. */
   def simHashNearDupsAgainst(newDocs: DataFrame, allDocs: DataFrame,
-      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    simHashNearDupsAgainstFps(simHashTable(newDocs, textCol, idCol),
+      simHashTable(allDocs, textCol, idCol), idCol, maxHamming)
+
+  /** [[simHashNearDupsAgainst]] over PRECOMPUTED fingerprint tables
+    * (`(idCol, simhash)` — [[simHashTable]]'s contract): the form the
+    * standing-state deployment calls. Fingerprints are pure per-doc
+    * values, so the corpus side is a stored table maintained by
+    * appending each batch's rows — at 100 TB the daily append then
+    * tokenizes ONLY the batch, and the corpus-side cost drops from a
+    * full re-tokenize to a 16-bytes-per-doc scan (tools.IncBench
+    * measures the phase split; numbers in BASELINE.md r12). */
+  def simHashNearDupsAgainstFps(newFps: DataFrame, allFps: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4,
       "4-block pigeonhole blocking is only complete for maxHamming <= 3")
-    val nB = simHashBlockKeys(simHashTable(newDocs, textCol, idCol), idCol)
+    val nB = simHashBlockKeys(newFps, idCol)
       .select(col("block_idx"), col("block_key"),
         col(idCol).as("id_n"), col("simhash").as("sh_n"))
-    val aB = simHashBlockKeys(simHashTable(allDocs, textCol, idCol), idCol)
+    val aB = simHashBlockKeys(allFps, idCol)
       .select(col("block_idx"), col("block_key"),
         col(idCol).as("id_o"), col("simhash").as("sh_o"))
     nB.join(aB, Seq("block_idx", "block_key"))
