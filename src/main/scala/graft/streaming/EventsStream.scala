@@ -743,6 +743,85 @@ object EventsStream {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** Incremental dedup-CLUSTER maintenance at ingest — the streaming
+    * face of [[graft.dedup.Dedup.appendComponents]] (14th capability).
+    * Standing state under `statePath` is two parquet tables: `fps/`
+    * (the corpus fingerprint table, append-only) and `clusters/` (the
+    * [[graft.dedup.Dedup.connectedComponents]] output contract,
+    * replaced per batch via temp-swap). Each micro-batch: fingerprint
+    * ONLY the arriving docs, anti-join away ids already in the stored
+    * fps (the at-least-once guard), block-join the genuinely-new
+    * fingerprints against stored ∪ new
+    * ([[graft.dedup.Dedup.simHashNearDupsAgainstFps]] — old×old pairs
+    * are never regenerated), and fold the pairs into the standing
+    * clusters via the star-edges identity.
+    *
+    * This is deliberately `foreachBatch`, not a stateful operator: a
+    * transitive closure has GLOBAL state (any arriving doc can merge
+    * any two standing clusters), which no per-key state store models
+    * honestly — while per-batch jobs over parquet state scale exactly
+    * like the batch operators they reuse. Replay-idempotent at every
+    * crash window: a re-delivered doc anti-joins to nothing (pairs
+    * already folded), and re-folding pairs whose connectivity the
+    * clusters already contain is a fixpoint of appendComponents
+    * (spec'd). Crash between the clusters swap and the fps append
+    * replays into the same fixpoint. The swap itself recovers a
+    * half-completed rename on the next batch.
+    *
+    * Returns the per-batch fold so [[incrementalClustersSink]] and
+    * tests share one body. */
+  def foldBatchIntoClusters(batch: DataFrame, textCol: String, idCol: String,
+      statePath: String, maxHamming: Int = 2): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    val fpsPath = s"$statePath/fps"
+    val clPath = s"$statePath/clusters"
+    val clTmp = s"$statePath/clusters_tmp"
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(hconf)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // recovery: a crash after the old clusters were dropped but before
+    // the tmp rename leaves only clusters_tmp — finish the swap first
+    if (!exists(clPath) && exists(clTmp))
+      fs.rename(new org.apache.hadoop.fs.Path(clTmp),
+        new org.apache.hadoop.fs.Path(clPath))
+    val newFps0 = Dedup.simHashTable(batch, textCol, idCol)
+    val newFps = (if (exists(fpsPath))
+        newFps0.join(spark.read.parquet(fpsPath).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      else newFps0).localCheckpoint(true)
+    if (newFps.isEmpty) return // pure redelivery — state already folded
+    val allFps = if (exists(fpsPath))
+      spark.read.parquet(fpsPath).unionByName(newFps) else newFps
+    val pairs = Dedup.simHashNearDupsAgainstFps(newFps, allFps, idCol,
+      maxHamming)
+    val next = (if (exists(clPath))
+        Dedup.appendComponents(spark.read.parquet(clPath), pairs,
+          "id_a", "id_b")
+      else Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    next.write.mode("overwrite").parquet(clTmp)
+    fs.delete(new org.apache.hadoop.fs.Path(clPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(clTmp),
+      new org.apache.hadoop.fs.Path(clPath))
+    newFps.write.mode("append").parquet(fpsPath)
+  }
+
+  /** [[foldBatchIntoClusters]] as a streaming sink: file-stream (or any
+    * streaming) docs in, standing `fps/` + `clusters/` parquet state
+    * out, one fold per micro-batch. AvailableNow gives the poll-then-
+    * stop shape; a processing-time trigger gives continuous
+    * maintenance. */
+  def incrementalClustersSink(docs: DataFrame, textCol: String,
+      idCol: String, statePath: String, checkpointLocation: String,
+      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        foldBatchIntoClusters(b, textCol, idCol, statePath, maxHamming))
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (test/dev harness for AvailableNow
     * pipelines). */

@@ -276,6 +276,48 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("incremental clusters sink: standing state == batch CC after each micro-batch; replay is a fixpoint") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 0)
+    val base = Files.createTempDirectory("incclusters")
+    val src = s"$base/src"; val state = s"$base/state"; val ckp = s"$base/ckp"
+    def standing() = spark.read.parquet(s"$state/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    def batchCC(d: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.simHashNearDups(d, "text", "doc_id", maxHamming = 2),
+        "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).sortBy(_._1).toSeq
+    // micro-batch 1 via the real file-stream sink
+    b1.write.parquet(src)
+    EventsStream.incrementalClustersSink(
+      spark.readStream.schema(docs.schema).parquet(src),
+      "text", "doc_id", state, ckp, maxHamming = 2).awaitTermination()
+    assert(standing() == batchCC(b1))
+    // micro-batch 2 arrives: clusters fold incrementally, result == the
+    // batch recompute over EVERYTHING seen so far
+    b2.write.mode("append").parquet(src)
+    EventsStream.incrementalClustersSink(
+      spark.readStream.schema(docs.schema).parquet(src),
+      "text", "doc_id", state, ckp, maxHamming = 2).awaitTermination()
+    assert(standing() == batchCC(docs))
+    // at-least-once: re-delivering batch 2's docs is a no-op fixpoint
+    EventsStream.foldBatchIntoClusters(b2, "text", "doc_id", state,
+      maxHamming = 2)
+    assert(standing() == batchCC(docs))
+    // and a half-completed temp swap recovers on the next fold
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$state/clusters"),
+      new org.apache.hadoop.fs.Path(s"$state/clusters_tmp"))
+    EventsStream.foldBatchIntoClusters(b2, "text", "doc_id", state,
+      maxHamming = 2)
+    assert(standing() == batchCC(docs))
+  }
+
   test("wide streaming near-dup pairs == batch simHashWideNearDups") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
