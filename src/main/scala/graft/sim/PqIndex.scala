@@ -195,6 +195,81 @@ object PqIndex {
         .withColumn("adist_fp", adcDistCol(cb)), k)
   }
 
+  /** The doubling shortlist ladder, ending EXACTLY at `nCandidates` —
+    * whose step reranks the ENTIRE ADC candidate set with exact
+    * cosines, i.e. IS brute force, so a recall rule over this ladder is
+    * TOTAL (the [[Similarity.nprobeLadder]] shape; contrast the LSH
+    * table ladder, which has no exactness endpoint). Starts at `k`:
+    * shortlists below k cannot even fill the output. */
+  def shortlistLadder(k: Int, nCandidates: Long): Seq[Int] = {
+    require(k >= 1 && nCandidates >= k,
+      s"need nCandidates=$nCandidates >= k=$k >= 1")
+    require(nCandidates <= Int.MaxValue, "ladder endpoint must fit an Int")
+    (Iterator.iterate(k.toLong)(_ * 2).takeWhile(_ < nCandidates)
+      .map(_.toInt) ++ Iterator(nCandidates.toInt)).toSeq
+  }
+
+  /** Pooled recall@k of the two-stage serve at each ladder shortlist —
+    * the PQ member of the recall-sizing family ([[Similarity
+    * .ivfRecallCurve]] sizes nprobe, [[Similarity.lshRecallCurve]]
+    * sizes table count; this sizes the ADC shortlist, the knob the r12
+    * decade soak showed must TRACK the candidate pool or recall
+    * collapses — 0.08 at shortlist 100 under 2M vectors). ONE ADC
+    * ranking at the deepest step and ONE exact-cosine scoring of its
+    * candidates are leafed; each ladder step slices its `adc_rnk ≤ s`
+    * prefix — exactly the candidate set `searchAdcRerank(shortlist=s)`
+    * reranks — so the curve costs one serve, not |ladder| serves. */
+  def shortlistRecallCurve(cb: Codebook, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      ladder: Seq[Int]): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.sorted && ladder.head >= k,
+      s"ladder must be ascending, starting >= k: $ladder")
+    val exact = graft.plans.LeafPlanRegistry.record(
+      Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k))
+      .localCheckpoint()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    // bounded leaf: |queries| × ladder.last rows of (ids, adc rank, cos)
+    val scored = graft.plans.LeafPlanRegistry.record(
+      searchADC(cb, codes, queries, idCol, vecCol, ladder.last)
+        .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
+        .join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("adc_rnk"),
+          Similarity.cosine(col("q_vec"), col("n_vec")).as("cos")))
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    ladder.map { s =>
+      val approx = scored.filter(col("adc_rnk") <= s)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+      Similarity.recallAtK(approx, exact)
+        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+        .select(lit(s).as("shortlist"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The shortlist sizing rule: the smallest ladder shortlist whose
+    * pooled recall@k reaches `targetRecall`. TOTAL when the ladder ends
+    * at the candidate count ([[shortlistLadder]]) — that step reranks
+    * everything the ADC pass emitted, recall 1.0 by construction. */
+  def suggestedShortlist(cb: Codebook, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      ladder: Seq[Int], targetRecall: Double): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1]")
+    val qualifying = shortlistRecallCurve(cb, codes, corpus, queries, idCol,
+        vecCol, k, ladder)
+      .collect()
+      .filter(_.getAs[Double]("recall") >= targetRecall)
+      .map(_.getAs[Int]("shortlist"))
+    require(qualifying.nonEmpty,
+      s"no ladder step reaches recall $targetRecall — the rule is only " +
+        "total when the ladder ends at the candidate count (shortlistLadder)")
+    qualifying.min
+  }
+
   /** Two-stage serve: ADC shortlist of `shortlist` candidates per
     * query, then EXACT cosine re-rank of only those rows — the standard
     * compressed-index accuracy recovery. The corpus-wide pass still

@@ -861,6 +861,31 @@ object Similarity {
         .orderBy("tables")
     },
 
+    // the PQ member of the recall-sizing family (r12): q168 sizes
+    // nprobe, q169 sizes LSH tables, this sizes the ADC shortlist — the
+    // knob the 2M-vector soak showed must track the candidate pool
+    // (shortlist 100 → recall 0.08 there). The ladder doubles from k
+    // and ends EXACTLY at the corpus count, whose step reranks every
+    // ADC candidate with exact cosines — brute force by construction —
+    // so unlike q169's partial rule this one is TOTAL: chosen always
+    // exists. ONE ADC ranking + ONE exact scoring, prefix-sliced.
+    "q171_ann_shortlist_sized" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      val queries = emb.filter(col("vec_id") < 6)
+      val ladder = PqIndex.shortlistLadder(3, emb.count())
+      val curve = PqIndex.shortlistRecallCurve(cb, codes, emb, queries,
+        "vec_id", "embedding", k = 3, ladder)
+      val chosen = curve.filter(col("recall") >= 0.9)
+        .agg(min("shortlist").as("_chosen"))
+      curve.crossJoin(broadcast(chosen))
+        .select(col("shortlist"), col("n_exact"), col("n_hit"), col("recall"),
+          coalesce((col("shortlist") === col("_chosen")).cast("int"), lit(0))
+            .as("chosen"))
+        .orderBy("shortlist")
+    },
+
     // IVF with SAMPLE-trained quantizer (r11): the Lloyd loop fits on a
     // deterministic 4/16 hash-sample of the corpus — at 100 TB each
     // training iteration was a full-corpus pass buying nothing a sample
@@ -1123,6 +1148,7 @@ object Similarity {
     "q166_ann_ivf_sized" -> q166Oracle,
     "q168_ann_nprobe_sized" -> q168Oracle,
     "q169_ann_lsh_tables_sized" -> q169Oracle,
+    "q171_ann_shortlist_sized" -> q171Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1655,6 +1681,56 @@ object Similarity {
        |  CAST(CASE WHEN nprobe = (SELECT min(nprobe) FROM curve WHERE recall >= $target)
        |    THEN 1 ELSE 0 END AS INTEGER) AS chosen
        |FROM curve ORDER BY nprobe""".stripMargin
+  }
+
+  /** q171 oracle: the shortlist-LADDER replay — q133's full ADC ranking
+    * built once, a recursive CTE rederiving the SAME doubling ladder
+    * from the oracle's own count(*) (the q166 dynamic-geometry
+    * discipline: no literal ladder to drift), each step exact-cosine
+    * reranking its `adc_rnk ≤ s` prefix, pooled recall against the
+    * brute truth, min-step choice at 0.9. The endpoint step reranks
+    * every candidate, so its recall row is exactly 1.0 on both engines
+    * and the chosen flag always fires somewhere (total rule). */
+  private def q171Oracle: String = {
+    val dim = 64; val k = 3; val target = 0.9
+    s"""WITH RECURSIVE ${pqAdcCtes()},
+       |lad(s) AS (
+       |  SELECT $k
+       |  UNION ALL
+       |  SELECT s * 2 FROM lad WHERE s * 2 < (SELECT count(*) FROM embeddings)),
+       |steps AS (
+       |  SELECT s AS shortlist FROM lad
+       |  UNION
+       |  SELECT CAST(count(*) AS INTEGER) FROM embeddings),
+       |scored AS (
+       |  SELECT r.query_id, r.neighbor_id, r.rnk AS adc_rnk,
+       |    ${cosSql("qe.embedding", "ne.embedding", dim)} AS cos
+       |  FROM ranked r
+       |  JOIN embeddings qe ON qe.vec_id = r.query_id
+       |  JOIN embeddings ne ON ne.vec_id = r.neighbor_id),
+       |rk AS (
+       |  SELECT st.shortlist, sc.query_id, sc.neighbor_id,
+       |    row_number() OVER (PARTITION BY st.shortlist, sc.query_id
+       |      ORDER BY sc.cos DESC, sc.neighbor_id ASC) AS rnk
+       |  FROM steps st JOIN scored sc ON sc.adc_rnk <= st.shortlist),
+       |approx AS (SELECT shortlist, query_id, neighbor_id FROM rk WHERE rnk <= $k),
+       |brute AS (SELECT * FROM (${bruteOracle("vec_id < 6", k)})),
+       |j AS (
+       |  SELECT st.shortlist, b.query_id, b.neighbor_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM steps st CROSS JOIN brute b
+       |  LEFT JOIN approx a ON a.shortlist = st.shortlist
+       |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+       |curve AS (
+       |  SELECT shortlist, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM j GROUP BY shortlist)
+       |SELECT shortlist, n_exact, n_hit, recall,
+       |  CAST(CASE WHEN shortlist = (SELECT min(shortlist) FROM curve
+       |      WHERE recall >= $target)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM curve ORDER BY shortlist""".stripMargin
   }
 
   /** q133 oracle: replay product quantization end to end in DuckDB —

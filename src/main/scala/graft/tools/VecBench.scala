@@ -173,6 +173,38 @@ object VecBench {
       Some(line)
     } else None
 
+    // optional `shortsweep` mode: the q171 sizing rule at THIS corpus
+    // size — the flat-ADC shortlist ladder (doubling from k, ending
+    // exactly at n: the TOTAL rule, endpoint == brute force) with
+    // pooled recall per step and the 0.9 choice. Runs on the
+    // unit-normalized corpus with the m=8/ksub=16 serve codebook (the
+    // q163 recipe), so the curve prices the production two-stage serve,
+    // not the toy oracle geometry. One ADC ranking + one exact scoring
+    // of |queries|×n rows — the rule's own calibration cost, included.
+    val shortSweepJson: Option[String] = if (args.tail.contains("shortsweep")) {
+      val normed = Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qN = normed.filter(col("vec_id") < 32)
+      val cbS = PqIndex.train(normed, "vec_id", "embedding", m = 8, ksub = 16,
+        trainSixteenths = sixteenths)
+      val codesS = PqIndex.encode(normed, "vec_id", "embedding", cbS)
+      val ladder = PqIndex.shortlistLadder(k, normed.count())
+      val (curve, tCurve) = timed {
+        PqIndex.shortlistRecallCurve(cbS, codesS, normed, qN, "vec_id",
+          "embedding", k, ladder).orderBy("shortlist").collect()
+      }
+      val chosen = curve.filter(_.getAs[Double]("recall") >= 0.9)
+        .map(_.getAs[Int]("shortlist")).sorted.headOption
+      val pts = curve.map { r =>
+        f"""{"shortlist":${r.getAs[Int]("shortlist")},"recall":${r.getAs[Double]("recall")}%.4f}"""
+      }
+      val line = s"""{"metric":"vecbench_shortlist","n":$n,"pq_m":8,"pq_ksub":16,""" +
+        f""""sec":$tCurve%.3f,"target":0.9,""" +
+        s""""chosen":${chosen.getOrElse(-1)},"points":[${pts.mkString(",")}]}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -226,8 +258,8 @@ object VecBench {
       // sweep line rides in the same artifact (one JSON object per line)
       // — the recall-vs-nprobe curve is the point of the mode, so it
       // must land in the pinned file, not just scroll past on stdout
-      val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq))
-        .mkString("", "\n", "\n")
+      val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq ++
+        shortSweepJson.toSeq)).mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[vecbench] wrote $p")

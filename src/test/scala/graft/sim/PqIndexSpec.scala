@@ -130,6 +130,45 @@ class PqIndexSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("shortlistRecallCurve: each slice == standalone searchAdcRerank; monotone; total rule ends exact") {
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter(col("vec_id") < 6)
+    val n = emb.count()
+    val ladder = PqIndex.shortlistLadder(3, n)
+    assert(ladder.head == 3 && ladder.last == n.toInt &&
+      ladder.sliding(2).forall { case Seq(a, b) => b == 2 * a || b == n })
+    val curve = PqIndex.shortlistRecallCurve(cb, codes, emb, queries,
+        "vec_id", "embedding", k = 3, ladder)
+      .orderBy("shortlist").collect()
+      .map(r => (r.getAs[Int]("shortlist"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall")))
+    assert(curve.map(_._1).toSeq == ladder)
+    // prefix sets are nested, so recall never decreases with shortlist
+    assert(curve.sliding(2).forall { case Array((_, _, a), (_, _, b)) => b >= a })
+    // the endpoint reranks EVERY ADC candidate — brute force, recall 1.0:
+    // this is what makes suggestedShortlist total, unlike the LSH rule
+    assert(curve.last._3 == 1.0, s"endpoint recall ${curve.last._3}")
+    // the slicing identity: step s's hits equal running the standalone
+    // two-stage serve at shortlist=s through the same metric
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+    Seq(ladder.head, ladder(ladder.length / 2), ladder.last).foreach { s =>
+      val standalone = Similarity.recallAtK(
+        PqIndex.searchAdcRerank(cb, codes, emb, queries, "vec_id", "embedding",
+          k = 3, shortlist = s),
+        exact).agg(sum("n_hit")).head().getLong(0)
+      assert(standalone == curve.find(_._1 == s).get._2,
+        s"shortlist=$s: curve ${curve.find(_._1 == s).get._2} != standalone $standalone")
+    }
+    // the total rule: any reachable target yields a step; 1.0 → endpoint
+    assert(PqIndex.suggestedShortlist(cb, codes, emb, queries, "vec_id",
+      "embedding", k = 3, ladder, targetRecall = 1.0) <= ladder.last)
+    val target = math.max(curve.head._3, 1e-9)
+    val easy = PqIndex.suggestedShortlist(cb, codes, emb, queries, "vec_id",
+      "embedding", k = 3, ladder, targetRecall = target)
+    assert(easy == curve.find(_._3 >= target).get._1,
+      s"easy=$easy curve=${curve.toSeq}")
+  }
+
   test("null vectors drop everywhere instead of corrupting training or ranking first") {
     import spark.implicits._
     val withNull = emb.select("vec_id", "embedding").unionByName(
