@@ -738,6 +738,14 @@ object TextAnalysis {
         (col("covered_tokens").cast("double") / col("total")).as("coverage"))
   }
 
+  /** q172's fixed ranked merge table — well-formed (see the query's
+    * comment): r2 consumes r0+r1's products, r3 consumes r2's, r5
+    * consumes r4's, r7 consumes r6's; every consuming pair outranks its
+    * producers. Shared verbatim by the oracle's VALUES list. */
+  private[graft] val bpeApplyMerges: Seq[((String, String), Int)] = Seq(
+    (("t", "a"), 0), (("b", "l"), 1), (("ta", "bl"), 2), (("tabl", "e"), 3),
+    (("s", "c"), 4), (("sc", "a"), 5), (("o", "r"), 6), (("or", "d"), 7))
+
   val queries: Map[String, Q] = Map(
     // per-group quantile gating: keep docs above their language's p75
     // length — the "adaptive threshold" quality cut (a global cut-off
@@ -912,6 +920,27 @@ object TextAnalysis {
     // word frequency — pair explosion over the DISTINCT vocabulary only
     "q147_bpe_merge_pairs" -> { (s, d) =>
       bpePairCounts(Tables(s, d, "documents"), "text", topN = 20)
+    },
+
+    // BPE APPLY (r12): tokenize the corpus under a fixed ranked merge
+    // table — q147 induces merges, this consumes them, closing the
+    // tokenizer loop. The table is WELL-FORMED (every pair whose symbol
+    // is a merge product outranks the merge that created it — the shape
+    // BPE training produces by construction), which is what makes the
+    // oracle's one-fusion-per-step replay exactly equal to BpeEncode's
+    // fuse-all-occurrences pass: reselection mid-run can never prefer a
+    // pair the current fusion just created. Output: the corpus's BPE
+    // piece histogram, top 30 — the vocabulary-coverage view a
+    // tokenizer deployment actually reads.
+    "q172_bpe_apply" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      docs.filter(col("text").isNotNull)
+        .select(explode(tokens(lower(col("text")))).as("w"))
+        .filter(col("w") =!= "")
+        .select(explode(graft.functions.TextFunctions.bpe_encode(
+          col("w"), bpeApplyMerges)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("piece")).limit(30)
     },
 
     // hashed bag-of-words embedding (feature hashing): the 16-dim signed
@@ -1218,6 +1247,46 @@ object TextAnalysis {
       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) gs
       |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = gs.j)""".stripMargin
 
+  /** q172 oracle: greedy BPE APPLY replayed as a recursive CTE — each
+    * level fuses exactly ONE occurrence of the lowest-ranked pair
+    * present (leftmost, via default-first-match regexp_replace over the
+    * chr(1)-delimited symbol string), and arg_max(s, lvl) reads each
+    * word's fixpoint. One-fusion-per-level equals [[graft.functions
+    * .BpeEncode]]'s fuse-all-occurrences pass BECAUSE the merge table
+    * is well-formed (see [[bpeApplyMerges]]): a fusion can only create
+    * pairs that outrank it, so reselection keeps returning the same
+    * pair until its occurrences are exhausted — the exact left-to-right
+    * order compute() uses. The VALUES list is GENERATED from the same
+    * Seq the query passes to bpe_encode; the two engines cannot drift. */
+  private def q172Oracle: String = {
+    val values = bpeApplyMerges
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |merges(a, b, r) AS (SELECT * FROM (VALUES $values) m(a, b, r)),
+       |tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |w0 AS (SELECT doc_id, i, t[i] AS w
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tok)
+       |       WHERE t[i] <> ''),
+       |st(doc_id, i, lvl, s) AS (
+       |  SELECT doc_id, i, 0,
+       |    chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1)
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT st.doc_id, st.i, st.lvl + 1, regexp_replace(st.s, p.pat, p.rep)
+       |  FROM st, LATERAL (
+       |    SELECT chr(1) || m.a || chr(1) || m.b || chr(1) AS pat,
+       |           chr(1) || m.a || m.b || chr(1) AS rep
+       |    FROM merges m
+       |    WHERE position(chr(1) || m.a || chr(1) || m.b || chr(1) IN st.s) > 0
+       |    ORDER BY m.r LIMIT 1) p),
+       |fin AS (SELECT doc_id, i, arg_max(s, lvl) AS s FROM st GROUP BY doc_id, i),
+       |pieces AS (SELECT unnest(string_split(s, chr(1))) AS piece FROM fin)
+       |SELECT piece, CAST(count(*) AS BIGINT) AS n
+       |FROM pieces WHERE piece <> ''
+       |GROUP BY piece ORDER BY n DESC, piece ASC LIMIT 30""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q152_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -1291,6 +1360,7 @@ object TextAnalysis {
         |   AND symbol_ratio <= 0.1
         |   AND n_stop_hits >= 2) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q172_bpe_apply" -> q172Oracle,
     "q147_bpe_merge_pairs" ->
       """WITH wd AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
