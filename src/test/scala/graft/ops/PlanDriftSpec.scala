@@ -116,7 +116,22 @@ class PlanDriftSpec extends SparkSpec {
     // At sf0.001 every pass side broadcasts inside the rounds, so the
     // FINAL plan carries 0 BroadcastExchange (components' last join is
     // a shuffle join on the label key).
-    "q167_dedup_clusters_wide_sharded" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true)
+    "q167_dedup_clusters_wide_sharded" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true),
+    // incremental clusters (r12): q167's output shape — the pass-joins
+    // and the standing-table build execute inside checkpoint leaves;
+    // the final plan is pair distinct + component agg + output sort
+    "q170_incremental_components" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true),
+    // the ladder queries (r12): each slices ONE leafed candidate/scored
+    // table per step, so exchanges scale with ladder length (4 LSH
+    // steps × per-step agg machinery; 9 shortlist steps at sf0.001) —
+    // pinned so a lost leaf (re-scanning the corpus per step) shows up
+    // as a count jump, not a silent slowdown
+    "q169_ann_lsh_tables_sized" -> PlanMetrics(40, 1, pushedFilters = true, prunedSchema = true),
+    "q171_ann_shortlist_sized" -> PlanMetrics(72, 1, pushedFilters = true, prunedSchema = true),
+    // BPE apply (r12): explode→explode→hash agg; ONE exchange (the
+    // piece count), TakeOrderedAndProject caps the output — per-row
+    // codegen'd encode, no join anywhere
+    "q172_bpe_apply" -> PlanMetrics(1, 0, pushedFilters = true, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
