@@ -301,6 +301,64 @@ object PqIndex {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** The corpus as (id, residual, cell): each vector minus its coarse
+    * centroid — the relation residual PQ trains and encodes on. Float
+    * subtraction against the SERVED (float) centroids, so the oracle
+    * can replay it bit for bit; a broadcast of the KiB centroid table,
+    * zero shuffle. */
+  private[sim] def residualCells(ivf: IvfIndex.Model, idCol: String,
+      vecCol: String): DataFrame =
+    ivf.cells.filter(col(vecCol).isNotNull)
+      .join(broadcast(ivf.centroids), Seq("cell"))
+      .select(col(idCol),
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as(vecCol),
+        col("cell"))
+
+  /** Residual PQ training (FAISS `by_residual=true`, step 1): codebooks
+    * fitted on `r = x − centroid(cell)` instead of raw vectors. The
+    * payoff is geometric: residuals of a trained coarse quantizer
+    * concentrate near the origin with most of the between-cell variance
+    * already explained, so the same m×ksub code budget quantizes a much
+    * tighter distribution — recall rises at identical code size
+    * (measured in BASELINE r12). Same deterministic Lloyd machinery as
+    * [[train]], just over the residual relation. */
+  def trainResidual(ivf: IvfIndex.Model, idCol: String, vecCol: String,
+      m: Int, ksub: Int, trainSixteenths: Int = 16): Codebook =
+    train(residualCells(ivf, idCol, vecCol), idCol, vecCol, m, ksub,
+      trainSixteenths = trainSixteenths)
+
+  /** Residual IVF∘PQ search (FAISS `IndexIVFPQ` with `by_residual=true`):
+    * codes are residual codes, and each probed cell gets its OWN
+    * distance table built from the cell's residual query `q − c`. The
+    * per-query constant the raw-vector ADC drops (`|v|²`) is NOT
+    * constant here — `|q − c|²` differs per probed cell, so dropping it
+    * would make distances incomparable ACROSS cells of one query; it is
+    * added back as a per-(query, cell) fixed-point term, making the
+    * pair cost exactly `‖(q−c) − r̂‖²` in the same exact-long arithmetic
+    * as the flat ADC. Cost shape unchanged from [[searchIvfAdc]]: the
+    * broadcast grows from |queries| to |queries|·nprobe distance
+    * tables (still KiB each), the cell scan still reads only codes. */
+  def searchIvfAdcResidual(ivf: IvfIndex.Model, cb: Codebook,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val res = residualCells(ivf, idCol, vecCol)
+    val cellCodes = res.select(col(idCol).as("neighbor_id"), col("cell"),
+      codesExpr(cb, col(vecCol)).as("codes"))
+    val probesR = IvfIndex.probesFor(ivf.centroids, queries, idCol, vecCol,
+        nprobe)
+      .join(broadcast(ivf.centroids), Seq("cell"))
+      .withColumn("q_res", zip_with(col("q_vec"), col("centroid"),
+        (a, b) => a - b))
+      .select(col("query_id"), col("cell"),
+        dtabFp(cb, col("q_res")).as("dtab"),
+        floor(vec_dot(col("q_res"), col("q_res")) * lit(1e9)).cast("long")
+          .as("qnorm_fp"))
+    topKByAdc(
+      cellCodes.join(broadcast(probesR), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist_fp", adcDistCol(cb) + col("qnorm_fp")), k)
+  }
+
   /** The persisted-index form of the two-stage serve: ADC shortlist from
     * the partition-pruned [[searchIndexedIvfAdc]] scan, then
     * [[rerankExact]] against the full-vector `corpus` relation — the

@@ -967,6 +967,24 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // RESIDUAL IVF∘PQ (r12): q134's layout with by_residual=true — PQ
+    // trained and encoded on x − centroid(cell), per-probed-cell
+    // distance tables, and the |q−c|² term added back (it is NOT
+    // constant per query here, so dropping it would break cross-cell
+    // comparability). The oracle replays BOTH training loops, the
+    // residual computation (float subtraction against the served
+    // centroids), the residual PQ train/encode, the per-(query, cell)
+    // tables, and the corrected fixed-point sum.
+    "q173_ann_ivfpq_residual" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val cb = PqIndex.trainResidual(ivf, "vec_id", "embedding",
+        m = 4, ksub = 8)
+      PqIndex.searchIvfAdcResidual(ivf, cb, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
     // of only those rows — both stages replayed by the oracle
     "q139_pq_rerank" -> { (s, d) =>
@@ -1149,6 +1167,7 @@ object Similarity {
     "q168_ann_nprobe_sized" -> q168Oracle,
     "q169_ann_lsh_tables_sized" -> q169Oracle,
     "q171_ann_shortlist_sized" -> q171Oracle,
+    "q173_ann_ivfpq_residual" -> q173Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1733,6 +1752,87 @@ object Similarity {
        |FROM curve ORDER BY shortlist""".stripMargin
   }
 
+  /** q173 oracle: residual IVF∘PQ replayed end to end — the q134 replay
+    * with `by_residual=true`. After the coarse training (ivfCellsCtes)
+    * and the served float centroids (cf), `resrel` materializes every
+    * vector's residual as FLOAT subtraction against the served centroid
+    * (double−double of exactly-float values CAST REAL == IEEE float
+    * subtraction, bit for bit); the PQ train/encode replay runs over
+    * `resrel` via pqTrainCtes' srcRel redirect (emitDtab=false — the
+    * raw-query dtab is meaningless here). Each (query, probed cell)
+    * pair gets its own residual query `rq`, distance table `rdtab`,
+    * and the `|q−c|²` fixed-point correction `qn` that raw ADC drops
+    * as a per-query constant but residual ADC must add back — the
+    * candidate sum is exactly ‖(q−c) − r̂‖² in exact longs. */
+  private def q173Oracle: String = {
+    val ivfIter = 3; val dim = 64; val k = 3; val nprobe = 3
+    val m = 4; val ksub = 8; val dsub = dim / m
+    val up = dim + 1
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = ivfIter, dim = dim, seed = 42L)},
+       |cf AS (
+       |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_$ivfIter),
+       |resrel AS (
+       |  SELECT cl.vec_id,
+       |    list_transform(range(1, $up),
+       |      i -> CAST(cl.embedding[i]::DOUBLE - f.c[i] AS REAL)) AS embedding
+       |  FROM cells cl JOIN cf f USING (cell)),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, f.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
+       |                 f.cell ASC) AS pr
+       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
+       |${pqTrainCtes("p", srcRel = "resrel", emitDtab = false)},
+       |rq AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(range(1, $up),
+       |      i -> CAST(e.embedding[i]::DOUBLE - f.c[i] AS REAL)) AS qres
+       |  FROM probes p
+       |  JOIN embeddings e ON e.vec_id = p.query_id
+       |  JOIN cf f ON f.cell = p.cell),
+       |rdtab AS (
+       |  SELECT rq.query_id, rq.cell AS pcell, f2.sub, f2.cell,
+       |    CAST(floor((${normC("f2.c")} - 2.0 *
+       |      list_aggregate(list_transform(range(1, ${dsub + 1}),
+       |        i -> rq.qres[f2.sub*$dsub + i]::DOUBLE * f2.c[i]), 'sum')) * 1e9)
+       |      AS BIGINT) AS d
+       |  FROM rq CROSS JOIN pcf f2),
+       |qn AS (
+       |  SELECT query_id, cell,
+       |    CAST(floor(list_aggregate(list_transform(range(1, $up),
+       |      i -> qres[i]::DOUBLE * qres[i]::DOUBLE), 'sum') * 1e9) AS BIGINT)
+       |      AS qnorm
+       |  FROM rq),
+       |cand AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id, cl.cell,
+       |    CAST(SUM(d.d) AS BIGINT) AS sum_d
+       |  FROM probes p
+       |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+       |  JOIN pcodes co ON co.vec_id = cl.vec_id
+       |  JOIN rdtab d ON d.query_id = p.query_id AND d.pcell = p.cell
+       |    AND d.sub = co.sub AND d.cell = co.code
+       |  GROUP BY p.query_id, cl.vec_id, cl.cell),
+       |cand2 AS (
+       |  SELECT c.query_id, c.neighbor_id, c.sum_d + q.qnorm AS adist_fp
+       |  FROM cand c JOIN qn q
+       |    ON q.query_id = c.query_id AND q.cell = c.cell),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand2)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** q133 oracle: replay product quantization end to end in DuckDB —
     * per-subspace init sample, two unrolled Lloyd iterations over the
     * exploded (vector × subspace) relation, encode under the trained
@@ -1815,16 +1915,21 @@ object Similarity {
     * (query_id, sub, cell, d)`. The prefix keeps the namespace apart
     * when composed with the IVF replay (q134). */
   private def pqTrainCtes(p: String, samplePred: Option[String] = None,
-      m: Int = 4, ksub: Int = 8): String = {
+      m: Int = 4, ksub: Int = 8, srcRel: String = "embeddings",
+      emitDtab: Boolean = true): String = {
     val dsub = 64 / m; val maxIter = 2
     val seed = 42L
     // sampled training (q158): init + Lloyd read the `${p}svt` slice of
     // the exploded relation; codes/dtab (the full-corpus encode + query
     // tables) are untouched — mirroring `trainSixteenths` on the Spark
-    // side
-    val initSrc = if (samplePred.isDefined) s"${p}tr" else "embeddings"
+    // side. `srcRel` redirects the TRAIN + ENCODE vector relation (the
+    // residual replay, q173: a (vec_id, embedding) relation of
+    // residuals); the dtab stays on raw `embeddings` queries and is
+    // SKIPPED entirely via emitDtab=false when the caller builds its
+    // own per-(query, cell) residual tables.
+    val initSrc = if (samplePred.isDefined) s"${p}tr" else srcRel
     val trainCte = samplePred
-      .map(pr => s"${p}tr AS (SELECT vec_id, embedding FROM embeddings WHERE $pr),\n")
+      .map(pr => s"${p}tr AS (SELECT vec_id, embedding FROM $srcRel WHERE $pr),\n")
       .getOrElse("")
     val svTrainWhere = samplePred.map(pr => s" WHERE $pr").getOrElse("")
     def sliceOf(v: String) = s"$v[s.sub*$dsub+1 : s.sub*$dsub+$dsub]"
@@ -1869,7 +1974,7 @@ object Similarity {
        |    FROM $initSrc ORDER BY h, vec_id LIMIT $ksub)),
        |${p}sv AS (
        |  SELECT e.vec_id, s.sub, ${sliceOf("e.embedding")} AS subvec
-       |  FROM embeddings e CROSS JOIN ${p}subs s),
+       |  FROM $srcRel e CROSS JOIN ${p}subs s),
        |${p}svt AS (SELECT * FROM ${p}sv$svTrainWhere),
        |${p}c_0 AS (
        |  SELECT s.sub, i.cell,
@@ -1885,13 +1990,13 @@ object Similarity {
        |    FROM ${p}sv v JOIN ${p}c_$maxIter c ON c.sub = v.sub) WHERE rn = 1),
        |${p}cf AS (
        |  SELECT sub, cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
-       |  FROM ${p}c_$maxIter),
+       |  FROM ${p}c_$maxIter)""".stripMargin + (if (!emitDtab) "" else s""",
        |${p}dtab AS (
        |  SELECT e.vec_id AS query_id, f.sub, f.cell,
        |    CAST(floor((${normC("f.c")} - 2.0 *
        |      list_aggregate(list_transform(range(1, ${dsub + 1}),
        |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
-       |  FROM embeddings e CROSS JOIN ${p}cf f WHERE e.vec_id < 6)""".stripMargin
+       |  FROM embeddings e CROSS JOIN ${p}cf f WHERE e.vec_id < 6)""".stripMargin)
   }
 
   /** Reusable replay of the [[IvfIndex.build]] training loop + final

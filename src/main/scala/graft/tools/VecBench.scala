@@ -205,6 +205,52 @@ object VecBench {
       Some(line)
     } else None
 
+    // optional `residual` mode: FAISS by_residual=true vs false at the
+    // SAME m=8/ksub=16 budget and the same corpus-sized nprobe — the
+    // recall payoff of quantizing residuals (most between-cell variance
+    // already explained by the coarse quantizer) measured at this scale.
+    val residualJson: Option[String] = if (args.tail.contains("residual")) {
+      val normed = Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qN = normed.filter(col("vec_id") < 32)
+      val ivfN = IvfIndex.build(normed, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      def rec(approx: org.apache.spark.sql.DataFrame): Double = {
+        val r = Similarity.recallAtK(approx, exactN)
+          .agg(avg(col("recall_at_k"))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val cbRaw = PqIndex.train(normed, "vec_id", "embedding", m = 8,
+        ksub = 16, trainSixteenths = sixteenths)
+      val (rawRows, tRaw) = timed {
+        PqIndex.searchIvfAdc(ivfN, cbRaw, qN, "vec_id", "embedding", k,
+          nprobe).collect()
+      }
+      val cbRes = PqIndex.trainResidual(ivfN, "vec_id", "embedding", m = 8,
+        ksub = 16, trainSixteenths = sixteenths)
+      val (resRows, tRes) = timed {
+        PqIndex.searchIvfAdcResidual(ivfN, cbRes, qN, "vec_id", "embedding",
+          k, nprobe).collect()
+      }
+      def toDf(rows: Array[org.apache.spark.sql.Row]) =
+        spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(2))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType))))
+      val rRaw = rec(toDf(rawRows)); val rRes = rec(toDf(resRows))
+      val line = s"""{"metric":"vecbench_residual","n":$n,"nlist":$nlist,""" +
+        s""""nprobe":$nprobe,"pq_m":8,"pq_ksub":16,""" +
+        f""""raw":{"sec":$tRaw%.3f,"recall":$rRaw%.4f},""" +
+        f""""residual":{"sec":$tRes%.3f,"recall":$rRes%.4f}}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -259,7 +305,7 @@ object VecBench {
       // — the recall-vs-nprobe curve is the point of the mode, so it
       // must land in the pinned file, not just scroll past on stdout
       val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq ++
-        shortSweepJson.toSeq)).mkString("", "\n", "\n")
+        shortSweepJson.toSeq ++ residualJson.toSeq)).mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[vecbench] wrote $p")

@@ -185,6 +185,54 @@ class PqIndexSpec extends SparkSpec {
     assert(!got.contains(999999L) && got.length == 9)
   }
 
+  test("residual IVF-PQ: adist is the exact reconstruction distance; recall >= raw at same budget") {
+    import org.apache.spark.sql.functions.sum
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+    val rcb = PqIndex.trainResidual(ivf, "vec_id", "embedding", m = 4, ksub = 8)
+    val queries = emb.filter(col("vec_id") < 6)
+    val got = PqIndex.searchIvfAdcResidual(ivf, rcb, queries, "vec_id",
+        "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // reconstruction identity: adist_fp == floor-summed ||(q−c) − r̂||²
+    // computed directly from the served tables — the qnorm correction is
+    // load-bearing (drop it and cross-cell sums go negative-shifted)
+    val cents = ivf.centroids.collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Float](r.fieldIndex("centroid")).toArray).toMap
+    val cellOf = ivf.cells.collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val vecOf = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val res = PqIndex.residualCells(ivf, "vec_id", "embedding")
+    val codeOf = PqIndex.encode(res, "vec_id", "embedding", rcb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    got.take(40).foreach { case (q, nb, adistFp) =>
+      val c = cents(cellOf(nb))
+      val qres = vecOf(q).zip(c).map { case (a, b) => a - b }
+      val served = rcb.served
+      // per-subspace fixed-point terms + the fixed-point |q−c|² term
+      val terms = (0 until rcb.m).map { j =>
+        val cent = served(j)(codeOf(nb)(j))
+        val dot = (0 until rcb.dsub)
+          .map(i => qres(j * rcb.dsub + i).toDouble * cent(i)).sum
+        math.floor((cent.map(x => x * x).sum - 2.0 * dot) * 1e9).toLong
+      }.sum
+      val qn = math.floor(qres.map(x => x.toDouble * x.toDouble).sum * 1e9).toLong
+      assert(terms + qn == adistFp, s"q=$q nb=$nb: ${terms + qn} != $adistFp")
+    }
+    // the payoff: at the same m/ksub budget and full probe, residual
+    // codes rank at least as many true neighbors into the top-k
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+    def hits(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact).agg(sum("n_hit")).head().getLong(0)
+    val cbRaw = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val raw = PqIndex.searchIvfAdc(ivf, cbRaw, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8)
+    val resid = PqIndex.searchIvfAdcResidual(ivf, rcb, queries, "vec_id",
+      "embedding", k = 3, nprobe = 8)
+    assert(hits(resid) >= hits(raw),
+      s"residual hits ${hits(resid)} < raw hits ${hits(raw)}")
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
