@@ -131,7 +131,13 @@ class PlanDriftSpec extends SparkSpec {
     // BPE apply (r12): explode→explode→hash agg; ONE exchange (the
     // piece count), TakeOrderedAndProject caps the output — per-row
     // codegen'd encode, no join anywhere
-    "q172_bpe_apply" -> PlanMetrics(1, 0, pushedFilters = true, prunedSchema = true)
+    "q172_bpe_apply" -> PlanMetrics(1, 0, pushedFilters = true, prunedSchema = true),
+    // residual IVF∘PQ (r12): q134's shape plus two broadcasts — the
+    // centroid table rides into BOTH the residual-code projection and
+    // the per-probe residual query/dtab build, and the probe set and
+    // dtab table broadcast like q134's; 3 shuffles = probe ranking
+    // window + ADC top-k window + output sort
+    "q173_ann_ivfpq_residual" -> PlanMetrics(3, 4, pushedFilters = true, prunedSchema = true)
   )
 
   test("plan metrics of the load-bearing queries match the committed PLANS.md rows") {
