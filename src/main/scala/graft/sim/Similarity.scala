@@ -174,11 +174,21 @@ object Similarity {
       targetRecall: Double): Int = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall=$targetRecall must be in (0, 1]")
-    ivfRecallCurve(model, queries, corpus, idCol, vecCol, k,
+    val qualifying = ivfRecallCurve(model, queries, corpus, idCol, vecCol, k,
         nprobeLadder(model.nlist))
       .collect()
       .filter(_.getAs[Double]("recall") >= targetRecall)
-      .map(_.getAs[Int]("nprobe")).min
+      .map(_.getAs[Int]("nprobe"))
+    // totality holds only when pooled recall is well-defined: an EMPTY
+    // query set (or a corpus with no eligible neighbors) yields a NULL
+    // pooled recall, which getAs[Double] unboxes to 0.0 — no step
+    // qualifies and a bare .min would throw an opaque
+    // UnsupportedOperationException. Name the misconfiguration instead.
+    require(qualifying.nonEmpty,
+      "no nprobe step qualifies — the query set is empty or has no " +
+        "eligible neighbors (pooled recall undefined); the rule is only " +
+        "total over a non-empty calibration query set")
+    qualifying.min
   }
 
   /** Pooled recall@k of the multi-table LSH stack at each table count
@@ -305,6 +315,20 @@ object Similarity {
       idCol: String, vecCol: String, dim: Int, bits: Int, tables: Int,
       multiprobe: Boolean, broadcastQueries: Boolean = true): DataFrame = {
     require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
+    // the long cast below is the state-store key contract — but a cast
+    // from a NON-integral id (string, uuid, …) yields null, and the
+    // null-id drop would then silently empty the result while the
+    // brute-force paths (which keep the original type) still return
+    // rows: a recall comparison would read 0 with no error. Fail loudly
+    // instead of relying on cast-to-null-then-filter.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    Seq(queries -> "queries", corpus -> "corpus").foreach { case (df, side) =>
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"LSH id column '$idCol' on the $side side must be an integral " +
+          s"type (it keys bucket state as long); got ${dt.simpleString} — " +
+          "project a long surrogate id first")
+    }
     import graft.functions.VectorFunctions.vec_lsh_key_band
     def keys(vec: Column): Column =
       array((0 until tables).map(t => vec_lsh_key_band(vec, dim, bits, t)): _*)

@@ -781,11 +781,18 @@ object EventsStream {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(hconf)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // FileSystem.rename/delete report some failures as `false` rather
+    // than throwing (destination exists, object-store semantics) — an
+    // unchecked swap would leave the clusters table silently missing or
+    // stale until the next batch. A failed swap must be an ERROR.
+    def renameOrThrow(src: String, dst: String): Unit =
+      require(fs.rename(new org.apache.hadoop.fs.Path(src),
+        new org.apache.hadoop.fs.Path(dst)),
+        s"cluster-state swap failed: rename($src -> $dst) returned false")
     // recovery: a crash after the old clusters were dropped but before
     // the tmp rename leaves only clusters_tmp — finish the swap first
     if (!exists(clPath) && exists(clTmp))
-      fs.rename(new org.apache.hadoop.fs.Path(clTmp),
-        new org.apache.hadoop.fs.Path(clPath))
+      renameOrThrow(clTmp, clPath)
     val newFps0 = Dedup.simHashTable(batch, textCol, idCol)
     val newFps = (if (exists(fpsPath))
         newFps0.join(spark.read.parquet(fpsPath).select(col(idCol)),
@@ -801,9 +808,12 @@ object EventsStream {
           "id_a", "id_b")
       else Dedup.connectedComponents(pairs, "id_a", "id_b"))
     next.write.mode("overwrite").parquet(clTmp)
-    fs.delete(new org.apache.hadoop.fs.Path(clPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(clTmp),
-      new org.apache.hadoop.fs.Path(clPath))
+    // delete returning false with the path still present = failed drop;
+    // false because the path is already gone (first batch) is fine
+    require(fs.delete(new org.apache.hadoop.fs.Path(clPath), true) ||
+        !exists(clPath),
+      s"cluster-state swap failed: could not delete stale $clPath")
+    renameOrThrow(clTmp, clPath)
     newFps.write.mode("append").parquet(fpsPath)
   }
 

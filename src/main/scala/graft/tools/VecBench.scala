@@ -106,7 +106,19 @@ object VecBench {
 
     // IVF: build+persist (the cell-partitioned layout), then the
     // partition-pruned indexed search
-    val idxRoot = s"${sys.props.getOrElse("user.dir", ".")}/.vecbench"
+    // pid-scoped index root: two concurrent bench JVMs on the same
+    // corpus size MUST NOT share `ivf_<n>` paths — the r12c soak showed
+    // one JVM overwriting the other's cells mid-search (spurious
+    // errors). Best-effort cleanup on exit so per-pid dirs don't
+    // accumulate a full index copy per run.
+    val idxRoot = s"${sys.props.getOrElse("user.dir", ".")}/.vecbench/" +
+      java.lang.ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(idxRoot))
+    }))
     val ivfPath = s"$idxRoot/ivf_$n"
     val (_, tIvfBuild) = timed {
       val m = IvfIndex.build(corpus, "vec_id", "embedding", nlist,
@@ -128,7 +140,10 @@ object VecBench {
     // the default nlist/16 point is re-measured inside the sweep on
     // purpose: all five points then share one methodology (same warm
     // JVM, same cache state), so the curve is internally comparable
-    val sweepJson: Option[String] = if (args.lift(1).contains("sweep")) {
+    // one CLI convention for ALL optional modes: the flag is recognized
+    // anywhere after the dir arg (`args.tail.contains`) — positional
+    // parsing made `VecBench dir lshsweep sweep` silently skip this one
+    val sweepJson: Option[String] = if (args.tail.contains("sweep")) {
       val points = Seq(nlist / 64, nlist / 32, nlist / 16, nlist / 8, nlist / 4)
         .map(math.max(1, _)).distinct
       val rows = points.map { np =>
