@@ -145,12 +145,15 @@ object IvfIndex {
     centroids.orderBy("cell").collect()
       .map(r => r.getSeq[Float](r.fieldIndex("centroid")).map(_.toDouble).toArray)
 
-  /** Per-query probe set: the `nprobe` nearest centroids by exact
-    * Euclidean distance (|c|² − 2q·c, codegen'd dot products). Shared
-    * with [[PqIndex]]'s composed IVF∘PQ search, hence the (float)
-    * centroids relation rather than a full [[Model]]. */
-  private[sim] def probesFor(centroids: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, nprobe: Int): DataFrame = {
+  /** EVERY centroid's probe rank per query — the full ranking
+    * [[probesFor]] truncates, exposed whole so the recall-curve
+    * collapse ([[Similarity.ivfRecallCurve]]) can read "first nprobe at
+    * which cell X would be probed" without one search per ladder step.
+    * |queries| × nlist rows (queries are small by contract); ONE window
+    * shuffle. The ordering here IS the probe discipline — any search
+    * path and any rank consumer share this one definition. */
+  private[sim] def probeRanks(centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
     // a null query vector yields null cdist, which asc ranks FIRST —
     // the query would probe arbitrary cells and return garbage; drop it
@@ -160,9 +163,18 @@ object IvfIndex {
       .withColumn("cdist",
         vec_dot(col("centroid"), col("centroid")) - lit(2.0) * vec_dot(col("q_vec"), col("centroid")))
       .withColumn("probe_rank", row_number().over(wProbe))
+      .select("query_id", "q_vec", "cell", "probe_rank")
+  }
+
+  /** Per-query probe set: the `nprobe` nearest centroids by exact
+    * Euclidean distance (|c|² − 2q·c, codegen'd dot products). Shared
+    * with [[PqIndex]]'s composed IVF∘PQ search, hence the (float)
+    * centroids relation rather than a full [[Model]]. */
+  private[sim] def probesFor(centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame =
+    probeRanks(centroids, queries, idCol, vecCol)
       .filter(col("probe_rank") <= nprobe)
       .select("query_id", "q_vec", "cell")
-  }
 
   private def topKInProbedCells(cells: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -214,11 +214,17 @@ object PqIndex {
     * .ivfRecallCurve]] sizes nprobe, [[Similarity.lshRecallCurve]]
     * sizes table count; this sizes the ADC shortlist, the knob the r12
     * decade soak showed must TRACK the candidate pool or recall
-    * collapses — 0.08 at shortlist 100 under 2M vectors). ONE ADC
-    * ranking at the deepest step and ONE exact-cosine scoring of its
-    * candidates are leafed; each ladder step slices its `adc_rnk ≤ s`
-    * prefix — exactly the candidate set `searchAdcRerank(shortlist=s)`
-    * reranks — so the curve costs one serve, not |ladder| serves. */
+    * collapses — 0.08 at shortlist 100 under 2M vectors).
+    *
+    * Collapsed (r13): a pair is in `searchAdcRerank(shortlist=s)`'s
+    * re-rank set iff its ADC rank ≤ s, and a TRUE top-k pair survives
+    * the exact-cosine re-rank at EVERY shortlist that admits it (fewer
+    * than k corpus rows beat it anywhere —
+    * [[Similarity.recallLadderAgg]]'s subset-rank argument) — so its
+    * first qualifying shortlist IS its ADC rank, the exact-cosine
+    * scoring join the per-step form needed disappears entirely, and
+    * the curve costs ONE ADC ranking at the deepest step plus one
+    * ladder aggregation (~5 shuffles where the r12 plan had 72). */
   def shortlistRecallCurve(cb: Codebook, codes: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       ladder: Seq[Int]): DataFrame = {
@@ -227,27 +233,16 @@ object PqIndex {
     val exact = graft.plans.LeafPlanRegistry.record(
       Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k))
       .localCheckpoint()
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-    // bounded leaf: |queries| × ladder.last rows of (ids, adc rank, cos)
-    val scored = graft.plans.LeafPlanRegistry.record(
+    // bounded: |queries| × ladder.last rows of (ids, adc rank)
+    val firstStep = graft.plans.LeafPlanRegistry.record(
       searchADC(cb, codes, queries, idCol, vecCol, ladder.last)
-        .select(col("query_id"), col("neighbor_id"), col("rnk").as("adc_rnk"))
-        .join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"), col("adc_rnk"),
-          Similarity.cosine(col("q_vec"), col("n_vec")).as("cos")))
-      .localCheckpoint()
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    ladder.map { s =>
-      val approx = scored.filter(col("adc_rnk") <= s)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-      Similarity.recallAtK(approx, exact)
-        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
-        .select(lit(s).as("shortlist"), col("n_exact"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionByName _)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rnk").as("first_step")))
+    Similarity.recallLadderAgg(
+      exact.select("query_id", "neighbor_id")
+        .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
+          "left_outer"),
+      ladder, "shortlist")
   }
 
   /** The shortlist sizing rule: the smallest ladder shortlist whose

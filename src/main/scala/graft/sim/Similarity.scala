@@ -128,6 +128,43 @@ object Similarity {
       Iterator(nlist)).toSeq
   }
 
+  /** THE ladder→recall aggregation every `*RecallCurve` collapses into:
+    * `exactWithStep` is one row per EXACT top-k pair carrying
+    * `first_step` — the smallest ladder value at which that pair is a
+    * hit (null = never). Cross-join the tiny ladder, ONE groupBy on the
+    * step, done: pooled BIGINT hit/exact totals with one double
+    * division at the end (integer-exact until the final op, identical
+    * across engines/partitionings — a mean of per-query double recalls
+    * would not be).
+    *
+    * Why per-pair first_step is ENOUGH — the true-top-k subset-rank
+    * argument all three curves lean on: every approximate family here
+    * ranks its candidates by the SAME total order as the exact side
+    * (desc cos, asc neighbor_id — or its rank-equivalent fixed-point
+    * ADC form), so an EXACT top-k pair has fewer than k corpus rows
+    * ahead of it globally, hence fewer than k ahead of it in ANY
+    * candidate subset — once it is a candidate it is ALWAYS inside the
+    * approximate top-k, at every deeper step. Hit(step) therefore
+    * reduces to first_step <= step, and the |ladder| separate
+    * search+recall plans (72 shuffles for the r12 shortlist ladder)
+    * collapse to one candidate pass + this one aggregation.
+    * (The argument is about exact-side pairs ONLY — a non-top-k
+    * candidate can be pushed out as steps deepen, but recall never
+    * reads those rows.) */
+  private[sim] def recallLadderAgg(exactWithStep: DataFrame, ladder: Seq[Int],
+      stepCol: String): DataFrame = {
+    val spark = exactWithStep.sparkSession
+    import spark.implicits._
+    exactWithStep.crossJoin(broadcast(ladder.toDF(stepCol)))
+      .groupBy(stepCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("first_step") <= col(stepCol), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col(stepCol), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** Pooled recall@k of the IVF probe at each ladder step — the
     * RECALL-side companion of the cost-side sizing rules
     * ([[IvfIndex.suggestedNlist]], [[suggestedLshBits]],
@@ -137,13 +174,20 @@ object Similarity {
     * geometry. The brute-force exact ranking (the expensive part — at
     * scale run it over a hash-SAMPLED query set,
     * [[graft.ops.Extended.hashSample]]: recall is a corpus property a
-    * deterministic query sample estimates) is materialized once as a
-    * bounded leaf (|queries|·k rows) and reused by every step; each
-    * step then costs one partition-bounded IVF search. Recall is
-    * POOLED (micro-averaged): BIGINT hit/exact totals with ONE double
-    * division at the end — integer-exact until the final op, so the
-    * number is identical across engines, partitionings, and summation
-    * orders (a mean of per-query double recalls would not be). */
+    * deterministic query sample estimates) is a bounded leaf
+    * (|queries|·k rows).
+    *
+    * Collapsed plan (r13): an exact pair is inside `search(nprobe=np)`
+    * iff its neighbor's ASSIGNED cell ranks ≤ np in the query's
+    * centroid order (presence ⟹ probed; and presence ⟸ probed by the
+    * [[recallLadderAgg]] subset-rank argument — a true top-k pair
+    * survives the top-k cut in any probed subset). So the whole curve
+    * is: ONE map-side corpus touch to fetch each exact neighbor's cell
+    * (broadcast-joined against the |queries|·k exact leaf — the corpus
+    * never shuffles), the full per-query centroid ranking
+    * ([[IvfIndex.probeRanks]], |queries|·nlist rows, one window), and
+    * one ladder aggregation — ~4 shuffles total where the per-step
+    * form planned 40. */
   def ivfRecallCurve(model: IvfIndex.Model, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       ladder: Seq[Int]): DataFrame = {
@@ -151,13 +195,25 @@ object Similarity {
       s"ladder=$ladder must be non-empty, all steps >= 1")
     val exact = graft.plans.LeafPlanRegistry.record(
       bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint()
-    ladder.map { np =>
-      recallAtK(IvfIndex.search(model, queries, idCol, vecCol, k, np), exact)
-        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
-        .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionByName _)
+    val assigned = model.cells
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+      .join(broadcast(exact.select("query_id", "neighbor_id")),
+        Seq("neighbor_id"))
+    // min() over duplicate corpus ids (several assignment rows for one
+    // neighbor) — hit as soon as ANY copy's cell is probed, matching
+    // recallAtK's distinct-before-join discipline
+    val firstStep = assigned
+      .join(broadcast(
+          IvfIndex.probeRanks(model.centroids, queries, idCol, vecCol)
+            .select("query_id", "cell", "probe_rank")),
+        Seq("query_id", "cell"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(min(col("probe_rank")).as("first_step"))
+    recallLadderAgg(
+      exact.select("query_id", "neighbor_id")
+        .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
+          "left_outer"),
+      ladder, "nprobe")
   }
 
   /** The recall-side sizing rule itself: the smallest ladder step whose
@@ -180,10 +236,9 @@ object Similarity {
       .filter(_.getAs[Double]("recall") >= targetRecall)
       .map(_.getAs[Int]("nprobe"))
     // totality holds only when pooled recall is well-defined: an EMPTY
-    // query set (or a corpus with no eligible neighbors) yields a NULL
-    // pooled recall, which getAs[Double] unboxes to 0.0 — no step
-    // qualifies and a bare .min would throw an opaque
-    // UnsupportedOperationException. Name the misconfiguration instead.
+    // query set (or a corpus with no eligible neighbors) yields an
+    // empty curve — no step qualifies and a bare .min would throw an
+    // opaque UnsupportedOperationException. Name the misconfiguration.
     require(qualifying.nonEmpty,
       "no nprobe step qualifies — the query set is empty or has no " +
         "eligible neighbors (pooled recall undefined); the rule is only " +
@@ -194,15 +249,16 @@ object Similarity {
   /** Pooled recall@k of the multi-table LSH stack at each table count
     * 1..maxTables — [[ivfRecallCurve]]'s sibling for the OR-amplified
     * family. ONE candidate scan at `maxTables` band families (tbl rides
-    * through [[lshCandidateScan]]) is leafed and each ladder step
-    * slices its `tbl < L` prefix — band families 0..L-1 are EXACTLY the
-    * families `lshTopKTables(tables = L)` keys on, so each slice
-    * reproduces that operator's candidate set without re-scanning the
-    * corpus per step. The ladder is linear, not doubling: L is small by
-    * contract (≤ 16) and cost is linear in L. Unlike the nprobe ladder
-    * there is NO exactness endpoint — more tables never lose recall
-    * (candidate sets are nested; spec'd) but nothing guarantees 1.0 at
-    * any L, which is why [[suggestedLshTables]] is partial. */
+    * through [[lshCandidateScan]]) — band families 0..L-1 are EXACTLY
+    * the families `lshTopKTables(tables = L)` keys on, so each pair's
+    * min(tbl) pins the full per-step candidate membership without
+    * re-scanning the corpus per step (see [[recallLadderAgg]] for why
+    * membership alone decides recall). The ladder is linear, not
+    * doubling: L is small by contract (≤ 16) and cost is linear in L.
+    * Unlike the nprobe ladder there is NO exactness endpoint — more
+    * tables never lose recall (candidate sets are nested; spec'd) but
+    * nothing guarantees 1.0 at any L, which is why
+    * [[suggestedLshTables]] is partial. */
   def lshRecallCurve(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int, maxTables: Int,
       multiprobe: Boolean = true): DataFrame = {
@@ -210,23 +266,23 @@ object Similarity {
       s"maxTables=$maxTables out of [1,16]")
     val exact = graft.plans.LeafPlanRegistry.record(
       bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint()
-    // bounded leaf: |queries| × their probed buckets' populations — the
-    // rows every step would otherwise recompute from the corpus scan
-    val cands = graft.plans.LeafPlanRegistry.record(
-      lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits,
-        tables = maxTables, multiprobe = multiprobe)).localCheckpoint()
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    (1 to maxTables).map { nTables =>
-      val approx = cands.filter(col("tbl") < nTables)
-        .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
-      recallAtK(approx, exact)
-        .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
-        .select(lit(nTables).as("tables"), col("n_exact"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionByName _)
+    // collapsed (r13): a pair is in lshTopKTables(L)'s candidate set
+    // iff it surfaced in SOME band family < L, and once a TRUE top-k
+    // pair is a candidate it survives the exact-cosine top-k cut at
+    // every deeper L ([[recallLadderAgg]]'s subset-rank argument) — so
+    // its first qualifying table count is min(tbl)+1, and the per-step
+    // groupBy+window+join towers collapse to ONE candidate dedup
+    // (bounded by |queries|·L·bucket, never the corpus)
+    val firstStep = graft.plans.LeafPlanRegistry.record(
+        lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits,
+          tables = maxTables, multiprobe = multiprobe))
+      .groupBy("query_id", "neighbor_id")
+      .agg((min(col("tbl")) + 1).as("first_step"))
+    recallLadderAgg(
+      exact.select("query_id", "neighbor_id")
+        .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
+          "left_outer"),
+      1 to maxTables, "tables")
   }
 
   /** The LSH recall-side sizing rule: the smallest table count whose
