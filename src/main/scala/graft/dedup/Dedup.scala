@@ -1202,6 +1202,13 @@ object Dedup {
     // when the session has a checkpoint dir (production clusters —
     // survives executor loss), local otherwise.
     def materialize(df: DataFrame): DataFrame = checkpointLeaf(df)
+    // jumps and edge-hops per materialized generation — dev-tunable for
+    // round-count experiments (GRAFT_CC_JUMPS / GRAFT_CC_HOPS),
+    // defaulting to the measured knees (see the in-loop notes)
+    val ccJumpsPerRound =
+      sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(2)
+    val ccHopsPerRound =
+      sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(1)
     // Per-generation checkpoints are EAGER, and their captured origin
     // stats are DROPPED. Two distinct per-round compounding traps live
     // here, both invisible at sf0.1's 5 rounds and fatal at sf10's 12:
@@ -1231,75 +1238,120 @@ object Dedup {
         if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
           df.checkpoint(eager = true)
         else df.localCheckpoint(eager = true))
+    // The convergence sum rides INSIDE the generation's materialization
+    // action via observe() (CollectMetricsExec = an accumulator on the
+    // rows the checkpoint job streams anyway), so each round is ONE
+    // Spark job, not generation-job + sum-job. At sf10's 1:100 append
+    // the separate sum was half of a ~0.65 s/round fixed floor that
+    // dominated the whole incremental path (~11 rounds, BASELINE r12).
     // decimal(38,0) sum: a long sum would overflow (ANSI: throw) at
-    // billions of large ids — exactly the scale this operator targets
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    // billions of large ids — exactly the scale this operator targets.
+    def materializeGenWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val gen = materializeGen(df.observe(obs,
+        coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("label_sum"),
+        count(lit(1)).as("n_vertices")))
+      // the eager checkpoint above IS the action that fills the metrics;
+      // get only blocks on its execution-end event
+      val m = obs.get
+      (gen, new java.math.BigDecimal(m("label_sum").toString),
+        m("n_vertices").toString.toLong)
+    }
 
-    // symmetrize via explode(array(fwd, rev)) — ONE pass over the pair
-    // list (a union of forward + reversed would reference the whole
-    // pair-producing pipeline, e.g. the simhash blocking joins, twice)
+    // symmetrize via explode(array(fwd, rev, selfA, selfB)) — ONE pass
+    // over the pair list (a union of forward + reversed would reference
+    // the whole pair-producing pipeline, e.g. the simhash blocking
+    // joins, twice). SELF-LOOPS ride the same explode so the per-round
+    // neighbor-min join alone preserves every vertex's own label — the
+    // union branch that used to carry it re-evaluated the whole jumped
+    // subtree a second time every round; |V| extra edge rows buy its
+    // removal once.
     val tE0 = System.nanoTime()
     val edges = materialize(
       pairs.select(explode(array(
         struct(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst")),
-        struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst"))))
+        struct(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")),
+        struct(col(idACol).cast("long").as("src"), col(idACol).cast("long").as("dst")),
+        struct(col(idBCol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))))
         .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] edges: ${(System.nanoTime() - tE0) / 1e9}%.2fs")
     val tI0 = System.nanoTime()
-    var labels = materializeGen(
+    var (labels, prevSum, nVertices) = materializeGenWithSum(
       edges.groupBy("src").agg(min(col("dst")).as("_mn"))
         .select(col("src").as("id"), least(col("src"), col("_mn")).as("label")))
-    var prevSum = labelSum(labels)
+    // every id persists through every generation, so the vertex count —
+    // free as an observe metric on the init job — is CONSTANT and the
+    // broadcast decision below is made once. (long, long) label rows are
+    // ~25 B broadcast-serialized; the 4M default caps the broadcast at
+    // ~100 MB. At 100 TB vertex counts the loop falls back to the
+    // shuffle-join form — same plans as before, just bigger.
+    val ccBroadcastLabels = nVertices <=
+      sys.env.get("GRAFT_CC_BCAST_MAX").map(_.toLong).getOrElse(4000000L)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(f"[cc] init: ${(System.nanoTime() - tI0) / 1e9}%.2fs")
+      System.err.println(f"[cc] init: ${(System.nanoTime() - tI0) / 1e9}%.2fs" +
+        s" vertices=$nVertices bcast=$ccBroadcastLabels")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val tR0 = System.nanoTime()
-      // DOUBLE POINTER JUMP first: label(v) ← label(label(label(v))).
-      // A label is always itself a vertex id of the same component, so
-      // each self-join against the generation leaf resolves one level
-      // of indirection; two levels per round shrink distance-to-root
-      // ~3× per generation, and combined with the neighbor-min below a
-      // diameter-D chain converges in ~log₃D materialized generations
-      // (one-hop-only needed 13 rounds at sf0.1, single jump 9, double
-      // jump 5 — and each materialized generation carries fixed
-      // job/stage overhead, which dominates over the marginal join:
-      // `labels` is a checkpoint leaf, so both lookups are cheap
-      // leaf⋈leaf hash joins inside the same action). Both joins
+      // POINTER JUMPS first: label(v) ← label^(J+1)(v). A label is
+      // always itself a vertex id of the same component, so each
+      // self-join against the generation leaf resolves one level of
+      // indirection, compressing the pointer forest ~(J+1)× per
+      // generation (measured at sf0.1: no jumps 13 rounds, J=1 9,
+      // J=2 5). The knee is J=2: past it the round count is gated by
+      // the EDGE-WAVE below, not pointer depth — a new bridge's min
+      // label advances one edge-hop per neighbor-min, and no amount of
+      // pointer jumping can skip an edge the labels haven't seen
+      // (measured at sf10: J=4 and J=6 left all three phases' round
+      // counts unchanged and paid the extra joins). All jump joins
       // target the LEAF, never a derived plan — stacking lazy jumps on
       // derived plans is attribute-dedup territory with exploding
       // optimization cost (observed).
-      val lookup1 = labels.select(col("id").as("label"), col("label").as("_l1"))
-      val lookup2 = labels.select(col("id").as("label"), col("label").as("_l2"))
-      val jumped = labels.join(lookup1, Seq("label"))
-        .select(col("id"), least(col("label"), col("_l1")).as("label"))
-        .join(lookup2, Seq("label"))
-        .select(col("id"), least(col("label"), col("_l2")).as("label"))
-      // ...then the neighbor-min, folded with the jumps into ONE
-      // materialized generation per round — `jumped` is referenced
-      // twice (join + union branch, two cheap evaluations inside the
-      // same action), and every consumer of the round's result (the
-      // convergence sum, the next round, the final output) reads the
-      // leaf instead of re-running joins. The generation is a LAZY
-      // local checkpoint: the convergence sum right below is the
-      // single action that computes it, caches it, and truncates
-      // lineage — one Spark job per round.
-      val next = materializeGen(
-        edges.join(jumped, edges("dst") === jumped("id"))
+      // below the broadcast gate every jump join and the edge probe are
+      // map-side (the label table ships once per round as a broadcast),
+      // leaving the neighbor-min groupBy as the round's ONLY shuffle —
+      // the per-round floor at the incremental-append scale was ~4
+      // shuffle joins' worth of stage scheduling over a KiB-MB label
+      // table (measured ~0.65 s/round at sf10 1:100, BASELINE r12)
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (ccBroadcastLabels) broadcast(df) else df
+      val jumped = (1 to ccJumpsPerRound).foldLeft(labels) { (acc, j) =>
+        val lookup = labels.select(col("id").as("label"),
+          col("label").as(s"_l$j"))
+        acc.join(maybeBcast(lookup), Seq("label"))
+          .select(col("id"), least(col("label"), col(s"_l$j")).as("label"))
+      }
+      // ...then H neighbor-min EDGE-HOPS folded into ONE materialized
+      // generation: each hop advances every component's min label one
+      // edge further, so H hops per job divide the edge-wave rounds —
+      // the binding constraint — by H. Measured at sf10: H=2 DID cut
+      // rounds (standing 12→8, recompute 12→8) but each fused round
+      // cost ~1.7× a single-hop one, a wash or worse once the
+      // self-loop + broadcast forms below made single-hop rounds
+      // cheap — so the default is 1 and the knob stays for graphs
+      // whose wave depth dominates. The convergence sum rides the
+      // SAME job as an observe() metric — one Spark job per round,
+      // nothing else. Sum-unchanged still detects the fixpoint
+      // exactly: labels only ever decrease, so an unchanged sum
+      // across H hops means no hop changed anything.
+      // self-loops in `edges` carry each vertex's own label through the
+      // join, so the hop is join→groupBy alone — no union branch, the
+      // jumped subtree evaluates exactly once (as the broadcast input
+      // below the gate)
+      val hopped = (1 to ccHopsPerRound).foldLeft(jumped) { (acc, _) =>
+        edges.join(maybeBcast(acc), edges("dst") === acc("id"))
           .select(edges("src").as("id"), col("label"))
-          .union(jumped.select(col("id"), col("label")))
-          .groupBy("id").agg(min("label").as("label")))
-      val t0 = System.nanoTime()
-      val nextSum = labelSum(next)
+          .groupBy("id").agg(min("label").as("label"))
+      }
+      val (next, nextSum, _) = materializeGenWithSum(hopped)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] round $iter%d: sum ${(System.nanoTime() - t0) / 1e9}%.2fs" +
-          f" build ${(t0 - tR0) / 1e9}%.2fs")
+        System.err.println(f"[cc] round $iter%d:" +
+          f" build+sum ${(System.nanoTime() - tR0) / 1e9}%.2fs")
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -121,13 +121,14 @@ class PlanDriftSpec extends SparkSpec {
     // and the standing-table build execute inside checkpoint leaves;
     // the final plan is pair distinct + component agg + output sort
     "q170_incremental_components" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true),
-    // the ladder queries (r12): each slices ONE leafed candidate/scored
-    // table per step, so exchanges scale with ladder length (4 LSH
-    // steps × per-step agg machinery; 9 shortlist steps at sf0.001) —
-    // pinned so a lost leaf (re-scanning the corpus per step) shows up
-    // as a count jump, not a silent slowdown
-    "q169_ann_lsh_tables_sized" -> PlanMetrics(40, 1, pushedFilters = true, prunedSchema = true),
-    "q171_ann_shortlist_sized" -> PlanMetrics(72, 1, pushedFilters = true, prunedSchema = true),
+    // the ladder queries (r13 collapse): ONE candidate pass feeds each
+    // exact pair's first-qualifying step, and the whole ladder is one
+    // grouped aggregation (recallLadderAgg) — exchanges no longer scale
+    // with ladder length (was 40/72 when each step planned its own
+    // search+recall tower); pinned so a regression back to per-step
+    // plans shows up as a count jump
+    "q169_ann_lsh_tables_sized" -> PlanMetrics(5, 7, pushedFilters = true, prunedSchema = true),
+    "q171_ann_shortlist_sized" -> PlanMetrics(5, 7, pushedFilters = true, prunedSchema = true),
     // BPE apply (r12): explode→explode→hash agg; ONE exchange (the
     // piece count), TakeOrderedAndProject caps the output — per-row
     // codegen'd encode, no join anywhere
