@@ -233,11 +233,18 @@ object PqIndex {
     val exact = graft.plans.LeafPlanRegistry.record(
       Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k))
       .localCheckpoint()
-    // bounded: |queries| × ladder.last rows of (ids, adc rank)
+    // the deepest ADC ranking, immediately restricted to the EXACT
+    // pairs (broadcast semi-join, |queries|·k rows out): the window
+    // must rank every candidate — that is the TOTAL rule's inherent
+    // calibration cost — but nothing wider than the exact set may
+    // shuffle, broadcast, or materialize past it (at the 2M-vector
+    // ladder the unrestricted rank table is |queries|·n ≈ 64M rows)
     val firstStep = graft.plans.LeafPlanRegistry.record(
       searchADC(cb, codes, queries, idCol, vecCol, ladder.last)
         .select(col("query_id"), col("neighbor_id"),
           col("rnk").as("first_step")))
+      .join(broadcast(exact.select("query_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"))
     Similarity.recallLadderAgg(
       exact.select("query_id", "neighbor_id")
         .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),

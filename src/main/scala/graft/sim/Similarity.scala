@@ -270,12 +270,16 @@ object Similarity {
     // iff it surfaced in SOME band family < L, and once a TRUE top-k
     // pair is a candidate it survives the exact-cosine top-k cut at
     // every deeper L ([[recallLadderAgg]]'s subset-rank argument) — so
-    // its first qualifying table count is min(tbl)+1, and the per-step
-    // groupBy+window+join towers collapse to ONE candidate dedup
-    // (bounded by |queries|·L·bucket, never the corpus)
+    // its first qualifying table count is min(tbl)+1. Candidates are
+    // semi-joined to the EXACT pairs (broadcast, |queries|·k rows)
+    // BEFORE the dedup: recall never reads non-top-k pairs, and the
+    // restriction keeps every shuffle after the scan exact-sized
+    // instead of candidate-sized
     val firstStep = graft.plans.LeafPlanRegistry.record(
         lshCandidateScan(queries, corpus, idCol, vecCol, dim, bits,
           tables = maxTables, multiprobe = multiprobe))
+      .join(broadcast(exact.select("query_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg((min(col("tbl")) + 1).as("first_step"))
     recallLadderAgg(
@@ -1065,6 +1069,30 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // the CLUSTERED-corpus generator, cross-engine-proven (r13): every
+    // element of every synthesized vector is pinned per vector through
+    // two exact per-element floats plus the fixed-point squared norm —
+    // the md5-lattice centers, the cell assignment, and the one
+    // float-producing division all replay bit for bit in DuckDB. This
+    // is the q166 discipline applied to the GENERATOR: the 20k→2M
+    // clustered ladder corpora (tools/GenVecs `clustered` mode) are
+    // written by this exact expression, so the measured residual-PQ /
+    // recall-curve evidence stands on a proven fixture, not an assumed
+    // one.
+    "q174_clustered_fixture" -> { (s, d) =>
+      val ids = Tables(s, d, "embeddings").select("vec_id")
+      val v = Synthetic.clusteredEmbedding(col("vec_id"), dim = 64,
+        k = 200, seed = 77L, noiseMilli = 300)
+      ids.select(col("vec_id"),
+          Synthetic.clusterCell(col("vec_id"), k = 200, seed = 77L).as("cell"),
+          v.as("_v"))
+        .select(col("vec_id"), col("cell"),
+          element_at(col("_v"), 1).as("e1"),
+          element_at(col("_v"), 33).as("e33"),
+          floor(dot(col("_v"), col("_v")) * lit(1e9)).cast("long").as("norm_fp"))
+        .orderBy("vec_id")
+    },
+
     // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
     // of only those rows — both stages replayed by the oracle
     "q139_pq_rerank" -> { (s, d) =>
@@ -1248,6 +1276,25 @@ object Similarity {
     "q169_ann_lsh_tables_sized" -> q169Oracle,
     "q171_ann_shortlist_sized" -> q171Oracle,
     "q173_ann_ivfpq_residual" -> q173Oracle,
+    // the clustered-generator proof: md5-lattice centers + integer
+    // fixed-point noise, one float division per element — replayed
+    // element-exactly (e1/e33 as REAL) plus the fixed-point norm over
+    // all 64 elements
+    "q174_clustered_fixture" ->
+      """WITH c AS (SELECT vec_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':c:77'), 1, 15) AS BIGINT)
+        |      % 200 AS INTEGER) AS cell
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, cell,
+        |    list_transform(range(0, 64), j -> CAST((
+        |      (CAST('0x' || substr(md5('ctr:77:' || CAST(cell AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) * 1000
+        |      + (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':n:77:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) * 300
+        |    ) / 1000000.0 AS REAL)) AS emb
+        |  FROM c)
+        |SELECT vec_id, cell, emb[1] AS e1, emb[33] AS e33,
+        |  CAST(floor(list_aggregate(list_transform(emb,
+        |    x -> x::DOUBLE * x::DOUBLE), 'sum') * 1e9) AS BIGINT) AS norm_fp
+        |FROM v ORDER BY vec_id""".stripMargin,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->

@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic CLUSTERED embedding synthesis — the production-shaped
+  * corpus the ANN evidence was missing (r12 verdict): GenVecs' orthogonal
+  * transforms preserve the testdata corpus's near-uniform-on-the-sphere
+  * geometry, and three r12 conclusions (IVF recall rising with scale,
+  * residual-PQ no-gain, LSH table-count escalation) were conditioned on
+  * that distribution. Real embedding corpora are CLUSTERED — coarse
+  * quantizer cells explain much of the variance, which is exactly why
+  * FAISS defaults IndexIVFPQ to `by_residual=true`.
+  *
+  * Construction (every step integer-exact and engine-neutral, the q65
+  * discipline):
+  *  - cell(id)     = h60(id ‖ ":c:" ‖ seed) mod k — uniform over k centers
+  *  - center(c)[j] = (h60("ctr:" ‖ seed ‖ ":" ‖ c ‖ ":" ‖ j) mod 2001 − 1000)
+  *                   — lattice points of [-1000, 1000] per dimension
+  *  - noise(id)[j] = (h60(id ‖ ":n:" ‖ seed ‖ ":" ‖ j) mod 2001 − 1000)
+  *  - vec[j]       = float((center·1000 + noise·noiseMilli) / 1e6)
+  *
+  * The numerator is assembled in BIGINT, so the only float op is ONE
+  * division + cast — both engines round identically, making a full
+  * per-element hash compare possible (q174). `noiseMilli` sets the blob
+  * radius as a fraction of the center lattice: 1000 = noise as wide as
+  * the centers (≈ uniform corpus), 300 (default) = clearly clustered
+  * blobs that still overlap in their tails, 50 = near-degenerate tight
+  * clusters. All h60 inputs are plain string concats, replayable in
+  * DuckDB as `CAST('0x' || substr(md5(…), 1, 15) AS BIGINT)`.
+  *
+  * This is LIBRARY surface (not a dev tool) deliberately: the oracle
+  * query q174 pins the generator cross-engine, and tools/GenVecs'
+  * `clustered` mode reuses the same expression — the ladder corpora and
+  * the oracle fixture can never drift apart.
+  */
+object Synthetic {
+  import graft.text.TextAnalysis.h60
+
+  /** The vector's cluster assignment — h60 is non-negative (60-bit), so
+    * plain mod equals pmod and replays as `%` in DuckDB. */
+  def clusterCell(id: Column, k: Int, seed: Long): Column =
+    (h60(concat(id.cast("string"), lit(s":c:$seed"))) % lit(k.toLong))
+      .cast("int")
+
+  /** The clustered embedding itself: `dim` floats around the id's cell
+    * center. Pure per-row expression — synthesizing 100 TB of corpus is
+    * a map stage with zero shuffles (2·dim md5 calls per row is the
+    * whole cost). */
+  def clusteredEmbedding(id: Column, dim: Int, k: Int, seed: Long,
+      noiseMilli: Int = 300): Column = {
+    require(dim >= 1 && k >= 1 && noiseMilli >= 0 && noiseMilli <= 1000,
+      s"dim=$dim k=$k noiseMilli=$noiseMilli out of range")
+    val cell = clusterCell(id, k, seed)
+    array((0 until dim).map { j =>
+      val ctr = h60(concat(lit(s"ctr:$seed:"), cell.cast("string"),
+        lit(s":$j"))) % lit(2001L) - lit(1000L)
+      val noi = h60(concat(id.cast("string"), lit(s":n:$seed:$j"))) %
+        lit(2001L) - lit(1000L)
+      ((ctr * lit(1000L) + noi * lit(noiseMilli.toLong)) / lit(1e6))
+        .cast("float")
+    }: _*)
+  }
+}

@@ -99,10 +99,38 @@ object GenVecs {
     (rows, distinct)
   }
 
+  /** CLUSTERED corpus (r13): `n` vectors drawn around `k` hash-seeded
+    * centers via [[graft.sim.Synthetic.clusteredEmbedding]] — the SAME
+    * expression the oracle-checked q174 pins cross-engine, so the
+    * ladder corpora and the proven generator cannot drift. `label` is
+    * the true cluster id, which makes filtered-search and
+    * recall-by-cluster analyses meaningful. Distinctness is verified
+    * exactly like the transform mode (two ids collide only if all
+    * dim noise hashes collide). */
+  private[tools] def generateClustered(spark: SparkSession, dst: String,
+      n: Long, dim: Int, k: Int, seed: Long, noiseMilli: Int): (Long, Long) = {
+    require(!dst.startsWith("/root/testdata"),
+      s"refusing to write into the driver's testdata tree ('$dst')")
+    spark.range(n).select(
+        col("id").as("vec_id"),
+        graft.sim.Synthetic.clusteredEmbedding(col("id"), dim, k, seed,
+          noiseMilli).as("embedding"),
+        graft.sim.Synthetic.clusterCell(col("id"), k, seed)
+          .cast("string").as("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
+    val back = spark.read.parquet(s"$dst/embeddings.parquet")
+    val r = back.agg(
+      count(lit(1)),
+      countDistinct(xxhash64(col("embedding").cast("array<double>").cast("string")))).head()
+    val (rows, distinct) = (r.getLong(0), r.getLong(1))
+    println(s"[gen-vecs] $dst: $rows clustered vectors, $distinct distinct " +
+      s"(dim=$dim, k=$k, noiseMilli=$noiseMilli)")
+    require(rows == distinct,
+      s"vector collision: $rows rows but $distinct distinct")
+    (rows, distinct)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 4,
-      "usage: GenVecs <dstDir> <srcDir> <copies> <seed> — seed must differ per decade")
-    val Array(dst, src, copiesS, seedS) = args
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -110,7 +138,20 @@ object GenVecs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, dst, src, copiesS.toInt, seedS.toLong)
+    args.headOption match {
+      case Some("clustered") =>
+        require(args.length >= 6,
+          "usage: GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli]")
+        generateClustered(spark, args(1), args(2).toLong, args(3).toInt,
+          args(4).toInt, args(5).toLong,
+          args.lift(6).map(_.toInt).getOrElse(300))
+      case _ =>
+        require(args.length == 4,
+          "usage: GenVecs <dstDir> <srcDir> <copies> <seed> (seed must differ " +
+            "per decade) | GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli]")
+        val Array(dst, src, copiesS, seedS) = args
+        generate(spark, dst, src, copiesS.toInt, seedS.toLong)
+    }
     spark.stop()
   }
 }

@@ -127,8 +127,8 @@ class PlanDriftSpec extends SparkSpec {
     // with ladder length (was 40/72 when each step planned its own
     // search+recall tower); pinned so a regression back to per-step
     // plans shows up as a count jump
-    "q169_ann_lsh_tables_sized" -> PlanMetrics(5, 7, pushedFilters = true, prunedSchema = true),
-    "q171_ann_shortlist_sized" -> PlanMetrics(5, 7, pushedFilters = true, prunedSchema = true),
+    "q169_ann_lsh_tables_sized" -> PlanMetrics(5, 9, pushedFilters = true, prunedSchema = true),
+    "q171_ann_shortlist_sized" -> PlanMetrics(5, 9, pushedFilters = true, prunedSchema = true),
     // BPE apply (r12): explode→explode→hash agg; ONE exchange (the
     // piece count), TakeOrderedAndProject caps the output — per-row
     // codegen'd encode, no join anywhere
