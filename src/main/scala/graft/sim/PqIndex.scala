@@ -303,6 +303,61 @@ object PqIndex {
       .select("query_id", "rnk", "neighbor_id", "cos")
   }
 
+  /** OPQ-style seeded orthogonal rotation (FAISS `OPQMatrix`'s random-
+    * rotation baseline / the SRHT construction): sign-flip ∘ Hadamard ∘
+    * permutation, R[i][perm(j)] = signs(i) · H(i,j) / √dim with
+    * H(i,j) = (−1)^popcount(i AND j) (Sylvester). Orthogonal by
+    * construction, so distances — and the brute-force truth — are
+    * preserved; what changes is how VARIANCE lands across PQ subspaces:
+    * the Hadamard mixes every input dimension into every output one, so
+    * a corpus whose energy concentrates in a few leading dimensions
+    * (the decaying-spectrum shape real embeddings have) gets each
+    * m-slice an equal share, which is the entire OPQ premise. A trained
+    * rotation (alternating Lloyd/SVD) squeezes a little more; the
+    * seeded form needs no training pass and is exactly replayable.
+    *
+    * Cross-engine exactness: at power-of-4 dims (64 here) 1/√dim is a
+    * power of two, so every entry is ±2^-k — float-exact, and each
+    * product entry·x is an EXACT double (exponent shift). The matrix is
+    * embedded as literals on BOTH engines (the LSH-coefficient replay
+    * discipline), and the matvec folds index-ascending via the same
+    * vec_dot / list_aggregate pair every other oracle leans on. */
+  def seededRotation(dim: Int, seed: Long): Array[Array[Float]] = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim=$dim must be a power of two (Sylvester Hadamard)")
+    val rnd = new java.util.Random(seed)
+    val perm = Array.tabulate(dim)(identity)
+    var i = dim - 1
+    while (i > 0) { // Fisher-Yates, as specified by java.util.Random
+      val j = rnd.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1f else -1f)
+    val scale = (1.0 / math.sqrt(dim.toDouble)).toFloat
+    Array.tabulate(dim) { r =>
+      val row = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        val h = if (java.lang.Integer.bitCount(r & j) % 2 == 0) 1f else -1f
+        row(perm(j)) = signs(r) * h * scale
+        j += 1
+      }
+      row
+    }
+  }
+
+  /** Apply a rotation as a pure map stage: y_i = vec_dot(x, R_i) with
+    * each row a broadcast literal — zero shuffle, rotates 100 TB as a
+    * projection. Composes with the existing [[train]]/[[encode]]/
+    * search paths unchanged: OPQ is rotate-then-PQ, nothing else. */
+  def rotate(df: DataFrame, idCol: String, vecCol: String,
+      rot: Array[Array[Float]]): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), array(rot.map(row =>
+        vec_dot(col(vecCol), typedLit(row.toSeq)).cast("float")): _*)
+        .as(vecCol))
+
   /** The corpus as (id, residual, cell): each vector minus its coarse
     * centroid — the relation residual PQ trains and encodes on. Float
     * subtraction against the SERVED (float) centroids, so the oracle

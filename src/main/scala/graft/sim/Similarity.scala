@@ -1093,6 +1093,26 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // OPQ-style rotation before PQ (r13): the seeded orthogonal
+    // rotation ([[PqIndex.seededRotation]] — sign∘Hadamard∘permutation,
+    // every entry ±1/8 at dim 64, float-exact) applied to corpus AND
+    // queries, then the UNCHANGED q133 stack: PQ train, encode, flat
+    // fixed-point ADC. The oracle embeds the same 64×64 literal matrix
+    // (the LSH-coefficient replay discipline), rebuilds the rotated
+    // relation with the index-ascending fold, and replays the whole
+    // training loop over it — a green hash pins rotation + PQ
+    // composition end to end.
+    "q175_ann_opq" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val rot = PqIndex.seededRotation(64, seed = 7L)
+      val r = PqIndex.rotate(emb, "vec_id", "embedding", rot)
+      val cb = PqIndex.train(r, "vec_id", "embedding", m = 4, ksub = 8)
+      val codes = PqIndex.encode(r, "vec_id", "embedding", cb)
+      PqIndex.searchADC(cb, codes, r.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
     // of only those rows — both stages replayed by the oracle
     "q139_pq_rerank" -> { (s, d) =>
@@ -1295,6 +1315,7 @@ object Similarity {
         |  CAST(floor(list_aggregate(list_transform(emb,
         |    x -> x::DOUBLE * x::DOUBLE), 'sum') * 1e9) AS BIGINT) AS norm_fp
         |FROM v ORDER BY vec_id""".stripMargin,
+    "q175_ann_opq" -> q175Oracle,
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1984,6 +2005,43 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** q175 oracle: the q133 replay over the ROTATED relation. The seeded
+    * rotation matrix is embedded as a 4096-entry literal (row-major;
+    * every value ±0.125 — float-exact, so printing/parsing cannot
+    * round), the rotated corpus is rebuilt with the index-ascending
+    * fold (each output element is one list_aggregate over the input —
+    * VectorDot's exact order), and both the train/encode source and the
+    * query distance tables read the rotated relation. */
+  private def q175Oracle: String = {
+    val rot = PqIndex.seededRotation(64, 7L)
+    val flat = rot.flatMap(_.map(_.toString)).mkString(", ")
+    s"""WITH rw AS (SELECT [$flat] AS w),
+       |ri AS (SELECT unnest(range(0, 64)) AS i),
+       |rotrel AS (
+       |  SELECT vec_id, list(re ORDER BY i) AS embedding FROM (
+       |    SELECT e.vec_id, r.i,
+       |      CAST(list_aggregate(list_transform(range(1, 65),
+       |        j -> e.embedding[j]::DOUBLE * rw.w[r.i*64 + j]), 'sum') AS REAL) AS re
+       |    FROM embeddings e CROSS JOIN ri r CROSS JOIN rw)
+       |  GROUP BY vec_id),
+       |${pqTrainCtes("", srcRel = "rotrel", dtabSrcRel = "rotrel")},
+       |cand AS (
+       |  SELECT d.query_id, co.vec_id AS neighbor_id,
+       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
+       |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** q158 oracle: the q133 replay with the TRAINING relation (init +
     * Lloyd) restricted to the 4/16 md5 hash-sample — the encode and the
     * ADC scan still cover the full corpus, mirroring `trainSixteenths`
@@ -2043,7 +2101,7 @@ object Similarity {
     * when composed with the IVF replay (q134). */
   private def pqTrainCtes(p: String, samplePred: Option[String] = None,
       m: Int = 4, ksub: Int = 8, srcRel: String = "embeddings",
-      emitDtab: Boolean = true): String = {
+      emitDtab: Boolean = true, dtabSrcRel: String = "embeddings"): String = {
     val dsub = 64 / m; val maxIter = 2
     val seed = 42L
     // sampled training (q158): init + Lloyd read the `${p}svt` slice of
@@ -2123,7 +2181,7 @@ object Similarity {
        |    CAST(floor((${normC("f.c")} - 2.0 *
        |      list_aggregate(list_transform(range(1, ${dsub + 1}),
        |        i -> e.embedding[f.sub*$dsub + i]::DOUBLE * f.c[i]), 'sum')) * 1e9) AS BIGINT) AS d
-       |  FROM embeddings e CROSS JOIN ${p}cf f WHERE e.vec_id < 6)""".stripMargin)
+       |  FROM $dtabSrcRel e CROSS JOIN ${p}cf f WHERE e.vec_id < 6)""".stripMargin)
   }
 
   /** Reusable replay of the [[IvfIndex.build]] training loop + final

@@ -46,9 +46,18 @@ object Synthetic {
   /** The clustered embedding itself: `dim` floats around the id's cell
     * center. Pure per-row expression — synthesizing 100 TB of corpus is
     * a map stage with zero shuffles (2·dim md5 calls per row is the
-    * whole cost). */
+    * whole cost).
+    *
+    * `anisotropic = true` scales dimension j by (dim − j)/dim — a
+    * linearly decaying spectrum, the second production trait real
+    * embeddings have beyond clustering: energy concentrates in leading
+    * dimensions (PCA-like), which is exactly what makes contiguous PQ
+    * slices unbalanced and an OPQ rotation worth paying for. Still one
+    * BIGINT numerator and ONE float-producing division per element
+    * (divider dim·1e6), so the anisotropic form replays cross-engine
+    * exactly like the isotropic one. */
   def clusteredEmbedding(id: Column, dim: Int, k: Int, seed: Long,
-      noiseMilli: Int = 300): Column = {
+      noiseMilli: Int = 300, anisotropic: Boolean = false): Column = {
     require(dim >= 1 && k >= 1 && noiseMilli >= 0 && noiseMilli <= 1000,
       s"dim=$dim k=$k noiseMilli=$noiseMilli out of range")
     val cell = clusterCell(id, k, seed)
@@ -57,8 +66,11 @@ object Synthetic {
         lit(s":$j"))) % lit(2001L) - lit(1000L)
       val noi = h60(concat(id.cast("string"), lit(s":n:$seed:$j"))) %
         lit(2001L) - lit(1000L)
-      ((ctr * lit(1000L) + noi * lit(noiseMilli.toLong)) / lit(1e6))
-        .cast("float")
+      val base = ctr * lit(1000L) + noi * lit(noiseMilli.toLong)
+      val (num, div) =
+        if (anisotropic) (base * lit((dim - j).toLong), dim * 1e6)
+        else (base, 1e6)
+      (num / lit(div)).cast("float")
     }: _*)
   }
 }

@@ -108,13 +108,14 @@ object GenVecs {
     * exactly like the transform mode (two ids collide only if all
     * dim noise hashes collide). */
   private[tools] def generateClustered(spark: SparkSession, dst: String,
-      n: Long, dim: Int, k: Int, seed: Long, noiseMilli: Int): (Long, Long) = {
+      n: Long, dim: Int, k: Int, seed: Long, noiseMilli: Int,
+      anisotropic: Boolean = false): (Long, Long) = {
     require(!dst.startsWith("/root/testdata"),
       s"refusing to write into the driver's testdata tree ('$dst')")
     spark.range(n).select(
         col("id").as("vec_id"),
         graft.sim.Synthetic.clusteredEmbedding(col("id"), dim, k, seed,
-          noiseMilli).as("embedding"),
+          noiseMilli, anisotropic).as("embedding"),
         graft.sim.Synthetic.clusterCell(col("id"), k, seed)
           .cast("string").as("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
@@ -124,7 +125,7 @@ object GenVecs {
       countDistinct(xxhash64(col("embedding").cast("array<double>").cast("string")))).head()
     val (rows, distinct) = (r.getLong(0), r.getLong(1))
     println(s"[gen-vecs] $dst: $rows clustered vectors, $distinct distinct " +
-      s"(dim=$dim, k=$k, noiseMilli=$noiseMilli)")
+      s"(dim=$dim, k=$k, noiseMilli=$noiseMilli, anisotropic=$anisotropic)")
     require(rows == distinct,
       s"vector collision: $rows rows but $distinct distinct")
     (rows, distinct)
@@ -141,10 +142,11 @@ object GenVecs {
     args.headOption match {
       case Some("clustered") =>
         require(args.length >= 6,
-          "usage: GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli]")
+          "usage: GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli] [aniso]")
         generateClustered(spark, args(1), args(2).toLong, args(3).toInt,
           args(4).toInt, args(5).toLong,
-          args.lift(6).map(_.toInt).getOrElse(300))
+          args.lift(6).map(_.toInt).getOrElse(300),
+          args.contains("aniso"))
       case _ =>
         require(args.length == 4,
           "usage: GenVecs <dstDir> <srcDir> <copies> <seed> (seed must differ " +

@@ -266,6 +266,54 @@ object VecBench {
       Some(line)
     } else None
 
+    // optional `opq` mode: the seeded orthogonal rotation
+    // (PqIndex.seededRotation — sign∘Hadamard∘permutation) before the
+    // SAME m=8/ksub=16 flat-ADC budget, vs no rotation. Rotation is
+    // orthogonal, so the brute truth is computed once on the unrotated
+    // normalized corpus and both stacks are scored against it. The gain
+    // exists exactly when per-subspace variance is unbalanced (the
+    // anisotropic clustered corpora); on isotropic corpora the honest
+    // expectation is ~no change — measure, don't assume.
+    val opqJson: Option[String] = if (args.tail.contains("opq")) {
+      val normed = Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qN = normed.filter(col("vec_id") < 32)
+      val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      def rec(approx: DataFrame): Double = {
+        val r = Similarity.recallAtK(approx, exactN)
+          .agg(avg(col("recall_at_k"))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      def adcAt(rel: DataFrame): (Double, Double) = {
+        val relQ = rel.filter(col("vec_id") < 32)
+        val cb = PqIndex.train(rel, "vec_id", "embedding", m = 8, ksub = 16,
+          trainSixteenths = sixteenths)
+        val codes = PqIndex.encode(rel, "vec_id", "embedding", cb)
+        val (rows, t) = timed {
+          PqIndex.searchADC(cb, codes, relQ, "vec_id", "embedding", k).collect()
+        }
+        val df = spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(2))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType))))
+        (t, rec(df))
+      }
+      val (tRaw, rRaw) = adcAt(normed)
+      val rot = PqIndex.seededRotation(dim, seed = 7L)
+      val rotated = PqIndex.rotate(normed, "vec_id", "embedding", rot)
+        .localCheckpoint(true)
+      val (tRot, rRot) = adcAt(rotated)
+      val line = s"""{"metric":"vecbench_opq","n":$n,"pq_m":8,"pq_ksub":16,""" +
+        f""""raw":{"sec":$tRaw%.3f,"recall":$rRaw%.4f},""" +
+        f""""rotated":{"sec":$tRot%.3f,"recall":$rRot%.4f}}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -320,7 +368,8 @@ object VecBench {
       // — the recall-vs-nprobe curve is the point of the mode, so it
       // must land in the pinned file, not just scroll past on stdout
       val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq ++
-        shortSweepJson.toSeq ++ residualJson.toSeq)).mkString("", "\n", "\n")
+        shortSweepJson.toSeq ++ residualJson.toSeq ++ opqJson.toSeq))
+        .mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[vecbench] wrote $p")

@@ -233,6 +233,38 @@ class PqIndexSpec extends SparkSpec {
       s"residual hits ${hits(resid)} < raw hits ${hits(raw)}")
   }
 
+  test("seededRotation: orthogonal, ±1/8 entries at dim 64, rotate preserves pairwise cosine ranking") {
+    val dim = 64
+    val rot = PqIndex.seededRotation(dim, seed = 7L)
+    // every entry exactly ±2^-3 (float-exact — the cross-engine literal
+    // replay in q175 rests on this)
+    assert(rot.flatten.forall(v => v == 0.125f || v == -0.125f))
+    // R·Rᵀ == I in exact arithmetic: rows are signed Hadamard rows/8,
+    // and Hadamard rows are mutually orthogonal with norm² = 64/64 = 1.
+    // Entries are ±2^-3 so the double dot products are exact — compare
+    // equality, not tolerance.
+    for (a <- 0 until dim; b <- a until dim) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += rot(a)(j).toDouble * rot(b)(j).toDouble; j += 1 }
+      assert(s == (if (a == b) 1.0 else 0.0), s"row $a · row $b = $s")
+    }
+    // rotation is a rigid motion: the exact top-k under cosine is the
+    // same neighbor set before and after (float rounding in the rotated
+    // elements can reorder ties only; ids here are tie-free)
+    val rotated = PqIndex.rotate(emb, "vec_id", "embedding", rot)
+    val before = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "rnk", "neighbor_id").collect().toSet
+    val after = Similarity.bruteForceTopK(
+        rotated.filter(col("vec_id") < 4), rotated, "vec_id", "embedding", k = 5)
+      .select("query_id", "rnk", "neighbor_id").collect().toSet
+    assert(before == after)
+    // deterministic: same seed, same matrix
+    assert(PqIndex.seededRotation(dim, 7L).map(_.toSeq).toSeq ==
+      rot.map(_.toSeq).toSeq)
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes
