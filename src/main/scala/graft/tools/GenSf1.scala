@@ -65,14 +65,21 @@ object GenSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // mode `docs` replicates ONLY the documents table — the fourth
+    // dedup decade (5M docs from .sf10) needs no 12 GB lineitem copy,
+    // just the text corpus; the token-suffix transform composes to any
+    // depth (vocabularies stay disjoint across all 1000 copies)
+    val docsOnly = args.lift(2).contains("docs")
+
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
       println(s"[gen-sf1] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
     // dimensions: unchanged
-    Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(Tables(spark, src, t), t))
+    if (!docsOnly)
+      Seq("region", "nation", "customer", "supplier", "part")
+        .foreach(t => write(Tables(spark, src, t), t))
 
     def replicated(name: String)(perCopy: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = Tables(spark, src, name)
@@ -94,20 +101,22 @@ object GenSf1 {
       }
     }
 
-    val Seq(orderStride) = strides("orders", "o_orderkey")
-    write(replicated("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride))
-    }, "orders")
+    if (!docsOnly) {
+      val Seq(orderStride) = strides("orders", "o_orderkey")
+      write(replicated("orders") { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStride))
+      }, "orders")
 
-    write(replicated("lineitem") { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStride))
-    }, "lineitem")
+      write(replicated("lineitem") { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStride))
+      }, "lineitem")
 
-    val Seq(eventStride, userStride) = strides("events", "event_id", "user_id")
-    write(replicated("events") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * eventStride))
-        .withColumn("user_id", col("user_id") + lit(i * userStride))
-    }, "events")
+      val Seq(eventStride, userStride) = strides("events", "event_id", "user_id")
+      write(replicated("events") { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * eventStride))
+          .withColumn("user_id", col("user_id") + lit(i * userStride))
+      }, "events")
+    }
 
     val Seq(docStride) = strides("documents", "doc_id")
     write(replicated("documents") { (df, i) =>
@@ -119,7 +128,9 @@ object GenSf1 {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
-    if (factsOnly) {
+    if (docsOnly) {
+      // no embeddings in a docs-only decade
+    } else if (factsOnly) {
       write(Tables(spark, src, "embeddings"), "embeddings")
     } else {
       val Seq(vecStride) = strides("embeddings", "vec_id")
