@@ -33,14 +33,32 @@ object Bench {
     // planner happily broadcast a 15M-row side. A real deployment tunes
     // the two thresholds the same asymmetric way.
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "64m")
-    val spark = SparkSession.builder()
+    // TypedImperativeAggregates (simhash votes, minhash perms, CMS)
+    // default-fall back to SORT-based aggregation after 128 distinct
+    // keys per partition — a threshold sized for percentile-style
+    // megabyte buffers, not these sub-KiB ones. The fallback sorts the
+    // exploded token relation instead of hash-aggregating it; measured
+    // at 5M docs / 32 cores: q154 51.9 s → 46.2 s with the hash path
+    // held (~11% — the sort is parallel, so the fallback costs a
+    // constant factor, not a cliff). Budget-derived cap: per-partition
+    // buffer population is groups/partitions, and at ~1 KiB per buffer
+    // 2^20 keys is ~1 GiB per task — the same per-task budget
+    // suggestedShufflePartitions assumes.
+    val objAggKeys = sys.env.getOrElse("SPARK_GRAFT_OBJAGG_KEYS", (1 << 20).toString)
+    // escape hatch for one-off conf experiments: "k=v;k=v"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", objAggKeys)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // derive the partition count from the CORPUS, not the harness: the

@@ -1113,6 +1113,25 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // the FULL FAISS pretransform chain (r13): OPQ rotation → coarse
+    // IVF → residual PQ (`IndexPreTransform(OPQMatrix,
+    // IndexIVFPQ(by_residual=true))`). Rotation is orthogonal, so the
+    // IVF geometry and residual structure live in the rotated space
+    // consistently; the oracle is q173's full replay with every vector
+    // relation redirected to the rotated CTE — one green hash pins the
+    // three-stage composition end to end.
+    "q176_ann_opq_ivfpq_residual" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val rot = PqIndex.seededRotation(64, seed = 7L)
+      val r = PqIndex.rotate(emb, "vec_id", "embedding", rot)
+      val ivf = IvfIndex.build(r, "vec_id", "embedding", nlist = 8)
+      val cb = PqIndex.trainResidual(ivf, "vec_id", "embedding",
+        m = 4, ksub = 8)
+      PqIndex.searchIvfAdcResidual(ivf, cb, r.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
     // of only those rows — both stages replayed by the oracle
     "q139_pq_rerank" -> { (s, d) =>
@@ -1316,6 +1335,8 @@ object Similarity {
         |    x -> x::DOUBLE * x::DOUBLE), 'sum') * 1e9) AS BIGINT) AS norm_fp
         |FROM v ORDER BY vec_id""".stripMargin,
     "q175_ann_opq" -> q175Oracle,
+    "q176_ann_opq_ivfpq_residual" ->
+      q173OracleFrom(srcRel = "rotrel", pre = rotrelCtes(7L) + ",\n"),
     "q162_ann_recall_pq" ->
       recallOracle(q133Oracle, bruteOracle("vec_id < 6", 3)),
     "q163_ann_recall_pq_rerank" ->
@@ -1912,7 +1933,14 @@ object Similarity {
     * and the `|q−c|²` fixed-point correction `qn` that raw ADC drops
     * as a per-query constant but residual ADC must add back — the
     * candidate sum is exactly ‖(q−c) − r̂‖² in exact longs. */
-  private def q173Oracle: String = {
+  private def q173Oracle: String = q173OracleFrom()
+
+  /** The q173 body with its vector relation redirectable (`srcRel`) and
+    * an optional CTE prefix — q176 composes it over the rotated
+    * relation (`rotrelCtes` + srcRel = "rotrel"): the full FAISS
+    * OPQ+IVFPQ pretransform chain in one replay. */
+  private def q173OracleFrom(srcRel: String = "embeddings",
+      pre: String = ""): String = {
     val ivfIter = 3; val dim = 64; val k = 3; val nprobe = 3
     val m = 4; val ksub = 8; val dsub = dim / m
     val up = dim + 1
@@ -1920,7 +1948,7 @@ object Similarity {
       s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
     def normC(c: String) =
       s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
-    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = ivfIter, dim = dim, seed = 42L)},
+    s"""WITH $pre${ivfCellsCtes(nlist = 8, maxIter = ivfIter, dim = dim, seed = 42L, srcRel = srcRel)},
        |cf AS (
        |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
        |  FROM c_$ivfIter),
@@ -1935,14 +1963,14 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
        |                 f.cell ASC) AS pr
-       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
+       |    FROM $srcRel e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
        |${pqTrainCtes("p", srcRel = "resrel", emitDtab = false)},
        |rq AS (
        |  SELECT p.query_id, p.cell,
        |    list_transform(range(1, $up),
        |      i -> CAST(e.embedding[i]::DOUBLE - f.c[i] AS REAL)) AS qres
        |  FROM probes p
-       |  JOIN embeddings e ON e.vec_id = p.query_id
+       |  JOIN $srcRel e ON e.vec_id = p.query_id
        |  JOIN cf f ON f.cell = p.cell),
        |rdtab AS (
        |  SELECT rq.query_id, rq.cell AS pcell, f2.sub, f2.cell,
@@ -2012,10 +2040,13 @@ object Similarity {
     * fold (each output element is one list_aggregate over the input —
     * VectorDot's exact order), and both the train/encode source and the
     * query distance tables read the rotated relation. */
-  private def q175Oracle: String = {
-    val rot = PqIndex.seededRotation(64, 7L)
+  /** The rotated-relation CTE block shared by q175/q176: the seeded
+    * rotation matrix as a 4096-entry row-major literal, each output
+    * element one index-ascending fold (VectorDot's exact order). */
+  private def rotrelCtes(seed: Long): String = {
+    val rot = PqIndex.seededRotation(64, seed)
     val flat = rot.flatMap(_.map(_.toString)).mkString(", ")
-    s"""WITH rw AS (SELECT [$flat] AS w),
+    s"""rw AS (SELECT [$flat] AS w),
        |ri AS (SELECT unnest(range(0, 64)) AS i),
        |rotrel AS (
        |  SELECT vec_id, list(re ORDER BY i) AS embedding FROM (
@@ -2023,7 +2054,11 @@ object Similarity {
        |      CAST(list_aggregate(list_transform(range(1, 65),
        |        j -> e.embedding[j]::DOUBLE * rw.w[r.i*64 + j]), 'sum') AS REAL) AS re
        |    FROM embeddings e CROSS JOIN ri r CROSS JOIN rw)
-       |  GROUP BY vec_id),
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
+  private def q175Oracle: String = {
+    s"""WITH ${rotrelCtes(7L)},
        |${pqTrainCtes("", srcRel = "rotrel", dtabSrcRel = "rotrel")},
        |cand AS (
        |  SELECT d.query_id, co.vec_id AS neighbor_id,
@@ -2189,7 +2224,8 @@ object Similarity {
     * defines CTEs `c_0..c_maxIter` and `cells (vec_id, embedding,
     * cell)`. Shared by the q135/q136 oracles, which consume the TRAINED
     * cells rather than the probe path. */
-  private def ivfCellsCtes(nlist: Int, maxIter: Int, dim: Int, seed: Long): String = {
+  private def ivfCellsCtes(nlist: Int, maxIter: Int, dim: Int, seed: Long,
+      srcRel: String = "embeddings"): String = {
     val up = dim + 1
     def dotVC(v: String, c: String) =
       s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
@@ -2207,7 +2243,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
          |                 c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
+         |    FROM $srcRel e CROSS JOIN c_${kIt - 1} c) WHERE rn = 1),
          |s_$kIt AS (
          |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
          |      $sums
@@ -2223,7 +2259,7 @@ object Similarity {
        |  FROM (
        |    SELECT vec_id, embedding,
        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':$seed'), 1, 15) AS BIGINT) AS h
-       |    FROM embeddings ORDER BY h, vec_id LIMIT $nlist)),
+       |    FROM $srcRel ORDER BY h, vec_id LIMIT $nlist)),
        |${(1 to maxIter).map(iteration).mkString(",\n")},
        |cells AS (
        |  SELECT vec_id, embedding, cell FROM (
@@ -2231,7 +2267,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY (${normC("c.c")} - 2.0 * ${dotVC("e.embedding", "c.c")}) ASC,
        |                 c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c_$maxIter c) WHERE rn = 1)""".stripMargin
+       |    FROM $srcRel e CROSS JOIN c_$maxIter c) WHERE rn = 1)""".stripMargin
   }
 
   /** q136 oracle: the IVF training replay, then SemDeDup's within-cell
