@@ -107,6 +107,10 @@ object StreamSoak {
           s""""final_fps_rows":$fps,"final_cluster_rows":$cl,"""
         })
       case "lsh" =>
+        // transformWithState requires the RocksDB provider (multiple
+        // column families) — same conf the spec sets
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val n = emb.count()
         val bits = graft.sim.Similarity.suggestedLshBits(n)
