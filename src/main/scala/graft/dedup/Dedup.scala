@@ -1209,6 +1209,14 @@ object Dedup {
       sys.env.get("GRAFT_CC_JUMPS").map(_.toInt).getOrElse(2)
     val ccHopsPerRound =
       sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(1)
+    // hops = 0 would be a SILENT corruption, not a slowdown: the loop
+    // would converge on the pointer-jump fixpoint without ever
+    // propagating labels across an edge — separate components reported
+    // for connected vertices, converged=true, no warning. (jumps = 0
+    // by contrast is merely slower.)
+    require(ccHopsPerRound >= 1,
+      s"GRAFT_CC_HOPS=$ccHopsPerRound must be >= 1 — zero hops never " +
+        "propagates labels across edges and converges on wrong components")
     // Per-generation checkpoints are EAGER, and their captured origin
     // stats are DROPPED. Two distinct per-round compounding traps live
     // here, both invisible at sf0.1's 5 rounds and fatal at sf10's 12:

@@ -376,17 +376,25 @@ object Similarity {
       multiprobe: Boolean, broadcastQueries: Boolean = true): DataFrame = {
     require(tables >= 1 && tables <= 16, s"tables=$tables out of [1,16]")
     // the long cast below is the state-store key contract — but a cast
-    // from a NON-integral id (string, uuid, …) yields null, and the
+    // from a NON-numeric id (string, uuid, …) yields null, and the
     // null-id drop would then silently empty the result while the
     // brute-force paths (which keep the original type) still return
     // rows: a recall comparison would read 0 with no error. Fail loudly
-    // instead of relying on cast-to-null-then-filter.
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    // instead of relying on cast-to-null-then-filter. Exact-castable
+    // numerics stay allowed (warehouse ids often arrive as
+    // DECIMAL(p ≤ 18, 0), which casts to long losslessly) — only types
+    // whose cast can NULL out are rejected.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DecimalType}
     Seq(queries -> "queries", corpus -> "corpus").foreach { case (df, side) =>
       val dt = df.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"LSH id column '$idCol' on the $side side must be an integral " +
-          s"type (it keys bucket state as long); got ${dt.simpleString} — " +
+      val castsExactly = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0 && d.precision <= 18
+        case _ => false
+      }
+      require(castsExactly,
+        s"LSH id column '$idCol' on the $side side must cast to long " +
+          s"exactly (it keys bucket state as long); got ${dt.simpleString} — " +
           "project a long surrogate id first")
     }
     import graft.functions.VectorFunctions.vec_lsh_key_band
@@ -2033,13 +2041,6 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** q175 oracle: the q133 replay over the ROTATED relation. The seeded
-    * rotation matrix is embedded as a 4096-entry literal (row-major;
-    * every value ±0.125 — float-exact, so printing/parsing cannot
-    * round), the rotated corpus is rebuilt with the index-ascending
-    * fold (each output element is one list_aggregate over the input —
-    * VectorDot's exact order), and both the train/encode source and the
-    * query distance tables read the rotated relation. */
   /** The rotated-relation CTE block shared by q175/q176: the seeded
     * rotation matrix as a 4096-entry row-major literal, each output
     * element one index-ascending fold (VectorDot's exact order). */
@@ -2057,6 +2058,10 @@ object Similarity {
        |  GROUP BY vec_id)""".stripMargin
   }
 
+  /** q175 oracle: the q133 replay over the ROTATED relation
+    * ([[rotrelCtes]] — every matrix value ±0.125, float-exact, so
+    * printing/parsing cannot round); both the train/encode source and
+    * the query distance tables read the rotated relation. */
   private def q175Oracle: String = {
     s"""WITH ${rotrelCtes(7L)},
        |${pqTrainCtes("", srcRel = "rotrel", dtabSrcRel = "rotrel")},

@@ -143,9 +143,12 @@ object GenVecs {
       case Some("clustered") =>
         require(args.length >= 6,
           "usage: GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli] [aniso]")
+        // noiseMilli and the aniso flag are independently optional:
+        // `clustered dst n dim k seed aniso` must not parse the flag
+        // as noiseMilli
         generateClustered(spark, args(1), args(2).toLong, args(3).toInt,
           args(4).toInt, args(5).toLong,
-          args.lift(6).map(_.toInt).getOrElse(300),
+          args.lift(6).filter(_ != "aniso").map(_.toInt).getOrElse(300),
           args.contains("aniso"))
       case _ =>
         require(args.length == 4,

@@ -44,14 +44,7 @@ object StreamSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val work = s"${sys.props.getOrElse("user.dir", ".")}/.streamsoak/" +
-      java.lang.ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(work))
-    }))
+    val work = ToolWork.pidScopedDir(".streamsoak")
     val incoming = s"$work/incoming"
     new java.io.File(incoming).mkdirs()
 

@@ -81,11 +81,7 @@ object VecBench {
     val exact = spark.createDataFrame(
       java.util.Arrays.asList(exactRows: _*), exactSchema)
 
-    def meanRecall(approx: DataFrame): Double = {
-      val r = Similarity.recallAtK(approx, exact)
-        .agg(avg(col("recall_at_k"))).head()
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    }
+    def meanRecall(approx: DataFrame): Double = ToolWork.meanRecall(approx, exact)
 
     // LSH — single table, then the OR-amplified multi-table form (the
     // recall-recovery knob: suggestedLshBits holds bucket population
@@ -105,20 +101,9 @@ object VecBench {
     val rLshM = meanRecall(lshMDf)
 
     // IVF: build+persist (the cell-partitioned layout), then the
-    // partition-pruned indexed search
-    // pid-scoped index root: two concurrent bench JVMs on the same
-    // corpus size MUST NOT share `ivf_<n>` paths — the r12c soak showed
-    // one JVM overwriting the other's cells mid-search (spurious
-    // errors). Best-effort cleanup on exit so per-pid dirs don't
-    // accumulate a full index copy per run.
-    val idxRoot = s"${sys.props.getOrElse("user.dir", ".")}/.vecbench/" +
-      java.lang.ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(idxRoot))
-    }))
+    // partition-pruned indexed search; pid-scoped + cleaned on exit
+    // (ToolWork.pidScopedDir — the r12c concurrent-JVM lesson)
+    val idxRoot = ToolWork.pidScopedDir(".vecbench")
     val ivfPath = s"$idxRoot/ivf_$n"
     val (_, tIvfBuild) = timed {
       val m = IvfIndex.build(corpus, "vec_id", "embedding", nlist,
@@ -232,11 +217,6 @@ object VecBench {
         trainSixteenths = sixteenths)
       val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
         "embedding", k).localCheckpoint(true)
-      def rec(approx: org.apache.spark.sql.DataFrame): Double = {
-        val r = Similarity.recallAtK(approx, exactN)
-          .agg(avg(col("recall_at_k"))).head()
-        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      }
       val cbRaw = PqIndex.train(normed, "vec_id", "embedding", m = 8,
         ksub = 16, trainSixteenths = sixteenths)
       val (rawRows, tRaw) = timed {
@@ -249,15 +229,8 @@ object VecBench {
         PqIndex.searchIvfAdcResidual(ivfN, cbRes, qN, "vec_id", "embedding",
           k, nprobe).collect()
       }
-      def toDf(rows: Array[org.apache.spark.sql.Row]) =
-        spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
-          org.apache.spark.sql.Row(r.getLong(0), r.getLong(2))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("query_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("neighbor_id",
-              org.apache.spark.sql.types.LongType))))
-      val rRaw = rec(toDf(rawRows)); val rRes = rec(toDf(resRows))
+      val rRaw = ToolWork.meanRecall(ToolWork.idPairs(spark, rawRows), exactN)
+      val rRes = ToolWork.meanRecall(ToolWork.idPairs(spark, resRows), exactN)
       val line = s"""{"metric":"vecbench_residual","n":$n,"nlist":$nlist,""" +
         s""""nprobe":$nprobe,"pq_m":8,"pq_ksub":16,""" +
         f""""raw":{"sec":$tRaw%.3f,"recall":$rRaw%.4f},""" +
@@ -280,11 +253,6 @@ object VecBench {
       val qN = normed.filter(col("vec_id") < 32)
       val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
         "embedding", k).localCheckpoint(true)
-      def rec(approx: DataFrame): Double = {
-        val r = Similarity.recallAtK(approx, exactN)
-          .agg(avg(col("recall_at_k"))).head()
-        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      }
       def adcAt(rel: DataFrame): (Double, Double) = {
         val relQ = rel.filter(col("vec_id") < 32)
         val cb = PqIndex.train(rel, "vec_id", "embedding", m = 8, ksub = 16,
@@ -293,14 +261,7 @@ object VecBench {
         val (rows, t) = timed {
           PqIndex.searchADC(cb, codes, relQ, "vec_id", "embedding", k).collect()
         }
-        val df = spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
-          org.apache.spark.sql.Row(r.getLong(0), r.getLong(2))): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("query_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("neighbor_id",
-              org.apache.spark.sql.types.LongType))))
-        (t, rec(df))
+        (t, ToolWork.meanRecall(ToolWork.idPairs(spark, rows), exactN))
       }
       val (tRaw, rRaw) = adcAt(normed)
       val rot = PqIndex.seededRotation(dim, seed = 7L)
