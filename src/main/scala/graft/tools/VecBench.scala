@@ -268,9 +268,24 @@ object VecBench {
       val rotated = PqIndex.rotate(normed, "vec_id", "embedding", rot)
         .localCheckpoint(true)
       val (tRot, rRot) = adcAt(rotated)
-      val line = s"""{"metric":"vecbench_opq","n":$n,"pq_m":8,"pq_ksub":16,""" +
+      // the composed q176 stack at the same budget: rotation, coarse
+      // IVF in the rotated space, residual PQ — the two knobs address
+      // different structure (per-subspace imbalance vs between-cell
+      // variance), so the composition is where both should stack
+      val ivfR = IvfIndex.build(rotated, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      val cbRR = PqIndex.trainResidual(ivfR, "vec_id", "embedding", m = 8,
+        ksub = 16, trainSixteenths = sixteenths)
+      val qR = rotated.filter(col("vec_id") < 32)
+      val (rrRows, tRR) = timed {
+        PqIndex.searchIvfAdcResidual(ivfR, cbRR, qR, "vec_id", "embedding",
+          k, nprobe).collect()
+      }
+      val rRR = ToolWork.meanRecall(ToolWork.idPairs(spark, rrRows), exactN)
+      val line = s"""{"metric":"vecbench_opq","n":$n,"nlist":$nlist,"nprobe":$nprobe,"pq_m":8,"pq_ksub":16,""" +
         f""""raw":{"sec":$tRaw%.3f,"recall":$rRaw%.4f},""" +
-        f""""rotated":{"sec":$tRot%.3f,"recall":$rRot%.4f}}"""
+        f""""rotated":{"sec":$tRot%.3f,"recall":$rRot%.4f},""" +
+        f""""rotated_residual":{"sec":$tRR%.3f,"recall":$rRR%.4f}}"""
       println(line)
       Some(line)
     } else None
