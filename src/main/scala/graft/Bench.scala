@@ -148,8 +148,14 @@ object Bench {
     // per-query map FIRST, summary fields LAST: the driver archives only
     // the tail of stdout, and a leading "value" on a >2000-char line was
     // truncated away in every prior round (BENCH_r*.json "parsed": null)
+    // self-description: the knobs that make two recordings comparable.
+    // An r13 soak read as a false 23-28×/decade regression purely because
+    // SPARK_GRAFT_CPUS=4 had leaked into one side of the comparison and
+    // nothing in the artifact said so.
+    val env = s""""cpus":$cpus,"shuffle_partitions":${
+      spark.conf.get("spark.sql.shuffle.partitions")},"objagg_keys":$objAggKeys"""
     val json =
-      s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir","metric":"total","unit":"sec","n":${results.size},"value":$total}"""
+      s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir",$env,"metric":"total","unit":"sec","n":${results.size},"value":$total}"""
     println(json)
     // The driver archives only a bounded TAIL of stdout and parses a
     // trailing JSON line; with 150+ queries the full line above runs
@@ -162,7 +168,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","errors":$errs,"slow":$slow,"slowest":$top}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir",$env,"errors":$errs,"slow":$slow,"slowest":$top}""")
     // ALSO land the JSON in its own file: the driver archives a stdout
     // tail, and r10's BENCH artifact came back "parsed": null because the
     // line was buried in log noise. A dedicated file is machine-readable

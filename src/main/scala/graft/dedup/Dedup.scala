@@ -1297,6 +1297,15 @@ object Dedup {
     // ~25 B broadcast-serialized; the 4M default caps the broadcast at
     // ~100 MB. At 100 TB vertex counts the loop falls back to the
     // shuffle-join form — same plans as before, just bigger.
+    // On the RELIABLE checkpoint path Dataset.checkpoint(eager = true)
+    // re-executes the plan for the checkpoint-write job, so the observe
+    // accumulators can double-count. label_sum doubles CONSISTENTLY
+    // (convergence comparisons are unaffected) but n_vertices would read
+    // ~2× and silently halve the effective broadcast gate — so the gate
+    // input is recounted from the materialized leaf: one init-only job
+    // over a (long, long) table, never repeated per round.
+    if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      nVertices = labels.count()
     val ccBroadcastLabels = nVertices <=
       sys.env.get("GRAFT_CC_BCAST_MAX").map(_.toLong).getOrElse(4000000L)
     if (sys.env.contains("GRAFT_CC_DEBUG"))

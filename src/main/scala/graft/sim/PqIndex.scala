@@ -245,11 +245,11 @@ object PqIndex {
           col("rnk").as("first_step")))
       .join(broadcast(exact.select("query_id", "neighbor_id")),
         Seq("query_id", "neighbor_id"))
-    Similarity.recallLadderAgg(
+    Similarity.materializeLadder(Similarity.recallLadderAgg(
       exact.select("query_id", "neighbor_id")
         .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
           "left_outer"),
-      ladder, "shortlist")
+      ladder, "shortlist"), exact)
   }
 
   /** The shortlist sizing rule: the smallest ladder shortlist whose

@@ -165,6 +165,22 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Materialize a calibration ladder (≤ ~16 rows of four numbers) to a
+    * LocalRelation and RELEASE the exact-set checkpoint blocks it was
+    * computed from. The curve functions checkpoint their brute-force
+    * exact leaf so it evaluates once across the two references in the
+    * ladder plan; a lazily-returned curve would pin those blocks for
+    * the session, and repeated calibrations (re-sizing after appends,
+    * sweeping k) would accumulate orphans. The ladder itself is
+    * calibration state, never corpus rows — eager is the honest cost. */
+  private[sim] def materializeLadder(curve: DataFrame,
+      exactLeaf: DataFrame): DataFrame = {
+    val spark = curve.sparkSession
+    val rows = curve.collect()
+    org.apache.spark.sql.graft.GraftBridge.unpersistLeaf(exactLeaf)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), curve.schema)
+  }
+
   /** Pooled recall@k of the IVF probe at each ladder step — the
     * RECALL-side companion of the cost-side sizing rules
     * ([[IvfIndex.suggestedNlist]], [[suggestedLshBits]],
@@ -209,11 +225,11 @@ object Similarity {
         Seq("query_id", "cell"))
       .groupBy("query_id", "neighbor_id")
       .agg(min(col("probe_rank")).as("first_step"))
-    recallLadderAgg(
+    materializeLadder(recallLadderAgg(
       exact.select("query_id", "neighbor_id")
         .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
           "left_outer"),
-      ladder, "nprobe")
+      ladder, "nprobe"), exact)
   }
 
   /** The recall-side sizing rule itself: the smallest ladder step whose
@@ -282,11 +298,11 @@ object Similarity {
         Seq("query_id", "neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg((min(col("tbl")) + 1).as("first_step"))
-    recallLadderAgg(
+    materializeLadder(recallLadderAgg(
       exact.select("query_id", "neighbor_id")
         .join(broadcast(firstStep), Seq("query_id", "neighbor_id"),
           "left_outer"),
-      1 to maxTables, "tables")
+      1 to maxTables, "tables"), exact)
   }
 
   /** The LSH recall-side sizing rule: the smallest table count whose

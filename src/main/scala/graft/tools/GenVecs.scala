@@ -143,13 +143,21 @@ object GenVecs {
       case Some("clustered") =>
         require(args.length >= 6,
           "usage: GenVecs clustered <dstDir> <n> <dim> <k> <seed> [noiseMilli] [aniso]")
-        // noiseMilli and the aniso flag are independently optional:
-        // `clustered dst n dim k seed aniso` must not parse the flag
-        // as noiseMilli
+        // noiseMilli and the aniso flag are independently optional and
+        // order-free: `clustered dst n dim k seed aniso 500` must set
+        // noiseMilli=500, not silently ignore it. Unrecognized trailing
+        // args are rejected rather than dropped.
+        val trailing = args.drop(6)
+        val (anisoFlags, rest) = trailing.partition(_ == "aniso")
+        val noise = rest.filter(_.forall(_.isDigit))
+        val bad = rest.filterNot(_.forall(_.isDigit))
+        require(bad.isEmpty && noise.length <= 1 && anisoFlags.length <= 1,
+          s"unrecognized trailing args ${trailing.mkString(" ")} — expected " +
+            "at most one numeric noiseMilli and at most one 'aniso' flag")
         generateClustered(spark, args(1), args(2).toLong, args(3).toInt,
           args(4).toInt, args(5).toLong,
-          args.lift(6).filter(_ != "aniso").map(_.toInt).getOrElse(300),
-          args.contains("aniso"))
+          noise.headOption.map(_.toInt).getOrElse(300),
+          anisoFlags.nonEmpty)
       case _ =>
         require(args.length == 4,
           "usage: GenVecs <dstDir> <srcDir> <copies> <seed> (seed must differ " +

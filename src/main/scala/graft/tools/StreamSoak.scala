@@ -54,8 +54,12 @@ object StreamSoak {
       slices.zipWithIndex.foreach { case (df, i) =>
         val tmp = s"$work/tmp_$i"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
+        val parts = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+        require(parts.nonEmpty, s"[stream-soak] slice $i (mode=$mode) is " +
+          "empty — the residue class has no rows for this corpus; lower " +
+          "nBatches or use a larger corpus")
+        val part = parts.head
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(f"$incoming/b$i%04d.parquet"))
       }

@@ -47,6 +47,18 @@ object GraftBridge {
       case _ => df
     }
 
+  /** Release the persisted blocks behind a checkpointed DataFrame's
+    * `LogicalRDD` leaf (the storage `Dataset.localCheckpoint` registers).
+    * Callers must have materialized everything derived from the leaf
+    * FIRST — checkpoint lineage is truncated, so any recompute after
+    * release fails by design. No-op on non-checkpoint plans. */
+  def unpersistLeaf(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Introspection of a SparkSessionExtensions instance (test support for
     * the declarative `spark.sql.extensions` install path). */
   def builtStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,

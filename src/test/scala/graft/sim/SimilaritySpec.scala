@@ -237,6 +237,27 @@ class SimilaritySpec extends SparkSpec {
     assert(trivial.contains(1))
   }
 
+  test("recall curves release their exact-set checkpoint blocks (no orphan accumulation)") {
+    val emb = graft.sources.Tables(spark, sf("sf0.01"), "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    // warm once — first call may register session-lifetime state
+    Similarity.lshRecallCurve(queries, emb, "vec_id", "embedding",
+      k = 2, dim = 64, bits = 4, maxTables = 2)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Similarity.lshRecallCurve(queries, emb, "vec_id", "embedding",
+        k = 2, dim = 64, bits = 4, maxTables = 2)
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 4,
+        maxIter = 0)
+      Similarity.ivfRecallCurve(model, queries, emb, "vec_id", "embedding",
+        k = 2, ladder = Similarity.nprobeLadder(4))
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"repeated calibrations accumulated ${after - before} persistent RDDs " +
+        "(exact-set checkpoint leaves not released)")
+  }
+
   test("nprobeLadder: doubling steps ending exactly at nlist") {
     assert(Similarity.nprobeLadder(1) == Seq(1))
     assert(Similarity.nprobeLadder(2) == Seq(1, 2))
