@@ -1461,6 +1461,50 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simHashNearDupsAgainst]]'s WIDE (120-bit) twin: near-dup pairs of
+    * a new batch against the full corpus (itself included — new×new and
+    * new×old, never old×old) under the stricter ≤ maxHamming of 120
+    * bits. The 60-bit form's 15-bit block keys make per-batch candidate
+    * volume ~batch·4·N/2^15 — LINEAR in the standing corpus N, the exact
+    * superlinear term the batch self-join already measured and escaped
+    * via [[simHashWideNearDups]]. The 30-bit quarter keys here keep
+    * expected bucket occupancy ~N/2^30, i.e. candidate volume tracks
+    * TRUE near-dup density until the corpus approaches a billion docs —
+    * the family the standing-cluster fold must run past ~10^5-10^6
+    * standing docs ([[graft.streaming.EventsStream.foldBatchIntoClusters]]
+    * dispatches here by standing-state size). */
+  def simHashWideNearDupsAgainst(newDocs: DataFrame, allDocs: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3): DataFrame =
+    simHashWideNearDupsAgainstFps(simHashWideTable(newDocs, textCol, idCol),
+      simHashWideTable(allDocs, textCol, idCol), idCol, maxHamming)
+
+  /** [[simHashWideNearDupsAgainst]] over PRECOMPUTED wide fingerprint
+    * tables (`(idCol, sh_lo, sh_hi)` — [[simHashWideTable]]'s contract):
+    * the standing-state form. Same 4×30-bit pigeonhole grid as the batch
+    * wide family ([[simHashWideQuarterKeys]] — ONE geometry definition),
+    * same verify-before-distinct discipline, exact for `maxHamming ≤ 3`.
+    * Output `(id_a, id_b, hamming)`, id_a < id_b (least/greatest
+    * normalization — a new doc can sit on either side). */
+  def simHashWideNearDupsAgainstFps(newFps: DataFrame, allFps: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-block pigeonhole blocking is only complete for maxHamming <= 3")
+    val nB = simHashWideBlockKeys(newFps, idCol)
+      .select(col("block_idx"), col("block_key"), col(idCol).as("id_n"),
+        col("sh_lo").as("lo_n"), col("sh_hi").as("hi_n"))
+    val aB = simHashWideBlockKeys(allFps, idCol)
+      .select(col("block_idx"), col("block_key"), col(idCol).as("id_o"),
+        col("sh_lo").as("lo_o"), col("sh_hi").as("hi_o"))
+    nB.join(aB, Seq("block_idx", "block_key"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        (hamming(col("lo_n"), col("lo_o")) +
+          hamming(col("hi_n"), col("hi_o"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Canonical-document selection — the survivorship rule a production
     * dedup actually wants: within each duplicate cluster keep the
     * BEST member by a quality attribute (longest / highest-scoring),
@@ -1705,6 +1749,23 @@ object Dedup {
     "q159_simhash_wide_sharded" -> { (s, d) =>
       simHashWideNearDupsSharded(Tables(s, d, "documents"), "text", "doc_id",
           shards = 3, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // wide incremental pair generation (r14): every pair with at least
+    // one end in the "new batch" (every 10th doc) — new×new ∪ new×old,
+    // never old×old — on the 120-bit fingerprint's 30-bit quarter keys.
+    // This is the pair source the standing-cluster fold dispatches to
+    // past the 60-bit family's ~10^5-doc crossover (per-batch candidate
+    // volume N/2^30 instead of N/2^15). Oracle: brute-force new×all
+    // two-half hamming scan (q156's discipline) — exact for the blocked
+    // plan by the pigeonhole argument.
+    "q178_simhash_wide_against" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      simHashWideNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 === 0), docs,
+        "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
     },
@@ -2213,6 +2274,22 @@ object Dedup {
          |LEFT JOIN near ON near.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    // q178: the wide new×all pair list, brute-forced — every ordered
+    // pair with the new side (doc_id % 10 = 0) on at least one end and
+    // two-half 120-bit hamming <= 3. LEAST/GREATEST normalizes pair
+    // order exactly as the Spark side does; NULL fingerprints never
+    // qualify (NULL hamming fails the predicate on both engines).
+    "q178_simhash_wide_against" ->
+      s"""WITH $simHashWideOracleCore
+         |SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS id_a,
+         |  GREATEST(n.doc_id, o.doc_id) AS id_b,
+         |  CAST(bit_count(xor(n.sh_lo, o.sh_lo)) +
+         |       bit_count(xor(n.sh_hi, o.sh_hi)) AS INTEGER) AS hamming
+         |FROM wfp n JOIN wfp o ON n.doc_id <> o.doc_id
+         |WHERE n.doc_id % 10 = 0
+         |  AND bit_count(xor(n.sh_lo, o.sh_lo)) +
+         |      bit_count(xor(n.sh_hi, o.sh_hi)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // q106: per-sentence eval-gram overlap; dirty sentences excised,
     // documents reassembled (fully-dirty docs keep a row with n_clean=0)
     "q106_scrub_eval_sentences" ->

@@ -358,6 +358,173 @@ object PqIndex {
         vec_dot(col(vecCol), typedLit(row.toSeq)).cast("float")): _*)
         .as(vecCol))
 
+  /** Fixed-point cross-covariance sufficient statistics for the OPQ
+    * Procrustes step: `s[(i·m + sub)·ksub + cell]` = Σ over corpus rows
+    * assigned to (sub, cell) of `floor(x_i · 1e9)` (x = the UNROTATED
+    * vector), an exact BIGINT sum — order-free, so oracle-replayable.
+    * The full d×d cross-covariance `C = XᵀŶ` then folds out of these
+    * d·m·ksub longs and the codebook alone (ŷ is piecewise-constant per
+    * (sub, cell)): the corpus is touched ONCE per OPQ iteration and
+    * never shuffles anything wider than 2048 keyed sums. */
+  private def crossCovFp(x: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int): Array[Long] = {
+    val assigned = codes.select(col(idCol),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+    val rows = x.select(col(idCol), col(vecCol))
+      .join(assigned, Seq(idCol))
+      .select(col("sub"), col("cell"),
+        explode(sequence(lit(0), lit(dim - 1))).as("i"),
+        col(vecCol))
+      .groupBy("i", "sub", "cell")
+      .agg(sum(floor(element_at(col(vecCol), col("i") + 1).cast("double")
+        * lit(1e9)).cast("long")).as("s"))
+      .collect()
+    val s = new Array[Long](dim * m * ksub) // empty (sub, cell) → 0
+    rows.foreach { r =>
+      s((r.getAs[Int]("i") * m + r.getAs[Int]("sub")) * ksub +
+        r.getAs[Int]("cell")) = r.getAs[Long]("s")
+    }
+    s
+  }
+
+  /** Orthogonal polar factor by FIXED-COUNT Newton–Schulz iteration:
+    * z₀ = A/‖A‖_F (σ_max ≤ 1, inside the convergence basin), then
+    * `z ← z·(3I − zᵀz)/2` exactly `iters` times. Every fold is
+    * index-ascending double arithmetic — the same left-to-right
+    * discipline as [[norm2]] — so the result is bit-identical to the
+    * DuckDB replay whatever the convergence state; `iters` is part of
+    * the operator's definition, not a tolerance. Row-major d×d. */
+  private[sim] def polarNS(a: Array[Double], d: Int, iters: Int): Array[Double] = {
+    var fro = 0.0
+    var t = 0
+    while (t < d * d) { fro += a(t) * a(t); t += 1 }
+    fro = math.sqrt(fro)
+    var z = Array.tabulate(d * d)(i => a(i) / fro)
+    var it = 0
+    while (it < iters) {
+      val ztz = new Array[Double](d * d)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          var acc = 0.0
+          var k = 0
+          while (k < d) { acc += z(k * d + i) * z(k * d + j); k += 1 }
+          ztz(i * d + j) = acc
+          j += 1
+        }
+        i += 1
+      }
+      val nz = new Array[Double](d * d)
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          var acc = 0.0
+          var k = 0
+          while (k < d) {
+            acc += z(i * d + k) *
+              ((if (k == j) 3.0 else 0.0) - ztz(k * d + j))
+            k += 1
+          }
+          nz(i * d + j) = 0.5 * acc
+          j += 1
+        }
+        i += 1
+      }
+      z = nz
+      it += 1
+    }
+    z
+  }
+
+  /** TRAINED OPQ rotation (the knob q175's honest negative named):
+    * FAISS `OPQMatrix`-style alternating optimization — rotate, fit the
+    * PQ codebook in the rotated space, then update the rotation to the
+    * orthogonal Procrustes optimum against the code reconstruction,
+    * `R = argmin_{RᵀR=I} ‖XRᵀ − Ŷ‖_F = polar(Cᵀ)` with `C = XᵀŶ` the
+    * cross-covariance. Differences from the textbook SVD recipe, chosen
+    * for cross-engine replayability (the Lloyd-loop discipline):
+    *
+    *  - `C` folds out of FIXED-POINT sufficient statistics
+    *    ([[crossCovFp]] — the only corpus-wide sums, exact BIGINTs);
+    *  - the polar factor comes from a fixed-count Newton–Schulz
+    *    iteration ([[polarNS]]) instead of an SVD — pure
+    *    index-ascending double arithmetic, bit-replayable in SQL,
+    *    quadratically convergent so `nsIters = 60` reaches machine-
+    *    precision orthogonality on non-degenerate cross-covariances
+    *    (spec'd: ‖RᵀR − I‖∞ < 1e-6 on real data);
+    *  - seeded start = [[seededRotation]] (q175's baseline), so
+    *    iteration 0 IS the measured baseline and every improvement is
+    *    attributable to training.
+    *
+    * Returns the float-rounded rotation and the codebook trained in the
+    * FINAL rotated space (the pair [[rotate]]→[[encode]]→[[searchADC]]
+    * serve with, unchanged). Deterministic for any input order and
+    * partitioning; q177 pins one full alternation cross-engine. */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, opqIters: Int = 1, nsIters: Int = 60, rotSeed: Long = 7L,
+      trainSixteenths: Int = 16): (Array[Array[Float]], Codebook) = {
+    require(opqIters >= 1, "opqIters must be >= 1")
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    val dim = clean.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    // rank(Ŷ) ≤ m·min(ksub, dsub): with fewer centroids than dimensions
+    // per subspace the cross-covariance C = XᵀŶ is structurally rank-
+    // deficient, the polar factor is undefined on its null space, and
+    // Newton–Schulz (or any Procrustes solver) returns garbage there —
+    // measured: ‖RᵀR − I‖∞ ≈ 1 at m=4/ksub=8/dim=64. Demand the
+    // full-rank configuration instead of converging to noise.
+    require(ksub >= dsub,
+      s"trainOpq needs ksub ($ksub) >= dsub ($dsub): the Procrustes " +
+        "cross-covariance is rank-deficient when each subspace has fewer " +
+        "centroids than dimensions — raise ksub or m")
+    // the Procrustes statistics honor the same training sample as the
+    // Lloyd fits — at 100 TB both read the calibration slice, never the
+    // full corpus (the final encode/serve still covers everything)
+    val trainRel = if (trainSixteenths >= 16) clean
+      else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
+    var rot = seededRotation(dim, rotSeed)
+    var it = 0
+    while (it < opqIters) {
+      val rotated = rotate(trainRel, idCol, vecCol, rot)
+      val cb = train(rotated, idCol, vecCol, m, ksub,
+        trainSixteenths = 16) // trainRel is already the sample
+      val codes = encode(rotated, idCol, vecCol, cb)
+      val sfp = crossCovFp(trainRel, codes, idCol, vecCol, dim, m, ksub)
+      // C[i][j] = Σ_cell s[i][sub_j][cell] · c_{sub_j,cell}[j % dsub]
+      // (cell-ascending fold, DOUBLE codebook — the same copy encode
+      // assigns with); then A = Cᵀ because rotate() computes y = R·x,
+      // i.e. Y = XRᵀ, and tr(R·C) is maximized at R = polar(Cᵀ)
+      val a = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          val sub = j / dsub; val jl = j % dsub
+          var acc = 0.0
+          var cell = 0
+          while (cell < ksub) {
+            acc += sfp((i * m + sub) * ksub + cell).toDouble *
+              cb.centroids(sub)(cell)(jl)
+            cell += 1
+          }
+          a(j * dim + i) = acc // transposed in place
+          j += 1
+        }
+        i += 1
+      }
+      val z = polarNS(a, dim, nsIters)
+      rot = Array.tabulate(dim)(r =>
+        Array.tabulate(dim)(c => z(r * dim + c).toFloat))
+      it += 1
+    }
+    val cbF = train(rotate(trainRel, idCol, vecCol, rot), idCol, vecCol,
+      m, ksub, trainSixteenths = 16)
+    (rot, cbF)
+  }
+
   /** The corpus as (id, residual, cell): each vector minus its coarse
     * centroid — the relation residual PQ trains and encodes on. Float
     * subtraction against the SERVED (float) centroids, so the oracle

@@ -1137,6 +1137,27 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // TRAINED OPQ rotation (r14): one full alternation of the FAISS
+    // OPQMatrix loop — seeded rotation, PQ fit in the rotated space,
+    // orthogonal-Procrustes update R = polar(Cᵀ) via a fixed-count
+    // Newton–Schulz iteration over fixed-point cross-covariance
+    // statistics — then retrain + flat ADC under the trained rotation.
+    // The oracle replays EVERYTHING from the data: both Lloyd fits,
+    // the BIGINT sufficient statistics, all 60 NS matrix iterations
+    // (index-ascending folds), the float rounding, and the final
+    // fixed-point ADC ranking — a green hash pins the trainer itself
+    // cross-engine, not just its application.
+    "q177_ann_opq_trained" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val (rot, cb) = PqIndex.trainOpq(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, opqIters = 1, nsIters = 60, rotSeed = 7L)
+      val r = PqIndex.rotate(emb, "vec_id", "embedding", rot)
+      val codes = PqIndex.encode(r, "vec_id", "embedding", cb)
+      PqIndex.searchADC(cb, codes, r.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+
     // the FULL FAISS pretransform chain (r13): OPQ rotation → coarse
     // IVF → residual PQ (`IndexPreTransform(OPQMatrix,
     // IndexIVFPQ(by_residual=true))`). Rotation is orthogonal, so the
@@ -1359,6 +1380,7 @@ object Similarity {
         |    x -> x::DOUBLE * x::DOUBLE), 'sum') * 1e9) AS BIGINT) AS norm_fp
         |FROM v ORDER BY vec_id""".stripMargin,
     "q175_ann_opq" -> q175Oracle,
+    "q177_ann_opq_trained" -> q177Oracle,
     "q176_ann_opq_ivfpq_residual" ->
       q173OracleFrom(srcRel = "rotrel", pre = rotrelCtes(7L) + ",\n"),
     "q162_ann_recall_pq" ->
@@ -2085,6 +2107,107 @@ object Similarity {
        |  SELECT d.query_id, co.vec_id AS neighbor_id,
        |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
        |  FROM codes co JOIN dtab d ON d.sub = co.sub AND d.cell = co.code
+       |  WHERE co.vec_id <> d.query_id
+       |  GROUP BY d.query_id, co.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q177 oracle: replay the TRAINED-OPQ alternation end to end —
+    * seeded-rotation relation (literal matrix, q175's CTEs), the t0
+    * Lloyd fit + encode over it, the fixed-point cross-covariance
+    * sufficient statistics (BIGINT sums keyed (i, sub, cell), empty
+    * cells → 0), the C fold (cell-ascending, DOUBLE codebook), the
+    * transpose, the Frobenius normalization, 60 unrolled Newton–Schulz
+    * matrix iterations (every 64-term fold index-ascending — the
+    * [[PqIndex.polarNS]] op order exactly), the REAL rounding of the
+    * trained rotation, the re-rotated relation, the t1 Lloyd fit, and
+    * the fixed-point ADC top-k. Matrices ride as flattened 4096-entry
+    * row-major lists; all arithmetic is the engines' shared IEEE
+    * double, so the chain is bit-stable cross-engine. */
+  private def q177Oracle: String = {
+    val dim = 64; val m = 8; val ksub = 16; val dsub = dim / m
+    val nsIters = 60
+    val dd = dim * dim
+    // row-major idx: i = idx // dim, j = idx % dim. Each iteration
+    // references the PREVIOUS one exactly once (zᵀz rides an inner
+    // subquery over the same row) — DuckDB inlines CTEs per reference,
+    // so a two-reference chain would expand exponentially in the
+    // planner; the single-reference chain stays linear in nsIters.
+    def nsIter(k: Int): String =
+      s"""z_$k AS (
+         |  SELECT list_transform(range(0, $dd), idx ->
+         |    0.5 * list_aggregate(list_transform(range(0, $dim), kk ->
+         |      z[(idx // $dim) * $dim + kk + 1] *
+         |      ((CASE WHEN kk = (idx % $dim) THEN 3.0 ELSE 0.0 END) -
+         |        w[kk * $dim + (idx % $dim) + 1])), 'sum')) AS z
+         |  FROM (
+         |    SELECT z, list_transform(range(0, $dd), idx ->
+         |      list_aggregate(list_transform(range(0, $dim), kk ->
+         |        z[kk * $dim + (idx // $dim) + 1] *
+         |        z[kk * $dim + (idx % $dim) + 1]), 'sum')) AS w
+         |    FROM z_${k - 1}))""".stripMargin
+    val ns = (1 to nsIters).map(nsIter).mkString(",\n")
+    s"""WITH ${rotrelCtes(7L)},
+       |${pqTrainCtes("t0", m = m, ksub = ksub, srcRel = "rotrel", emitDtab = false)},
+       |s0 AS (
+       |  SELECT i.i, co.sub, co.code AS cell,
+       |    CAST(SUM(CAST(floor(e.embedding[i.i + 1]::DOUBLE * 1e9) AS BIGINT))
+       |      AS BIGINT) AS s
+       |  FROM t0codes co
+       |  JOIN embeddings e ON e.vec_id = co.vec_id
+       |  CROSS JOIN ri i
+       |  GROUP BY i.i, co.sub, co.code),
+       |grid AS (
+       |  SELECT i.i, sb.sub, cl.cell
+       |  FROM ri i CROSS JOIN t0subs sb
+       |  CROSS JOIN (SELECT unnest(range(0, $ksub)) AS cell) cl),
+       |s0f AS (
+       |  SELECT list(COALESCE(s0.s, CAST(0 AS BIGINT))
+       |      ORDER BY g.i, g.sub, g.cell) AS s
+       |  FROM grid g LEFT JOIN s0
+       |    ON s0.i = g.i AND s0.sub = g.sub AND s0.cell = g.cell),
+       |c0f AS (
+       |  SELECT list(cv ORDER BY sub, cell, jl) AS c FROM (
+       |    SELECT t.sub, t.cell, r.jl, t.c[r.jl] AS cv
+       |    FROM t0c_2 t
+       |    CROSS JOIN (SELECT unnest(range(1, ${dsub + 1})) AS jl) r)),
+       |cc0 AS (
+       |  SELECT list_transform(range(0, $dd), idx ->
+       |    list_aggregate(list_transform(range(0, $ksub), cell ->
+       |      CAST(s0f.s[((idx // $dim) * $m + ((idx % $dim) // $dsub)) * $ksub
+       |          + cell + 1] AS DOUBLE)
+       |        * c0f.c[(((idx % $dim) // $dsub) * $ksub + cell) * $dsub
+       |          + ((idx % $dim) % $dsub) + 1]), 'sum')) AS cmat
+       |  FROM s0f, c0f),
+       |a0 AS (SELECT list_transform(range(0, $dd), idx ->
+       |    cc0.cmat[(idx % $dim) * $dim + (idx // $dim) + 1]) AS a FROM cc0),
+       |nrm AS (SELECT sqrt(list_aggregate(list_transform(a0.a, x -> x * x),
+       |    'sum')) AS f FROM a0),
+       |z_0 AS (SELECT list_transform(a0.a, x -> x / nrm.f) AS z FROM a0, nrm),
+       |$ns,
+       |r1 AS (SELECT list_transform(z.z, x -> CAST(CAST(x AS REAL) AS DOUBLE))
+       |    AS w FROM z_$nsIters z),
+       |rotrel1 AS (
+       |  SELECT vec_id, list(re ORDER BY i) AS embedding FROM (
+       |    SELECT e.vec_id, r.i,
+       |      CAST(list_aggregate(list_transform(range(1, ${dim + 1}),
+       |        j -> e.embedding[j]::DOUBLE * r1.w[r.i*$dim + j]), 'sum')
+       |        AS REAL) AS re
+       |    FROM embeddings e CROSS JOIN ri r CROSS JOIN r1)
+       |  GROUP BY vec_id),
+       |${pqTrainCtes("t1", m = m, ksub = ksub, srcRel = "rotrel1", dtabSrcRel = "rotrel1")},
+       |cand AS (
+       |  SELECT d.query_id, co.vec_id AS neighbor_id,
+       |    CAST(SUM(d.d) AS BIGINT) AS adist_fp
+       |  FROM t1codes co JOIN t1dtab d ON d.sub = co.sub AND d.cell = co.code
        |  WHERE co.vec_id <> d.query_id
        |  GROUP BY d.query_id, co.vec_id),
        |ranked AS (

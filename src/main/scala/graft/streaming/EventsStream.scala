@@ -749,12 +749,21 @@ object EventsStream {
     * (the corpus fingerprint table, append-only) and `clusters/` (the
     * [[graft.dedup.Dedup.connectedComponents]] output contract,
     * replaced per batch via temp-swap). Each micro-batch: fingerprint
-    * ONLY the arriving docs, anti-join away ids already in the stored
-    * fps (the at-least-once guard), block-join the genuinely-new
-    * fingerprints against stored ∪ new
-    * ([[graft.dedup.Dedup.simHashNearDupsAgainstFps]] — old×old pairs
-    * are never regenerated), and fold the pairs into the standing
-    * clusters via the star-edges identity.
+    * ONLY the arriving docs (both wide halves in one pass — fps/ stores
+    * `(id, sh_lo, sh_hi)`, and sh_lo doubles as the 60-bit family's
+    * fingerprint), anti-join away ids already in the stored fps (the
+    * at-least-once guard), block-join the genuinely-new fingerprints
+    * against stored ∪ new — via
+    * [[graft.dedup.Dedup.simHashNearDupsAgainstFps]] (15-bit blocks)
+    * below `wideThreshold` standing docs and
+    * [[graft.dedup.Dedup.simHashWideNearDupsAgainstFps]] (30-bit
+    * blocks) above it, so per-batch candidate volume tracks true
+    * near-dup density instead of growing linearly with the standing
+    * corpus; old×old pairs are never regenerated either way — and fold
+    * the pairs into the standing clusters via the star-edges identity.
+    * The `family` knob pins one semantics for the whole stream
+    * (the two families' pair sets differ: 120-bit hamming ≤ h is
+    * stricter); `Auto` logs each batch's dispatch.
     *
     * This is deliberately `foreachBatch`, not a stateful operator: a
     * transitive closure has GLOBAL state (any arriving doc can merge
@@ -771,8 +780,10 @@ object EventsStream {
     * Returns the per-batch fold so [[incrementalClustersSink]] and
     * tests share one body. */
   def foldBatchIntoClusters(batch: DataFrame, textCol: String, idCol: String,
-      statePath: String, maxHamming: Int = 2): Unit = {
-    import graft.dedup.Dedup
+      statePath: String, maxHamming: Int = 2,
+      family: graft.dedup.NearDupFamily = graft.dedup.NearDupFamily.Auto,
+      wideThreshold: Long = 100000L): Unit = {
+    import graft.dedup.{Dedup, NearDupFamily}
     val spark = batch.sparkSession
     val fpsPath = s"$statePath/fps"
     val clPath = s"$statePath/clusters"
@@ -793,16 +804,53 @@ object EventsStream {
     // the tmp rename leaves only clusters_tmp — finish the swap first
     if (!exists(clPath) && exists(clTmp))
       renameOrThrow(clTmp, clPath)
-    val newFps0 = Dedup.simHashTable(batch, textCol, idCol)
-    val newFps = (if (exists(fpsPath))
-        newFps0.join(spark.read.parquet(fpsPath).select(col(idCol)),
-          Seq(idCol), "left_anti")
-      else newFps0).localCheckpoint(true)
+    // fps/ stores BOTH wide fingerprint halves (idCol, sh_lo, sh_hi) —
+    // sh_lo IS the 60-bit family's fingerprint (same h60(token) vote;
+    // [[graft.dedup.Dedup.simHashWideCols]]), so one tokenize pass per
+    // batch serves both families and the dispatch below never
+    // re-fingerprints the standing corpus
+    val stored = if (exists(fpsPath)) {
+      val s = spark.read.parquet(fpsPath)
+      require(s.columns.contains("sh_hi"),
+        s"legacy 60-bit fps state at $fpsPath (no sh_hi column) — the " +
+          "wide-capable fold stores both fingerprint halves; rebuild the " +
+          "standing fps table from the corpus (fingerprints are pure " +
+          "per-doc values; the clusters table is unaffected)")
+      Some(s)
+    } else None
+    val newFps0 = Dedup.simHashWideTable(batch, textCol, idCol)
+    val newFps = stored.map(s =>
+        newFps0.join(s.select(col(idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(newFps0).localCheckpoint(true)
     if (newFps.isEmpty) return // pure redelivery — state already folded
-    val allFps = if (exists(fpsPath))
-      spark.read.parquet(fpsPath).unionByName(newFps) else newFps
-    val pairs = Dedup.simHashNearDupsAgainstFps(newFps, allFps, idCol,
-      maxHamming)
+    val allFps = stored.map(_.unionByName(newFps)).getOrElse(newFps)
+    // standing-state size: a parquet footer count on the stored fps —
+    // no data scan. Auto crosses to the wide family once per-batch
+    // 15-bit-bucket candidate volume (~batch·4·N/2^15) would start
+    // growing linearly with the standing corpus; the two families
+    // produce DIFFERENT pair sets by design (120-bit hamming ≤ h is
+    // stricter than 60-bit ≤ h), so a pipeline that needs one semantics
+    // for the whole stream pins `family` — Auto logs its choice and the
+    // standing count so the crossover batch is visible in the run log.
+    val useWide = family match {
+      case NearDupFamily.Narrow60 => false
+      case NearDupFamily.Wide120  => true
+      case NearDupFamily.Auto =>
+        val standing = stored.map(_.count()).getOrElse(0L)
+        val w = standing >= wideThreshold
+        System.err.println(s"[foldBatchIntoClusters] standing=$standing " +
+          s"docs → ${if (w) "Wide120" else "Narrow60"} family " +
+          s"(wideThreshold=$wideThreshold; pair-set semantics differ — " +
+          "pin `family` for stream-long reproducibility)")
+        w
+    }
+    val pairs = if (useWide)
+      Dedup.simHashWideNearDupsAgainstFps(newFps, allFps, idCol, maxHamming)
+    else
+      Dedup.simHashNearDupsAgainstFps(
+        newFps.select(col(idCol), col("sh_lo").as("simhash")),
+        allFps.select(col(idCol), col("sh_lo").as("simhash")),
+        idCol, maxHamming)
     val next = (if (exists(clPath))
         Dedup.appendComponents(spark.read.parquet(clPath), pairs,
           "id_a", "id_b")
@@ -824,10 +872,13 @@ object EventsStream {
     * maintenance. */
   def incrementalClustersSink(docs: DataFrame, textCol: String,
       idCol: String, statePath: String, checkpointLocation: String,
-      maxHamming: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      maxHamming: Int = 2,
+      family: graft.dedup.NearDupFamily = graft.dedup.NearDupFamily.Auto,
+      wideThreshold: Long = 100000L): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch((b: DataFrame, _: Long) =>
-        foldBatchIntoClusters(b, textCol, idCol, statePath, maxHamming))
+        foldBatchIntoClusters(b, textCol, idCol, statePath, maxHamming,
+          family, wideThreshold))
       .option("checkpointLocation", checkpointLocation)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -33,6 +33,13 @@ object StreamSoak {
     val mode = args.headOption.getOrElse("clusters")
     val dir = args.lift(1).getOrElse("/root/repo/.sf1")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(50)
+    // clusters mode only: pin the near-dup family (narrow|wide|auto)
+    val family = args.lift(3).getOrElse("auto") match {
+      case "narrow" => graft.dedup.NearDupFamily.Narrow60
+      case "wide"   => graft.dedup.NearDupFamily.Wide120
+      case "auto"   => graft.dedup.NearDupFamily.Auto
+      case other    => sys.error(s"unknown family '$other' (narrow|wide|auto)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,8 +104,9 @@ object StreamSoak {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(incoming)
         val q = graft.streaming.EventsStream.incrementalClustersSink(
-          stream, "text", "doc_id", statePath, s"$work/ckpt")
-        runAndReport("streamsoak_clusters", q, {
+          stream, "text", "doc_id", statePath, s"$work/ckpt",
+          family = family)
+        runAndReport(s"streamsoak_clusters_${args.lift(3).getOrElse("auto")}", q, {
           val fps = spark.read.parquet(s"$statePath/fps").count()
           val cl = spark.read.parquet(s"$statePath/clusters").count()
           s""""final_fps_rows":$fps,"final_cluster_rows":$cl,"""

@@ -290,6 +290,49 @@ object VecBench {
       Some(line)
     } else None
 
+    // optional `topq` mode: the TRAINED OPQ rotation (q177 —
+    // alternating Lloyd/Procrustes, Newton–Schulz polar factor) vs the
+    // r13 baselines it must beat on anisotropic corpora: the seeded
+    // rotation's flat ADC and, composed with by_residual IVF-PQ, the
+    // flat-residual stack. Same m=8/ksub=16 budget, same exact set.
+    val topqJson: Option[String] = if (args.tail.contains("topq")) {
+      val normed = Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qN = normed.filter(col("vec_id") < 32)
+      val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      val ((rot, cbT), tTrain) = timed {
+        PqIndex.trainOpq(normed, "vec_id", "embedding", m = 8, ksub = 16,
+          opqIters = 2, trainSixteenths = sixteenths)
+      }
+      val rotated = PqIndex.rotate(normed, "vec_id", "embedding", rot)
+        .localCheckpoint(true)
+      val codesT = PqIndex.encode(rotated, "vec_id", "embedding", cbT)
+      val (flatRows, tFlat) = timed {
+        PqIndex.searchADC(cbT, codesT, rotated.filter(col("vec_id") < 32),
+          "vec_id", "embedding", k).collect()
+      }
+      val rFlat = ToolWork.meanRecall(ToolWork.idPairs(spark, flatRows), exactN)
+      // the composition: trained rotation, coarse IVF in the rotated
+      // space, residual PQ — vs r13's flat-residual and seeded∘residual
+      val ivfR = IvfIndex.build(rotated, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      val cbRR = PqIndex.trainResidual(ivfR, "vec_id", "embedding", m = 8,
+        ksub = 16, trainSixteenths = sixteenths)
+      val (rrRows, tRR) = timed {
+        PqIndex.searchIvfAdcResidual(ivfR, cbRR,
+          rotated.filter(col("vec_id") < 32), "vec_id", "embedding",
+          k, nprobe).collect()
+      }
+      val rRR = ToolWork.meanRecall(ToolWork.idPairs(spark, rrRows), exactN)
+      val line = s"""{"metric":"vecbench_topq","n":$n,"nlist":$nlist,"nprobe":$nprobe,"pq_m":8,"pq_ksub":16,"opq_iters":2,""" +
+        f""""train_sec":$tTrain%.3f,""" +
+        f""""trained":{"sec":$tFlat%.3f,"recall":$rFlat%.4f},""" +
+        f""""trained_residual":{"sec":$tRR%.3f,"recall":$rRR%.4f}}"""
+      println(line)
+      Some(line)
+    } else None
+
     // IVF∘PQ on the unit-normalized corpus (q163 recipe), persisted
     // codes layout, ADC shortlist + exact cosine re-rank
     val normPath = s"$idxRoot/norm_$n"
@@ -344,7 +387,8 @@ object VecBench {
       // — the recall-vs-nprobe curve is the point of the mode, so it
       // must land in the pinned file, not just scroll past on stdout
       val payload = (json +: (sweepJson.toSeq ++ lshSweepJson.toSeq ++
-        shortSweepJson.toSeq ++ residualJson.toSeq ++ opqJson.toSeq))
+        shortSweepJson.toSeq ++ residualJson.toSeq ++ opqJson.toSeq ++
+        topqJson.toSeq))
         .mkString("", "\n", "\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -517,6 +517,35 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
   }
 
+  test("simHashWideNearDupsAgainst == brute two-half hamming over new×all; never old×old") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.simHashWideNearDupsAgainst(newDocs, docs, "text",
+        "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // brute truth straight from the fingerprints: every (new, any) pair
+    // within two-half hamming <= 3 — independent of the blocked path
+    val fps = Dedup.simHashWideTable(docs, "text", "doc_id")
+      .collect().filterNot(_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      n <- fps if n._1 % 10 == 0
+      o <- fps if o._1 != n._1
+      h = java.lang.Long.bitCount(n._2 ^ o._2) +
+        java.lang.Long.bitCount(n._3 ^ o._3)
+      if h <= 3
+    } yield (math.min(n._1, o._1), math.max(n._1, o._1), h.toLong)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    // the restriction identity: == the full wide closure's pairs
+    // touching the new batch
+    val full = Dedup.simHashWideNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+  }
+
   test("q170 composition: incremental clusters == batch recompute on real docs") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")

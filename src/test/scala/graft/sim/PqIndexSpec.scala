@@ -265,6 +265,59 @@ class PqIndexSpec extends SparkSpec {
       rot.map(_.toSeq).toSeq)
   }
 
+  test("trainOpq: near-orthogonal, deterministic, beats the seeded rotation's quantization on anisotropic data") {
+    // anisotropic clustered corpus — the decaying-spectrum geometry the
+    // trained rotation exists for (Synthetic's proven generator)
+    val corpus = spark.range(2000).toDF("vec_id")
+      .select(col("vec_id"),
+        Synthetic.clusteredEmbedding(col("vec_id"), dim = 64, k = 16,
+          seed = 5L, noiseMilli = 300, anisotropic = true).as("embedding"))
+      .localCheckpoint(true)
+    val (rot, cb) = PqIndex.trainOpq(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, opqIters = 2)
+    // ‖RᵀR − I‖∞ < 1e-6: 60 Newton–Schulz iterations reach the polar
+    // factor to machine precision on a non-degenerate cross-covariance
+    val dim = 64
+    var worst = 0.0
+    for (a <- 0 until dim; b <- 0 until dim) {
+      var s = 0.0; var kk = 0
+      while (kk < dim) { s += rot(kk)(a).toDouble * rot(kk)(b).toDouble; kk += 1 }
+      worst = math.max(worst, math.abs(s - (if (a == b) 1.0 else 0.0)))
+    }
+    assert(worst < 1e-6, s"RtR deviates from I by $worst")
+    // deterministic end to end (fixed-point sums + fixed-count NS)
+    val (rot2, _) = PqIndex.trainOpq(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, opqIters = 2)
+    assert(rot2.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+    // the training objective itself: mean exact reconstruction error of
+    // (rotation, codebook) — trained must not be worse than the seeded
+    // baseline it starts from at the identical m/ksub budget
+    def reconErr(rm: Array[Array[Float]], c: PqIndex.Codebook): Double = {
+      val rotated = PqIndex.rotate(corpus, "vec_id", "embedding", rm)
+      val rows = rotated
+        .join(PqIndex.encode(rotated, "vec_id", "embedding", c), Seq("vec_id"))
+        .select("embedding", "codes").collect()
+      val errs = rows.map { r =>
+        val y = r.getSeq[Float](0); val cd = r.getSeq[Int](1)
+        var e = 0.0; var j = 0
+        while (j < dim) {
+          val rec = c.centroids(j / c.dsub)(cd(j / c.dsub))(j % c.dsub)
+          val dlt = y(j) - rec; e += dlt * dlt; j += 1
+        }
+        e
+      }
+      errs.sum / errs.length
+    }
+    val seeded = PqIndex.seededRotation(dim, 7L)
+    val cbSeeded = PqIndex.train(
+      PqIndex.rotate(corpus, "vec_id", "embedding", seeded),
+      "vec_id", "embedding", m = 8, ksub = 16)
+    val errTrained = reconErr(rot, cb)
+    val errSeeded = reconErr(seeded, cbSeeded)
+    assert(errTrained <= errSeeded,
+      s"trained OPQ reconstruction $errTrained worse than seeded $errSeeded")
+  }
+
   test("ADC distance equals the served-codebook reconstruction distance") {
     // replay one pair by hand: adist_fp must equal the sum over subspaces
     // of floor((|c|² − 2 q_j·c)·1e9) for the neighbor's assigned codes

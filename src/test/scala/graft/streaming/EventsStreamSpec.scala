@@ -318,6 +318,44 @@ class EventsStreamSpec extends SparkSpec {
     assert(standing() == batchCC(docs))
   }
 
+  test("incremental clusters sink (Wide120 pinned): standing state == batch wide CC; replay fixpoint") {
+    val docs = graft.sources.Tables(spark, sf("sf0.01"), "documents")
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 0)
+    val base = Files.createTempDirectory("incclusters_wide")
+    val src = s"$base/src"; val state = s"$base/state"; val ckp = s"$base/ckp"
+    val wide = graft.dedup.NearDupFamily.Wide120
+    def standing() = spark.read.parquet(s"$state/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    def batchWideCC(d: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.simHashWideNearDups(d, "text", "doc_id",
+          maxHamming = 2), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).sortBy(_._1).toSeq
+    b1.write.parquet(src)
+    EventsStream.incrementalClustersSink(
+      spark.readStream.schema(docs.schema).parquet(src),
+      "text", "doc_id", state, ckp, maxHamming = 2,
+      family = wide).awaitTermination()
+    assert(standing() == batchWideCC(b1))
+    // fps state carries BOTH halves — the wide fold needs sh_hi
+    assert(spark.read.parquet(s"$state/fps").columns.toSet ==
+      Set("doc_id", "sh_lo", "sh_hi"))
+    b2.write.mode("append").parquet(src)
+    EventsStream.incrementalClustersSink(
+      spark.readStream.schema(docs.schema).parquet(src),
+      "text", "doc_id", state, ckp, maxHamming = 2,
+      family = wide).awaitTermination()
+    assert(standing() == batchWideCC(docs))
+    // at-least-once: re-delivering batch 2 under the same family is a
+    // no-op fixpoint
+    EventsStream.foldBatchIntoClusters(b2, "text", "doc_id", state,
+      maxHamming = 2, family = wide)
+    assert(standing() == batchWideCC(docs))
+  }
+
   test("wide streaming near-dup pairs == batch simHashWideNearDups") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
