@@ -1418,6 +1418,53 @@ object Dedup {
       idACol, idBCol)
   }
 
+  /** [[appendComponents]] with the closure restricted to the components
+    * the batch actually TOUCHES — the fix for the one remaining
+    * standing-state-linear term in the incremental fold. The plain form
+    * re-runs connected components over the star edges of EVERY standing
+    * component each batch, so per-batch cost grows with the paired
+    * membership of the whole corpus (measured: 30.6 → 48.9 s/batch as
+    * standing clusters grew 0.15M → 1.45M rows, wide-family 5M soak);
+    * here the closure input is the star edges of only the components
+    * with a member adjacent to a new pair, plus the new pairs.
+    *
+    * EXACTNESS (why untouched rows may pass through verbatim): every
+    * connectivity change involves at least one new pair, and old×old
+    * connectivity is already collapsed into the star — so two standing
+    * components can merge only through a chain alternating new pairs
+    * and touched components, which keeps the whole merge closure inside
+    * the touched set. An untouched component's member set — hence its
+    * min-id label, size, and representative — is exactly that of the
+    * full recompute. Touched components recompute over the same member
+    * universe the full form would assign them, so labels agree there
+    * too; the output equals [[appendComponents]] row for row (spec'd,
+    * and q179 pins the composed fold against the batch-closure oracle).
+    *
+    * Scale shape: the touched-component list is batch-sized (≤ ids in
+    * newPairs) and BROADCASTS; the standing table is read twice with
+    * map-side semi/anti joins (no shuffle of the big side), and the
+    * closure — the only iterative work — runs over affected members
+    * only, i.e. cost tracks the BATCH's duplicate density, not corpus
+    * history. */
+  def appendComponentsDelta(components: DataFrame, newPairs: DataFrame,
+      idACol: String, idBCol: String): DataFrame = {
+    val pairIds = newPairs.select(col(idACol).as("id"))
+      .unionByName(newPairs.select(col(idBCol).as("id"))).distinct()
+    val touched = components.join(broadcast(pairIds), Seq("id"), "left_semi")
+      .select("component").distinct()
+    val affected = components
+      .join(broadcast(touched), Seq("component"), "left_semi")
+    val untouched = components
+      .join(broadcast(touched), Seq("component"), "left_anti")
+    val star = affected.filter(col("id") =!= col("component"))
+      .select(col("id").as(idACol), col("component").as(idBCol))
+    connectedComponents(
+      star.unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol)
+      .unionByName(untouched
+        .select(col("id"), col("component"), col("cluster_size"), col("keep")))
+  }
+
   /** Near-dup pairs of a NEW batch against the full corpus (itself
     * included): every pair with at least one end in `newDocs`, i.e.
     * new×new and new×old — and never old×old, which is the whole point:
@@ -1867,6 +1914,27 @@ object Dedup {
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // q170's DELTA execution (r14): the fold's closure runs over only
+    // the batch-touched components' star edges + the new pairs;
+    // untouched standing rows pass through verbatim. The CONTRACT is
+    // that the restriction moves work only, so the oracle is q170's
+    // recursive-CTE batch closure VERBATIM — a green row proves the
+    // touched-set argument on real data.
+    "q179_incremental_components_delta" -> { (s, d) =>
+      val docs = Tables(s, d, "documents")
+      val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+      val standing = connectedComponents(
+        simHashNearDups(oldDocs, "text", "doc_id", maxHamming = 2),
+        "id_a", "id_b")
+      val newPairs = simHashNearDupsAgainst(newDocs, docs, "text", "doc_id",
+        maxHamming = 2)
+      appendComponentsDelta(standing, newPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2163,6 +2231,7 @@ object Dedup {
     // batch recompute, so a green row proves the star-edges identity
     // CC(old ∪ new) == CC(star(CC(old)) ∪ new) end to end on real data
     "q170_incremental_components" -> narrowClustersOracle,
+    "q179_incremental_components_delta" -> narrowClustersOracle,
     // q138: the q101 closure re-ranked by n_chars (ties → lowest id)
     "q138_canonical_selection" ->
       s"""WITH RECURSIVE $simHashOracleCore,

@@ -17,6 +17,17 @@ import graft.sources.Tables
   *    expressions (left-to-right, deterministic), all math in double.
   */
 object Similarity {
+
+  /** Per-process index paths for queries that exercise the persisted
+    * layouts (q180), each registered once for delete-on-exit — a fresh
+    * JVM per bench/verify run would otherwise leak one index copy per
+    * invocation into the temp dir (the q119 discipline). */
+  private val indexCleanupPaths = scala.collection.mutable.HashSet.empty[String]
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
   type Q = (SparkSession, String) => DataFrame
 
   /** Deterministic index-ascending dot product of two float vectors, in
@@ -925,6 +936,34 @@ object Similarity {
         .orderBy("cell")
     },
 
+    // the MAINTENANCE member of the sizing family (r14): cell-occupancy
+    // skew of a persisted index after an appended DRIFTED batch (the
+    // corpus translated by +4 per element — frozen centroids pile it
+    // into the cells facing the shift; negation is NOT drift on this
+    // origin-symmetric corpus), plus the retrain trigger in-plan.
+    // The operator reads ONLY parquet footers (per-cell counts over the
+    // partition column — spec-pinned empty ReadSchema); the oracle
+    // replays the training loop, both assignments (double-centroid
+    // corpus, REAL-rounded append), and the exact count arithmetic.
+    "q180_ann_occupancy_skew" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_q180")
+        .toString
+      indexCleanupPaths.synchronized {
+        if (indexCleanupPaths.add(path)) Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(new java.io.File(path))))
+      }
+      IvfIndex.save(model, path)
+      IvfIndex.append(s, path,
+        emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+        "vec_id", "embedding")
+      IvfIndex.occupancyStats(s, path)
+        .withColumn("reindex",
+          (col("imbalance") > 1.5).cast("int"))
+    },
+
     // the RECALL-side sizing rule, oracle-checked (r12): the nprobe
     // ladder's pooled recall@k on the q160 geometry, with the chosen
     // row = suggestedNprobe's pick (min step reaching 0.9 — total
@@ -1381,6 +1420,7 @@ object Similarity {
         |FROM v ORDER BY vec_id""".stripMargin,
     "q175_ann_opq" -> q175Oracle,
     "q177_ann_opq_trained" -> q177Oracle,
+    "q180_ann_occupancy_skew" -> q180Oracle,
     "q176_ann_opq_ivfpq_residual" ->
       q173OracleFrom(srcRel = "rotrel", pre = rotrelCtes(7L) + ",\n"),
     "q162_ann_recall_pq" ->
@@ -2219,6 +2259,51 @@ object Similarity {
        |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
        |FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q180 oracle: replay the occupancy-skew advisor from the data —
+    * the q65 training loop, the double-centroid corpus assignment
+    * (`cells`), the REAL-rounded frozen-centroid assignment of the
+    * translated drift batch (the append discipline), per-cell counts, and
+    * the exact-integer imbalance arithmetic. The Spark side reads the
+    * counts from parquet footers; the oracle recomputes them from the
+    * same assignments — equality proves layout and statistic at once. */
+  private def q180Oracle: String = {
+    val nlist = 8; val dim = 64; val up = dim + 1
+    def dotVC(v: String, c: String) =
+      s"list_aggregate(list_transform(range(1, $up), i -> $v[i]::DOUBLE * $c[i]), 'sum')"
+    def normC(c: String) =
+      s"list_aggregate(list_transform($c, x -> x * x), 'sum')"
+    val imb = s"CAST($nlist * SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS DOUBLE) / " +
+      "CAST(CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT) AS DOUBLE)"
+    s"""WITH ${ivfCellsCtes(nlist = nlist, maxIter = 3, dim = dim, seed = 42L)},
+       |cf AS (SELECT cell,
+       |    list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_3),
+       |drift AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> CAST(x + CAST(4.0 AS REAL) AS REAL))
+       |      AS embedding
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, f.cell,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("d.embedding", "f.c")}) ASC,
+       |                 f.cell ASC) AS rn
+       |    FROM drift d CROSS JOIN cf f) WHERE rn = 1),
+       |allcells AS (
+       |  SELECT cell FROM cells UNION ALL SELECT cell FROM dassign),
+       |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |  FROM allcells GROUP BY cell)
+       |SELECT CAST($nlist AS INTEGER) AS nlist,
+       |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+       |  CAST($nlist - COUNT(*) AS BIGINT) AS n_empty_cells,
+       |  CAST(MAX(n) AS BIGINT) AS max_cell,
+       |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS max_cell_frac,
+       |  $imb AS imbalance,
+       |  CAST(CASE WHEN $imb > 1.5 THEN 1 ELSE 0 END AS INTEGER) AS reindex
+       |FROM pc""".stripMargin
   }
 
   /** q158 oracle: the q133 replay with the TRAINING relation (init +

@@ -851,8 +851,12 @@ object EventsStream {
         newFps.select(col(idCol), col("sh_lo").as("simhash")),
         allFps.select(col(idCol), col("sh_lo").as("simhash")),
         idCol, maxHamming)
+    // DELTA fold: closure over only the components the batch touches —
+    // the plain appendComponents re-closed every standing component's
+    // star each batch, the one remaining standing-state-linear term
+    // (measured on the 5M wide soak; see appendComponentsDelta)
     val next = (if (exists(clPath))
-        Dedup.appendComponents(spark.read.parquet(clPath), pairs,
+        Dedup.appendComponentsDelta(spark.read.parquet(clPath), pairs,
           "id_a", "id_b")
       else Dedup.connectedComponents(pairs, "id_a", "id_b"))
     next.write.mode("overwrite").parquet(clTmp)

@@ -546,17 +546,36 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
   }
 
-  test("q170 composition: incremental clusters == batch recompute on real docs") {
+  test("q170 composition: incremental clusters == batch recompute on real docs; delta form identical") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
     val standing = Dedup.connectedComponents(
       Dedup.simHashNearDups(docs.filter(col("doc_id") % 10 =!= 0),
         "text", "doc_id", maxHamming = 2), "id_a", "id_b")
-    val inc = Dedup.appendComponents(standing,
-      Dedup.simHashNearDupsAgainst(docs.filter(col("doc_id") % 10 === 0),
-        docs, "text", "doc_id", maxHamming = 2), "id_a", "id_b")
+      .localCheckpoint(true)
+    val newPairs = Dedup.simHashNearDupsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs, "text", "doc_id", maxHamming = 2)
+      .localCheckpoint(true)
+    val inc = Dedup.appendComponents(standing, newPairs, "id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).sortBy(_._1).toSeq
+    // the delta fold (closure over touched components only, untouched
+    // rows pass through) must be row-for-row identical — and the
+    // restriction must actually bite: this corpus has components no new
+    // pair touches
+    val delta = Dedup.appendComponentsDelta(standing, newPairs,
+        "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(delta == inc)
+    val pairIds = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+    val touched = standing.join(pairIds, Seq("id"), "left_semi")
+      .select("component").distinct().count()
+    val total = standing.select("component").distinct().count()
+    assert(touched < total,
+      s"every component touched ($touched of $total) — pass-through path unexercised")
     val batch = Dedup.connectedComponents(
       Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 2),
       "id_a", "id_b")

@@ -85,6 +85,45 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("occupancy advisor: footer-only stats; stationary appends don't trip the retrain rule, drift does") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_advisor").toString
+    IvfIndex.save(model, dir)
+    val base = IvfIndex.occupancyStats(spark, dir).head()
+    assert(base.getAs[Long]("n_vecs") == emb.count())
+    val baseImb = base.getAs[Double]("imbalance")
+    assert(baseImb >= 1.0, s"imbalance $baseImb below the balanced floor")
+    // NO data scan: the per-cell counts group by the partition column
+    // with an empty data projection — parquet footers answer it
+    val statsPlan = IvfIndex.occupancyStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(statsPlan.contains("ReadSchema: struct<>"), statsPlan)
+    // stationary append: same distribution, offset ids — the imbalance
+    // stays at the build-time level and the rule must NOT trip
+    IvfIndex.append(spark, dir,
+      emb.select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val stationary = IvfIndex.occupancyStats(spark, dir).head()
+      .getAs[Double]("imbalance")
+    assert(math.abs(stationary - baseImb) < 1e-9,
+      s"stationary append moved imbalance $baseImb -> $stationary")
+    assert(!IvfIndex.suggestedReindex(spark, dir),
+      s"stationary append tripped the rule (imbalance $stationary)")
+    // drifted append: a constant translation moves the whole cloud into
+    // one octant, so the frozen quantizer piles it into the few cells
+    // facing the shift — the rule must trip. (Negation is NOT drift
+    // here: the corpus is symmetric about the origin, measured
+    // imbalance 1.02.)
+    IvfIndex.append(spark, dir,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(4.0f)).as("embedding")),
+      "vec_id", "embedding")
+    val drifted = IvfIndex.occupancyStats(spark, dir).head()
+      .getAs[Double]("imbalance")
+    assert(drifted > stationary, s"drift lowered imbalance? $stationary -> $drifted")
+    assert(IvfIndex.suggestedReindex(spark, dir),
+      s"drifted append did not trip the rule (imbalance $drifted)")
+  }
+
   test("append: new vectors join the index without retraining; full probe == brute force over the union") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
     val firstHalf = emb.filter(col("vec_id") % 2 === 0)
