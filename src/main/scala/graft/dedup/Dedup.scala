@@ -1012,6 +1012,78 @@ object Dedup {
       (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** Multi-scale duplicate spans — the long-match ladder over
+    * [[duplicateSpans]]'s fixed window (the Lee et al.
+    * deduplicate-text-datasets shape without a suffix array: arbitrary-
+    * length matches fall out of doubling window scales instead of
+    * LCP intervals). Two gaps in the fixed form this closes:
+    *
+    *  - NEAR-clones fragment: a 200-token duplicate with sparse point
+    *    edits breaks every window crossing an edit, so the n=10 form
+    *    emits islands split by one-token gaps at each edit (spec'd).
+    *    Here each scale's island merge tolerates gaps ≤ its own window
+    *    (edits rarer than one per window don't break the span), so the
+    *    clone excises WHOLE — the excised span may include the edited
+    *    tokens between duplicated runs, the deliberate recall-over-
+    *    precision trade of gap bridging.
+    *  - No length evidence: a 10-token boilerplate match and a 200-token
+    *    clone are indistinguishable. `max_scale` labels each merged span
+    *    with the largest scale contributing an island to it — an exact
+    *    160-token window match is qualitatively different evidence, and
+    *    pipelines excise at `max_scale >= threshold` instead of paying a
+    *    suffix array.
+    *
+    * One pass per scale (positioned grams are hashes-only, the q128
+    * shape); per-scale islands union and merge across scales by plain
+    * overlap. Deterministic total ordering everywhere (the cross-scale
+    * merge orders by (start, end, scale)); q181 replays the whole
+    * ladder in DuckDB. */
+  def duplicateSpansLadder(docs: DataFrame, textCol: String, idCol: String,
+      scales: Seq[Int] = Seq(10, 20, 40, 80, 160)): DataFrame = {
+    require(scales.nonEmpty && scales == scales.sorted &&
+      scales.head > 1 && scales.distinct == scales,
+      s"scales=$scales must be ascending, distinct, all > 1")
+    val perScale = scales.map { n =>
+      val grams = docs
+        .select(col(idCol).as("doc_id"),
+          posexplode(graft.functions.TextFunctions.word_ngrams(
+            graft.text.TextAnalysis.tokens(col(textCol)), n)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.text.TextAnalysis.h60(col("col")).as("gh"))
+      val dupStarts = grams
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("gh").orderBy("doc_id", "pos")))
+        .filter(col("occ") > 1)
+        .select("doc_id", "pos")
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      dupStarts
+        .withColumn("prev_end", max(col("pos") + n).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("island", sum(
+          when(col("prev_end").isNull || col("pos") > col("prev_end") + n, 1L)
+            .otherwise(0L)).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + n).as("e"))
+        .select(col("doc_id"), col("s"), col("e"), lit(n).as("scale"))
+    }
+    val all = perScale.reduce(_ unionByName _)
+    val w = Window.partitionBy("doc_id").orderBy("s", "e", "scale")
+    all
+      .withColumn("prev_end", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("prev_end").isNull || col("s") > col("prev_end"), 1L)
+          .otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("span_start"), max("e").as("span_end"),
+        max("scale").as("max_scale"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("max_scale").cast("int").as("max_scale"))
+  }
+
   /** Surgical decontamination: instead of flagging whole documents
     * ([[decontaminate]]), excise only the SENTENCES that share a word
     * n-gram with the eval set and reassemble the rest — the form that
@@ -1448,8 +1520,15 @@ object Dedup {
     * history. */
   def appendComponentsDelta(components: DataFrame, newPairs: DataFrame,
       idACol: String, idBCol: String): DataFrame = {
-    val pairIds = newPairs.select(col(idACol).as("id"))
-      .unionByName(newPairs.select(col(idBCol).as("id"))).distinct()
+    // LEAF the pair list first: this function references it three times
+    // (both pairIds sides + the closure union) and the caller's plan is
+    // typically the batch-vs-corpus blocked join — without the leaf that
+    // join re-executes per reference (measured: the 5M soak's per-batch
+    // cost ROSE under the delta fold until this materialization). Pair
+    // lists are near-dup-sized, so the checkpoint is bounded.
+    val np = checkpointLeaf(newPairs.select(col(idACol), col(idBCol)))
+    val pairIds = np.select(col(idACol).as("id"))
+      .unionByName(np.select(col(idBCol).as("id"))).distinct()
     val touched = components.join(broadcast(pairIds), Seq("id"), "left_semi")
       .select("component").distinct()
     val affected = components
@@ -1458,9 +1537,7 @@ object Dedup {
       .join(broadcast(touched), Seq("component"), "left_anti")
     val star = affected.filter(col("id") =!= col("component"))
       .select(col("id").as(idACol), col("component").as(idBCol))
-    connectedComponents(
-      star.unionByName(newPairs.select(col(idACol), col(idBCol))),
-      idACol, idBCol)
+    connectedComponents(star.unionByName(np), idACol, idBCol)
       .unionByName(untouched
         .select(col("id"), col("component"), col("cluster_size"), col("keep")))
   }
@@ -1826,6 +1903,16 @@ object Dedup {
         .orderBy("doc_id", "span_start")
     },
 
+    // the multi-scale ladder (r14): five doubling window scales, each
+    // with gap tolerance = its own window, unioned and overlap-merged
+    // with the largest contributing scale as per-span evidence. The
+    // oracle replays all five scale passes, the tolerant merges, and
+    // the cross-scale merge.
+    "q181_duplicate_spans_ladder" -> { (s, d) =>
+      duplicateSpansLadder(Tables(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "span_start")
+    },
+
     // span-excision accounting: per-document duplicated-token budget a
     // rewrite pass would remove (docs with no spans report 0 / full keep)
     "q129_span_excise_stats" -> { (s, d) =>
@@ -1937,6 +2024,61 @@ object Dedup {
         .orderBy("doc_id")
     }
   )
+
+  /** q181 oracle: the full multi-scale ladder replay — per scale the
+    * q128 machinery (positioned md5-gram hashes, global first-occurrence
+    * rank) with the scale's own gap-tolerant island merge, then the
+    * union, the (start, end, scale)-ordered cross-scale merge, and the
+    * max-scale label. */
+  private def q181Oracle: String = {
+    val scales = Seq(10, 20, 40, 80, 160)
+    def scaleCtes(n: Int): String =
+      s"""g_$n AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    CAST('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)
+         |      AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${n - 2})) AS i
+         |        FROM tok WHERE len(t) >= $n)),
+         |r_$n AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ
+         |  FROM g_$n),
+         |d_$n AS (SELECT doc_id, pos FROM r_$n WHERE occ > 1),
+         |m_$n AS (SELECT doc_id, pos,
+         |    max(pos + $n) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM d_$n),
+         |i_$n AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + $n
+         |      THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m_$n),
+         |s_$n AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+         |    CAST(max(pos) + $n AS BIGINT) AS e, $n AS scale
+         |  FROM i_$n GROUP BY doc_id, island)""".stripMargin
+    val union = scales.map(n => s"SELECT * FROM s_$n").mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |${scales.map(scaleCtes).mkString(",\n")},
+       |alls AS (
+       |  $union),
+       |mm AS (SELECT doc_id, s, e, scale,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e, scale
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM alls),
+       |ii AS (SELECT doc_id, s, e, scale,
+       |    sum(CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e, scale
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mm)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(max(e) - min(s) AS BIGINT) AS span_tokens,
+       |  CAST(max(scale) AS INTEGER) AS max_scale
+       |FROM ii GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** DuckDB mirror of the per-bit majority vote (shared by q54/q55):
     * token → 60-bit md5-derived hash → 60 vote sums → fingerprint. */
@@ -2232,6 +2374,7 @@ object Dedup {
     // CC(old ∪ new) == CC(star(CC(old)) ∪ new) end to end on real data
     "q170_incremental_components" -> narrowClustersOracle,
     "q179_incremental_components_delta" -> narrowClustersOracle,
+    "q181_duplicate_spans_ladder" -> q181Oracle,
     // q138: the q101 closure re-ranked by n_chars (ties → lowest id)
     "q138_canonical_selection" ->
       s"""WITH RECURSIVE $simHashOracleCore,

@@ -285,7 +285,56 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** 60-bit perceptual dHash per asset
+    * ([[graft.functions.ImageDHash]]): real pixel-path hashes for
+    * decodable images, the sha256-derived fallback otherwise — one
+    * TOTAL fingerprint column, a pure map stage over the payloads. */
+  def imageDHashes(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF().select(col("asset_id"),
+      graft.functions.MediaFunctions.image_dhash(col("payload")).as("dhash"))
+
+  /** Perceptual image near-dup pairs: the dHash fingerprints ride the
+    * SAME 4×15-bit pigeonhole blocking as the text simhash family
+    * ([[graft.dedup.Dedup.simHashNearDupsFromFps]] — exact for
+    * `maxHamming ≤ 3`), so a recolored/re-encoded twin pairs with its
+    * original without any all-pairs scan. Output (id_a, id_b, hamming),
+    * id_a < id_b. */
+  def imageNearDups(assets: Dataset[MediaAsset],
+      maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.simHashNearDupsFromFps(
+      imageDHashes(assets).select(col("asset_id"),
+        col("dhash").as("simhash")),
+      "asset_id", maxHamming)
+
   val queries: Map[String, Q] = Map(
+    // perceptual image fingerprints (r14): pixel-path dHash where a
+    // reader decodes, sha256-derived 60-bit fallback elsewhere — on
+    // this corpus (text bytes standing in for media) every row takes
+    // the fallback, which is exactly what the oracle replays; the
+    // pixel path is spec-pinned on real PNG fixtures (recolored twins
+    // collide, distinct images don't)
+    "q182_image_dhash" -> { (s, d) =>
+      imageDHashes(assetsFromDocuments(s, d)).orderBy("asset_id")
+    },
+
+    // dHash near-dup pairs, pigeonhole-blocked like simhash; every 50th
+    // asset gets a re-keyed byte-identical twin (the corpus's planted
+    // text dups are token-level, not byte-level, so without twins the
+    // pair set is empty — a 0-row green proves nothing). Oracle is the
+    // brute-force O(n²) hamming scan over the same unioned fingerprints.
+    "q183_image_near_dups" -> { (s, d) =>
+      import s.implicits._
+      val base = assetsFromDocuments(s, d)
+      val twins = base.toDF().filter(col("asset_id") % 50 === 0)
+        .select((col("asset_id") + 100000L).as("asset_id"), col("kind"),
+          col("payload"))
+        .as[MediaAsset]
+      imageNearDups(base.unionByName(twins), maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     // binary payload metadata — oracle-checkable (sha256/byte length are
     // engine-independent)
     "q70_multimodal_meta" -> { (s, d) =>
@@ -327,6 +376,23 @@ object Multimodal {
       |    AS n_frames""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q182_image_dhash" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS dhash
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q183_image_near_dups" ->
+      """WITH h0 AS (
+        |  SELECT doc_id, CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS dh
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, dh FROM h0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, dh FROM h0 WHERE doc_id % 50 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q70_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

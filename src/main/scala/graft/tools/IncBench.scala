@@ -63,6 +63,17 @@ object IncBench {
         "id_a", "id_b")
         .collect().length
     }
+    // the DELTA fold (closure over batch-touched components only) —
+    // the same full phase, so the comparison includes its extra
+    // standing-table semi/anti scans, not just the smaller closure
+    val (nDelta, tDelta) = timed {
+      val newFps = graft.dedup.Dedup.simHashTable(newDocs, "text", "doc_id")
+      graft.dedup.Dedup.appendComponentsDelta(standing,
+        graft.dedup.Dedup.simHashNearDupsAgainstFps(newFps,
+          oldFps.unionByName(newFps), "doc_id", maxHamming = 2),
+        "id_a", "id_b")
+        .collect().length
+    }
     // the batch recompute the append replaces, same session for fairness
     val (nBatch, tBatch) = timed {
       graft.dedup.Dedup.connectedComponents(
@@ -71,11 +82,12 @@ object IncBench {
         .collect().length
     }
     require(nOut == nBatch, s"incremental $nOut != batch $nBatch rows")
+    require(nDelta == nBatch, s"delta $nDelta != batch $nBatch rows")
     val json =
       s"""{"metric":"incbench","unit":"sec","dir":"$dir","mod":$mod,"n_docs":$nAll,""" +
       s""""n_batch_docs":$nNew,"n_cluster_rows":$nOut,""" +
       f""""standing_build":$tStanding%.3f,"append":$tAppend%.3f,""" +
-      f""""batch_recompute":$tBatch%.3f}"""
+      f""""append_delta":$tDelta%.3f,"batch_recompute":$tBatch%.3f}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

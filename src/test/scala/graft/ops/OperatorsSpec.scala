@@ -517,6 +517,41 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
   }
 
+  test("duplicateSpansLadder: edited 200-token clone excised whole with scale evidence; fixed form fragments it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = (0 until 200).map(i => s"d$i")
+    // docB carries the clone with point edits at clone offsets 60 and
+    // 130 — every 10-window crossing an edit dies, leaving one-token
+    // gaps; docC is an exact clone
+    val dEdited = d.updated(60, "EDIT1").updated(130, "EDIT2")
+    def doc(prefix: String, body: Seq[String]) =
+      ((0 until 50).map(i => s"${prefix}u$i") ++ body ++
+        (0 until 50).map(i => s"${prefix}v$i")).mkString(" ")
+    val docs = Seq(
+      (1L, doc("a", d)), (2L, doc("b", dEdited)), (3L, doc("c", d)))
+      .toDF("doc_id", "text")
+    // the fixed 10-token form fragments the edited clone (three islands
+    // split by the edits' one-token gaps)
+    val fixedB = Dedup.duplicateSpans(docs, "text", "doc_id", n = 10)
+      .filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(fixedB.length == 3, s"expected 3 fragments, got $fixedB")
+    assert(fixedB.head._1 == 50L && fixedB.last._2 == 250L)
+    // the ladder excises it WHOLE, with the largest surviving run's
+    // scale as evidence (runs of 60-69 tokens → scale 40)
+    val ladder = Dedup.duplicateSpansLadder(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val b = ladder.filter(_._1 == 2L).toSeq
+    assert(b == Seq((2L, 50L, 250L, 200L, 40)), s"edited clone: $b")
+    // the exact clone carries 160-window evidence
+    val c = ladder.filter(_._1 == 3L).toSeq
+    assert(c == Seq((3L, 50L, 250L, 200L, 160)), s"exact clone: $c")
+    // the survivor (first occurrence) is never excised
+    assert(!ladder.exists(_._1 == 1L))
+  }
+
   test("simHashWideNearDupsAgainst == brute two-half hamming over new×all; never old×old") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
@@ -1251,6 +1286,53 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+
+  test("image dHash: recolored twin PNGs collide, distinct images don't; fallback is the sha256 form") {
+    import graft.functions.ImageDHash
+    import spark.implicits._
+    // real PNG fixtures: a strong-contrast block pattern, its uniformly
+    // dimmed twin (recoloring preserves brightness ORDER, the invariant
+    // dHash keys on), and an unrelated pattern
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(110, 60,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 60; x <- 0 until 110) {
+        val v = f(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def pattern(x: Int, y: Int) = ((x / 10 * 31 + y / 10 * 17) % 7) * 30 + 20
+    val base = png(pattern)
+    val twin = png((x, y) => pattern(x, y) * 3 / 5) // uniform dimming
+    val other = png((x, y) => ((x / 10 * 13 + y / 10 * 29 + 3) % 7) * 30 + 20)
+    val hBase = ImageDHash.tryDecode(base)
+    val hTwin = ImageDHash.tryDecode(twin)
+    val hOther = ImageDHash.tryDecode(other)
+    assert(hBase != null && hTwin != null && hOther != null,
+      "PNG fixtures must take the pixel path")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hBase, hTwin) <= 3,
+      s"recolored twin at hamming ${ham(hBase, hTwin)}")
+    assert(ham(hBase, hOther) > 10,
+      s"distinct images at hamming ${ham(hBase, hOther)}")
+    // undecodable payloads take the deterministic sha256-derived form
+    val blob = "not an image at all".getBytes("UTF-8")
+    assert(ImageDHash.eval(blob) == ImageDHash.fallback(blob))
+    assert(ImageDHash.tryDecode(blob) == null)
+    // the blocked pair operator pairs the twins and only the twins
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", base),
+      Multimodal.MediaAsset(2L, "image", twin),
+      Multimodal.MediaAsset(3L, "image", other),
+      Multimodal.MediaAsset(4L, "image", blob)).toDS()
+    val pairs = Multimodal.imageNearDups(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs=$pairs")
+  }
+
   test("feature extraction is deterministic, typed, partition-preserving") {
     val assets = Multimodal.assetsFromDocuments(spark, sf())
     val f1 = Multimodal.extractFeatures(assets).collect()

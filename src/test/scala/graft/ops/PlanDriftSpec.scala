@@ -121,14 +121,17 @@ class PlanDriftSpec extends SparkSpec {
     // and the standing-table build execute inside checkpoint leaves;
     // the final plan is pair distinct + component agg + output sort
     "q170_incremental_components" -> PlanMetrics(3, 0, pushedFilters = true, prunedSchema = true),
-    // the ladder queries (r13 collapse): ONE candidate pass feeds each
-    // exact pair's first-qualifying step, and the whole ladder is one
-    // grouped aggregation (recallLadderAgg) — exchanges no longer scale
-    // with ladder length (was 40/72 when each step planned its own
-    // search+recall tower); pinned so a regression back to per-step
-    // plans shows up as a count jump
-    "q169_ann_lsh_tables_sized" -> PlanMetrics(5, 9, pushedFilters = true, prunedSchema = true),
-    "q171_ann_shortlist_sized" -> PlanMetrics(5, 9, pushedFilters = true, prunedSchema = true),
+    // the ladder queries (r13 collapse, r14 hygiene): ONE candidate
+    // pass feeds each exact pair's first-qualifying step, the whole
+    // ladder is one grouped aggregation (recallLadderAgg), and since
+    // r14 the curve functions MATERIALIZE the ladder (≤ 16 rows) and
+    // release their exact-set checkpoint — so the query-visible plan is
+    // the LocalRelation-backed chosen-flag join. The calibration work
+    // still runs (Bench times it — construction is inside the timed
+    // region); a regression back to per-step plans would show in the
+    // bench, not here. Pinned at the post-materialization shape.
+    "q169_ann_lsh_tables_sized" -> PlanMetrics(1, 1, pushedFilters = true, prunedSchema = true),
+    "q171_ann_shortlist_sized" -> PlanMetrics(1, 1, pushedFilters = true, prunedSchema = true),
     // BPE apply (r12): explode→explode→hash agg; ONE exchange (the
     // piece count), TakeOrderedAndProject caps the output — per-row
     // codegen'd encode, no join anywhere
