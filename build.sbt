@@ -26,7 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the 174-query bench run holds per-query
+  // localCheckpoint blocks until the ContextCleaner catches up, and at
+  // 8g the accumulated storage pressure degraded EVERY query ~30%
+  // uniformly (measured r14: 229 s at 8g vs 174.7 s at 16g, same HEAD,
+  // same machine state — diagnosed via an old-HEAD worktree bench after
+  // it first read as a code regression). -Xmx is a cap, not committed
+  // memory; override with SPARK_DRIVER_MEM for constrained machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // ~70 queries of whole-stage-codegen classes overflow the default
   // 240m code cache; once full, the JIT stops compiling and expression-
   // heavy queries run interpreted (10-20x slower, run-order dependent).
