@@ -169,7 +169,7 @@ object PqIndex {
   /** Per-query top-k over `(query_id, neighbor_id, adist_fp)` rows.
     * `adist_fp` is the fixed-point distance (hash-exact); `adist` its
     * double form. */
-  private def topKByAdc(cand: DataFrame, k: Int): DataFrame = {
+  private[sim] def topKByAdc(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(asc("adist_fp"), asc("neighbor_id"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -291,7 +291,7 @@ object PqIndex {
     * full vectors are fetched for just |queries| × shortlist rows via an
     * equi join with the BROADCAST shortlist, so the vector store is
     * scanned once and never shuffled. */
-  private def rerankExact(short: DataFrame, corpus: DataFrame,
+  private[sim] def rerankExact(short: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val nv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))

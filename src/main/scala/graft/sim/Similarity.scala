@@ -1216,6 +1216,74 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
+    // SQ8 scalar quantization (r14): per-dimension trained [min,max]
+    // ranges, one byte per coordinate (4× smaller than float32), FAISS
+    // Codec8bit encode/decode arithmetic, fixed-point asymmetric scan.
+    // The oracle replays the range training (one min/max aggregation),
+    // the encode, the half-step reconstruction, and the exact long
+    // ranking — a green hash pins the whole quantizer cross-engine.
+    "q184_ann_sq8" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val m = SqIndex.train(emb, "vec_id", "embedding")
+      val codes = SqIndex.encode(emb, "vec_id", "embedding", m)
+      SqIndex.searchSqAdc(m, codes, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF∘SQ8 (r14): FAISS IndexIVFScalarQuantizer — the q65 coarse
+    // quantizer picks nprobe cells, SQ8 byte codes pay the per-pair
+    // cost. Oracle = the IVF training replay composed with the q184
+    // range/encode/scan replay, restricted to the probed cells.
+    "q185_ann_ivfsq" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      val m = SqIndex.train(emb, "vec_id", "embedding")
+      SqIndex.searchIvfSq(ivf, m, emb.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // binary quantization two-stage serve (r14): sign bits against the
+    // fixed-point per-dimension means (1 bit/dim — 32× compression at
+    // dim 64), hamming shortlist, exact-cosine re-rank. The oracle
+    // replays the mean training, the bit packing, the XOR+popcount
+    // ranking, and the re-rank — all four stages under one hash.
+    "q186_ann_binary" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val means = SqIndex.binaryMeans(emb, "vec_id", "embedding")
+      val bcodes = SqIndex.encodeBinary(emb, "vec_id", "embedding", means)
+      SqIndex.searchBinaryRerank(means, bcodes, emb,
+        emb.filter(col("vec_id") < 6), "vec_id", "embedding",
+        k = 3, shortlist = 10)
+        .orderBy("query_id", "rnk")
+    },
+
+    // the binary member of the recall-sizing family (r14): doubling
+    // hamming-shortlist ladder ending exactly at the corpus count —
+    // that step re-ranks everything, brute force by construction, so
+    // the rule is TOTAL like the ADC one. One hamming ranking + one
+    // ladder aggregation (the r13 collapse; the re-rank stage shares
+    // the exact total order, so hit(s) ≡ hamming_rank ≤ s). The oracle
+    // replays the ladder from its own count(*), the full hamming
+    // ranking, every per-step re-rank, and the 0.9 choice.
+    "q187_ann_binary_shortlist_sized" -> { (s, d) =>
+      val emb = Tables(s, d, "embeddings")
+      val means = SqIndex.binaryMeans(emb, "vec_id", "embedding")
+      val bcodes = SqIndex.encodeBinary(emb, "vec_id", "embedding", means)
+      val queries = emb.filter(col("vec_id") < 6)
+      val ladder = PqIndex.shortlistLadder(3, emb.count())
+      val curve = SqIndex.binaryRecallCurve(means, bcodes, emb, queries,
+        "vec_id", "embedding", k = 3, ladder)
+      val chosen = curve.filter(col("recall") >= 0.9)
+        .agg(min("shortlist").as("_chosen"))
+      curve.crossJoin(broadcast(chosen))
+        .select(col("shortlist"), col("n_exact"), col("n_hit"), col("recall"),
+          coalesce((col("shortlist") === col("_chosen")).cast("int"), lit(0))
+            .as("chosen"))
+        .orderBy("shortlist")
+    },
+
     // two-stage ANN serve: 10-deep ADC shortlist, exact cosine re-rank
     // of only those rows — both stages replayed by the oracle
     "q139_pq_rerank" -> { (s, d) =>
@@ -1421,6 +1489,10 @@ object Similarity {
     "q175_ann_opq" -> q175Oracle,
     "q177_ann_opq_trained" -> q177Oracle,
     "q180_ann_occupancy_skew" -> q180Oracle,
+    "q184_ann_sq8" -> q184Oracle,
+    "q185_ann_ivfsq" -> q185Oracle,
+    "q186_ann_binary" -> q186Oracle,
+    "q187_ann_binary_shortlist_sized" -> q187Oracle,
     "q176_ann_opq_ivfpq_residual" ->
       q173OracleFrom(srcRel = "rotrel", pre = rotrelCtes(7L) + ",\n"),
     "q162_ann_recall_pq" ->
@@ -2575,6 +2647,204 @@ object Similarity {
        |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** The SQ8 range-train + encode CTEs shared by q184/q185: `mm` is the
+    * per-dimension min/max aggregation (exactly order-independent on
+    * both engines), `sqs` packs the ranges into two dim-length lists,
+    * `sqcodes` replays [[SqIndex.codesExpr]]'s Codec8bit arithmetic —
+    * identical subtract/divide/multiply/floor order, identical
+    * diff-zero branch. */
+  private def sqCtes(dim: Int): String =
+    s"""mm AS (
+       |  SELECT d, min(embedding[d]::DOUBLE) AS vmin,
+       |    max(embedding[d]::DOUBLE) - min(embedding[d]::DOUBLE) AS vdiff
+       |  FROM embeddings, range(1, ${dim + 1}) t(d) GROUP BY d),
+       |sqs AS (SELECT list(vmin ORDER BY d) AS vmin,
+       |    list(vdiff ORDER BY d) AS vdiff FROM mm),
+       |sqcodes AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, ${dim + 1}), d ->
+       |      CASE WHEN s.vdiff[d] = 0.0 THEN 0
+       |        ELSE CAST(floor(((e.embedding[d]::DOUBLE - s.vmin[d]) / s.vdiff[d])
+       |          * 255.0) AS INTEGER) END) AS codes
+       |  FROM embeddings e, sqs s)""".stripMargin
+
+  /** One per-dimension fixed-point SQ distance term — the half-step
+    * reconstruction `r = vmin + (code + 0.5)·diff / 255` substituted
+    * into `floor((r² − 2·q_d·r)·1e9)`, operation order matching
+    * [[SqIndex]]'s `sqDistCol` exactly. Expects `c` (codes row), `s`
+    * (ranges), and the query vector reference in scope. */
+  private def sqTermSql(qVec: String): String = {
+    val r = "(s.vmin[d] + ((c.codes[d]::DOUBLE + 0.5) * s.vdiff[d]) / 255.0)"
+    s"CAST(floor(($r * $r - 2.0 * $qVec[d]::DOUBLE * $r) * 1e9) AS BIGINT)"
+  }
+
+  /** q184 oracle: the full SQ8 replay — range training, byte encode,
+    * half-step reconstruction, fixed-point asymmetric ranking. */
+  private def q184Oracle: String = {
+    val dim = 64; val k = 3
+    s"""WITH ${sqCtes(dim)},
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 6),
+       |pairs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      d -> ${sqTermSql("q.q_vec")}), 'sum') AS BIGINT) AS adist_fp
+       |  FROM q, sqcodes c, sqs s WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM pairs)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q185 oracle: the q65 IVF training replay composed with the q184
+    * SQ8 replay — probe ranking over the served centroids, then the
+    * fixed-point SQ scan restricted to the probed cells. */
+  private def q185Oracle: String = {
+    val ivfIter = 3; val dim = 64; val k = 3; val nprobe = 3
+    def dotVC(v: String, c: String) = ivfDotVC(v, c, dim)
+    def normC(c: String) = ivfNormC(c)
+    s"""WITH ${ivfCellsCtes(nlist = 8, maxIter = ivfIter, dim = dim, seed = 42L)},
+       |cf AS (
+       |  SELECT cell, list_transform(c, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM c_$ivfIter),
+       |probes AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS q_vec, f.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (${normC("f.c")} - 2.0 * ${dotVC("e.embedding", "f.c")}) ASC,
+       |                 f.cell ASC) AS pr
+       |    FROM embeddings e CROSS JOIN cf f WHERE e.vec_id < 6) WHERE pr <= $nprobe),
+       |${sqCtes(dim)},
+       |cand AS (
+       |  SELECT p.query_id, cl.vec_id AS neighbor_id,
+       |    CAST(list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      d -> ${sqTermSql("p.q_vec")}), 'sum') AS BIGINT) AS adist_fp
+       |  FROM probes p
+       |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.query_id
+       |  JOIN sqcodes c ON c.vec_id = cl.vec_id
+       |  CROSS JOIN sqs s),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_fp,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_fp ASC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, adist_fp,
+       |  CAST(adist_fp AS DOUBLE) / 1e9 AS adist
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q186 oracle: the binary two-stage serve replayed end to end —
+    * fixed-point per-dimension means, 60-bit-word sign packing
+    * (bit `b−1` of word `w` is dimension `60w + b`, the
+    * [[SqIndex.binCodeExpr]] layout; the distinct-power sum equals the
+    * bitwise OR), XOR+popcount hamming shortlist with the lowest-id
+    * tie-break, exact-cosine re-rank. */
+  /** The binary-quantizer training CTEs shared by q186/q187: `mn` is
+    * the fixed-point per-dimension sum/count aggregation, `means` the
+    * long→double divide chain ([[SqIndex.binaryMeans]] verbatim), `bc`
+    * the 60-bit-word sign packing (distinct-power sums ≡ bitwise OR),
+    * `q` the query rows carrying their own packed code. */
+  private def binCtes(dim: Int, queryPred: String): String = {
+    def word(wIdx: Int, bits: Int): String =
+      s"""CAST(list_aggregate(list_transform(range(1, ${bits + 1}),
+         |    b -> CASE WHEN e.embedding[${wIdx * 60} + b]::DOUBLE > m.mu[${wIdx * 60} + b]
+         |      THEN (1::BIGINT << CAST(b - 1 AS INTEGER)) ELSE 0::BIGINT END),
+         |    'sum') AS BIGINT)""".stripMargin
+    s"""mn AS (
+       |  SELECT d,
+       |    CAST(SUM(CAST(floor(embedding[d]::DOUBLE * 1e9) AS BIGINT)) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings, range(1, ${dim + 1}) t(d) GROUP BY d),
+       |means AS (SELECT list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9
+       |    ORDER BY d) AS mu FROM mn),
+       |bc AS (SELECT e.vec_id, ${word(0, 60)} AS w0, ${word(1, dim - 60)} AS w1
+       |  FROM embeddings e, means m),
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS q_vec, b.w0, b.w1
+       |  FROM embeddings e JOIN bc b ON b.vec_id = e.vec_id WHERE $queryPred)""".stripMargin
+  }
+
+  private def q186Oracle: String = {
+    val dim = 64; val k = 3; val shortlist = 10
+    s"""WITH ${binCtes(dim, "e.vec_id < 6")},
+       |hs AS (
+       |  SELECT query_id, neighbor_id, q_vec FROM (
+       |    SELECT q.query_id, b.vec_id AS neighbor_id, q.q_vec,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY bit_count(xor(b.w0, q.w0)) + bit_count(xor(b.w1, q.w1)) ASC,
+       |                 b.vec_id ASC) AS hrnk
+       |    FROM q, bc b WHERE b.vec_id <> q.query_id) WHERE hrnk <= $shortlist),
+       |rr AS (
+       |  SELECT h.query_id, h.neighbor_id,
+       |    ${cosSql("h.q_vec", "e.embedding", dim)} AS cos
+       |  FROM hs h JOIN embeddings e ON e.vec_id = h.neighbor_id)
+       |SELECT query_id, rnk, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM rr) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** q187 oracle: the binary sizing rule replayed the q171 way — the
+    * doubling ladder rederived from the oracle's own count(*), the
+    * FULL hamming ranking, a per-step exact-cosine re-rank (the oracle
+    * replays the uncollapsed semantics; the Spark side's one-pass
+    * collapse must hash-match it), recall vs the brute replay, and the
+    * min-qualifying choice at target 0.9. */
+  private def q187Oracle: String = {
+    val dim = 64; val k = 3; val target = 0.9
+    s"""WITH RECURSIVE ${binCtes(dim, "e.vec_id < 6")},
+       |hr AS (
+       |  SELECT q.query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY bit_count(xor(b.w0, q.w0)) + bit_count(xor(b.w1, q.w1)) ASC,
+       |               b.vec_id ASC) AS hrnk
+       |  FROM q, bc b WHERE b.vec_id <> q.query_id),
+       |lad(s) AS (
+       |  SELECT $k
+       |  UNION ALL
+       |  SELECT s * 2 FROM lad WHERE s * 2 < (SELECT count(*) FROM embeddings)),
+       |steps AS (
+       |  SELECT s AS shortlist FROM lad
+       |  UNION
+       |  SELECT CAST(count(*) AS INTEGER) FROM embeddings),
+       |scored AS (
+       |  SELECT h.query_id, h.neighbor_id, h.hrnk,
+       |    ${cosSql("qe.embedding", "ne.embedding", dim)} AS cos
+       |  FROM hr h
+       |  JOIN embeddings qe ON qe.vec_id = h.query_id
+       |  JOIN embeddings ne ON ne.vec_id = h.neighbor_id),
+       |rk AS (
+       |  SELECT st.shortlist, sc.query_id, sc.neighbor_id,
+       |    row_number() OVER (PARTITION BY st.shortlist, sc.query_id
+       |      ORDER BY sc.cos DESC, sc.neighbor_id ASC) AS rnk
+       |  FROM steps st JOIN scored sc ON sc.hrnk <= st.shortlist),
+       |approx AS (SELECT shortlist, query_id, neighbor_id FROM rk WHERE rnk <= $k),
+       |brute AS (SELECT * FROM (${bruteOracle("vec_id < 6", k)})),
+       |j AS (
+       |  SELECT st.shortlist, b.query_id, b.neighbor_id,
+       |    CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM steps st CROSS JOIN brute b
+       |  LEFT JOIN approx a ON a.shortlist = st.shortlist
+       |    AND a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+       |curve AS (
+       |  SELECT shortlist, CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |  FROM j GROUP BY shortlist)
+       |SELECT shortlist, n_exact, n_hit, recall,
+       |  CAST(CASE WHEN shortlist = (SELECT min(shortlist) FROM curve
+       |      WHERE recall >= $target)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM curve ORDER BY shortlist""".stripMargin
   }
 
   /** q66 oracle: replay the SIZED, 2-band OR-amplified geometry end to

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{IvfIndex, PqIndex, Similarity}
+import graft.sim.{IvfIndex, PqIndex, Similarity, SqIndex}
 
 /** ANN decade benchmark (dev tool, NOT library surface): measures the
   * full similarity-search stack — brute-force truth, hyperplane LSH,
@@ -329,6 +329,53 @@ object VecBench {
         f""""train_sec":$tTrain%.3f,""" +
         f""""trained":{"sec":$tFlat%.3f,"recall":$rFlat%.4f},""" +
         f""""trained_residual":{"sec":$tRR%.3f,"recall":$rRR%.4f}}"""
+      println(line)
+      Some(line)
+    } else None
+
+    // optional `sq` mode: the two non-PQ compression families at the
+    // same corpus and the same brute truth — SQ8 (4× smaller store,
+    // near-exact byte ranking) flat and composed with the corpus-sized
+    // IVF, and binary sign-bit quantization (16× smaller scan stage)
+    // at two hamming-shortlist depths. Together with the PQ numbers in
+    // the main line this is the measured memory/recall ladder:
+    // float32 → SQ8 (4×) → PQ m=8 (32×) → binary (16×, shortlist-bound).
+    val sqJson: Option[String] = if (args.tail.contains("sq")) {
+      val normed = Similarity.unitNormalize(corpus, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qN = normed.filter(col("vec_id") < 32)
+      val exactN = Similarity.bruteForceTopK(qN, normed, "vec_id",
+        "embedding", k).localCheckpoint(true)
+      val (mSq, tSqTrain) = timed { SqIndex.train(normed, "vec_id", "embedding") }
+      val (codesSq, tSqEnc) = timed {
+        SqIndex.encode(normed, "vec_id", "embedding", mSq).localCheckpoint(true)
+      }
+      val (sqRows, tSqFlat) = timed {
+        SqIndex.searchSqAdc(mSq, codesSq, qN, "vec_id", "embedding", k).collect()
+      }
+      val rSqFlat = ToolWork.meanRecall(ToolWork.idPairs(spark, sqRows), exactN)
+      val ivfN = IvfIndex.build(normed, "vec_id", "embedding", nlist,
+        trainSixteenths = sixteenths)
+      val (ivfSqRows, tIvfSq) = timed {
+        SqIndex.searchIvfSq(ivfN, mSq, qN, "vec_id", "embedding", k, nprobe).collect()
+      }
+      val rIvfSq = ToolWork.meanRecall(ToolWork.idPairs(spark, ivfSqRows), exactN)
+      val (mu, tBinTrain) = timed { SqIndex.binaryMeans(normed, "vec_id", "embedding") }
+      val (bcodes, tBinEnc) = timed {
+        SqIndex.encodeBinary(normed, "vec_id", "embedding", mu).localCheckpoint(true)
+      }
+      def binAt(shortlist: Int): (Double, Double) = {
+        val (rows, t) = timed {
+          SqIndex.searchBinaryRerank(mu, bcodes, normed, qN, "vec_id",
+            "embedding", k, shortlist).collect()
+        }
+        (t, ToolWork.meanRecall(ToolWork.idPairs(spark, rows), exactN))
+      }
+      val (tBin100, rBin100) = binAt(100)
+      val (tBin1k, rBin1k) = binAt(1000)
+      val line = s"""{"metric":"vecbench_sq","n":$n,"nlist":$nlist,"nprobe":$nprobe,""" +
+        f""""sq8":{"train_sec":$tSqTrain%.3f,"encode_sec":$tSqEnc%.3f,"flat_sec":$tSqFlat%.3f,"flat_recall":$rSqFlat%.4f,"ivf_sec":$tIvfSq%.3f,"ivf_recall":$rIvfSq%.4f},""" +
+        f""""binary":{"train_sec":$tBinTrain%.3f,"encode_sec":$tBinEnc%.3f,"s100_sec":$tBin100%.3f,"s100_recall":$rBin100%.4f,"s1000_sec":$tBin1k%.3f,"s1000_recall":$rBin1k%.4f}}"""
       println(line)
       Some(line)
     } else None
