@@ -66,13 +66,25 @@ object SqIndex {
     * are monotone, x = vmax divides to exactly 1.0. A constant
     * dimension (diff = 0) codes as 0 and reconstructs to vmin. A pure
     * codegen'd row expression, usable in any projection. */
-  def codesExpr(m: Model, vecCol: Column): Column = {
+  def codesExpr(m: Model, vecCol: Column): Column =
+    codesWith(m, vecCol, clamp = false)
+
+  /** [[codesExpr]] with per-element [0, 255] saturation — for vectors
+    * OUTSIDE the trained ranges (appended batches: the
+    * closed-over-training-corpus argument stops holding there). On
+    * in-range vectors the two are identical. */
+  def clampedCodesExpr(m: Model, vecCol: Column): Column =
+    codesWith(m, vecCol, clamp = true)
+
+  private def codesWith(m: Model, vecCol: Column, clamp: Boolean): Column = {
     val vminL = typedLit(m.vmin.toSeq)
     val diffL = typedLit(m.vdiff.toSeq)
-    zip_with(vecCol, sequence(lit(1), lit(m.dim)), (x, d) =>
-      when(element_at(diffL, d) === 0.0, lit(0))
-        .otherwise(floor(((x.cast("double") - element_at(vminL, d)) /
-          element_at(diffL, d)) * lit(255.0)).cast("int")))
+    zip_with(vecCol, sequence(lit(1), lit(m.dim)), (x, d) => {
+      val raw = floor(((x.cast("double") - element_at(vminL, d)) /
+        element_at(diffL, d)) * lit(255.0)).cast("int")
+      val c = if (clamp) greatest(lit(0), least(lit(255), raw)) else raw
+      when(element_at(diffL, d) === 0.0, lit(0)).otherwise(c)
+    })
   }
 
   /** Compress the corpus to (id, codes) — a zero-shuffle map stage, the
@@ -90,19 +102,14 @@ object SqIndex {
     * byte's quantization bin) and fold the rank-equivalent Euclidean
     * term `r² − 2·q_d·r` (the per-query `|q|²` constant is dropped,
     * exactly like [[PqIndex]]'s ADC), fixed-pointed per DIMENSION so
-    * the per-pair total is an exact long sum. */
-  private def sqDistCol(m: Model): Column = {
-    val vminL = typedLit(m.vmin.toSeq)
-    val diffL = typedLit(m.vdiff.toSeq)
-    aggregate(
-      zip_with(col("codes"), sequence(lit(1), lit(m.dim)), (c, d) => {
-        val r = element_at(vminL, d) +
-          ((c.cast("double") + lit(0.5)) * element_at(diffL, d)) / lit(255.0)
-        floor((r * r - lit(2.0) * element_at(col("q_vec"), d).cast("double") * r) *
-          lit(1e9)).cast("long")
-      }),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * the per-pair total is an exact long sum. A codegen'd native
+    * expression ([[graft.functions.SqAdcDist]]): the zip_with/aggregate
+    * fold it replaces interpreted its lambda per element — measured 8×
+    * slower than brute force at dim 64, inverting the point of a
+    * compressed scan (oracle hashes unchanged by the swap: q184/q185). */
+  private def sqDistCol(m: Model): Column =
+    graft.functions.VectorFunctions.sq_adc_dist(col("codes"), col("q_vec"),
+      m.vmin, m.vdiff)
 
   /** SQ8 asymmetric top-k (FAISS `IndexScalarQuantizer` search):
     * broadcast the queries, stream the CODE column of the corpus once —
@@ -133,6 +140,82 @@ object SqIndex {
       .select(col(idCol).as("neighbor_id"), col("cell"),
         codesExpr(m, col(vecCol)).as("codes"))
     val probes = IvfIndex.probesFor(ivf.centroids, queries, idCol, vecCol, nprobe)
+    PqIndex.topKByAdc(
+      cellCodes.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adist_fp", sqDistCol(m)), k)
+  }
+
+  /** Persist the composed index: SQ8 byte codes PARTITIONED BY IVF cell
+    * (the [[IvfIndex.writeByCell]] one-file-per-cell discipline), the
+    * coarse centroids, and the 2·dim range model — the 100 TB layout: a
+    * probe is a statically partition-pruned scan over files 4× smaller
+    * than the vectors they stand for, reading only the code column. */
+  def saveIvfSq(ivf: IvfIndex.Model, m: Model, idCol: String,
+      vecCol: String, path: String): Unit = {
+    val spark = ivf.cells.sparkSession
+    import spark.implicits._
+    IvfIndex.writeByCell(
+      ivf.cells.filter(col(vecCol).isNotNull)
+        .select(col(idCol), codesExpr(m, col(vecCol)).as("codes"), col("cell")),
+      s"$path/codes", org.apache.spark.sql.SaveMode.Overwrite)
+    ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    (0 until m.dim).map(d => (d, m.vmin(d), m.vdiff(d)))
+      .toDF("d", "vmin", "vdiff")
+      .write.mode("overwrite").parquet(s"$path/ranges")
+  }
+
+  def loadSqModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(s"$path/ranges").collect()
+    val dim = rows.length
+    val vmin = new Array[Double](dim)
+    val vdiff = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("d")
+      vmin(d) = r.getAs[Double]("vmin"); vdiff(d) = r.getAs[Double]("vdiff")
+    }
+    Model(dim, vmin, vdiff)
+  }
+
+  /** Incremental maintenance: cell-assign + SQ-encode arriving vectors
+    * under the EXISTING centroids and ranges, append to the
+    * cell-partitioned layout — no retrain, standing codes untouched
+    * (the [[IvfIndex.append]] / [[PqIndex.appendIvfPq]] discipline; the
+    * same staleness trade, watched by the same
+    * [[IvfIndex.occupancyStats]] advisor). A new vector OUTSIDE a
+    * trained range still encodes total — the affine map just saturates
+    * below 0 / above 255 — so the clamp here is correctness, not
+    * cosmetics (the closed-over-training-corpus argument in
+    * [[codesExpr]] stops holding on appended data). */
+  def appendIvfSq(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val m = loadSqModel(spark, path)
+    val centroids = IvfIndex.centroidMatrix(spark.read.parquet(s"$path/centroids"))
+    IvfIndex.writeByCell(
+      newVectors.filter(col(vecCol).isNotNull)
+        .select(col(idCol), clampedCodesExpr(m, col(vecCol)).as("codes"),
+          graft.functions.VectorFunctions.nearest_cell(col(vecCol), centroids)
+            .as("cell")),
+      s"$path/codes", org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Search a persisted IVF∘SQ8 index with STATIC partition pruning:
+    * the probe-cell union becomes a literal IN filter (the
+    * [[IvfIndex.searchIndexed]] discipline), so the scan lists only the
+    * probed cell directories and reads only the byte-code column. */
+  def searchIndexedIvfSq(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val m = loadSqModel(spark, path)
+    val probesPlan = IvfIndex.probesFor(centroids, queries, idCol, vecCol, nprobe)
+    val probeRows = probesPlan.collect()
+    val probedCells = probeRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val cellCodes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .withColumnRenamed(idCol, "neighbor_id")
     PqIndex.topKByAdc(
       cellCodes.join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))

@@ -656,12 +656,17 @@ object EventsStream {
     * Emission: Update-mode running top-k per query — consumers upsert by
     * `(query_id, rnk)`; with a single-batch trigger (AvailableNow) the
     * output IS [[graft.sim.IvfIndex.search]]'s result (spec-pinned). */
-  def annProbeStream(queries: DataFrame, model: graft.sim.IvfIndex.Model,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): Dataset[AnnNeighbor] = {
-    import queries.sparkSession.implicits._
+  /** The shared streaming probe-cell stage: arriving query rows become
+    * `(query_id, q_vec, cell)` with one exploded row per probed cell —
+    * the centroid matrix embedded as float-array literals (bounded by
+    * nlist), cdist/cell struct sort replaying [[graft.sim.IvfIndex]]'s
+    * exact probe ordering. Shared by [[annProbeStream]] (float-vector
+    * candidates) and [[sqProbeStream]] (byte-code candidates) so the
+    * two serves can never drift on probe discipline. */
+  private def probeCellsExploded(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
-    require(k >= 1, "k must be >= 1")
-    val cents = model.centroids.orderBy("cell").collect()
+    val cents = centroids.orderBy("cell").collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Float](r.fieldIndex("centroid"))))
     require(nprobe >= 1 && nprobe <= cents.length,
       s"nprobe=$nprobe out of range for nlist=${cents.length}")
@@ -670,7 +675,7 @@ object EventsStream {
       struct((vec_dot(litC, litC) - lit(2.0) * vec_dot(col("q_vec"), litC))
         .as("cdist"), lit(cellId).as("cell"))
     }
-    val probed = queries
+    queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
       // same null discipline as the batch probe (probesFor drops null
       // vectors; a null id cannot key the state store)
@@ -678,6 +683,13 @@ object EventsStream {
       .withColumn("cell", explode(transform(
         slice(array_sort(array(distStructs.toIndexedSeq: _*)), 1, nprobe),
         x => x("cell"))))
+  }
+
+  def annProbeStream(queries: DataFrame, model: graft.sim.IvfIndex.Model,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): Dataset[AnnNeighbor] = {
+    import queries.sparkSession.implicits._
+    require(k >= 1, "k must be >= 1")
+    val probed = probeCellsExploded(queries, model.centroids, idCol, vecCol, nprobe)
     probed
       .join(model.cells.select(col("cell"),
           col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec")),
@@ -688,6 +700,74 @@ object EventsStream {
       .as[AnnCandidate]
       .groupByKey(_.query_id)
       .transformWithState(new StreamingTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class AdcCandidate(query_id: Long, neighbor_id: Long, adist_fp: Long)
+  final case class AdcNeighbor(query_id: Long, rnk: Long, neighbor_id: Long,
+      adist_fp: Long, adist: Double)
+  final case class AdcTopKState(ids: Array[Long], dists: Array[Long])
+
+  /** [[StreamingTopKProcessor]]'s fixed-point twin: running best-k by
+    * (adist_fp ASC, id asc) — [[graft.sim.PqIndex.topKByAdc]]'s exact
+    * ordering, so every compressed-code serve shares one ranking
+    * definition. Same Update-mode re-emission, same at-least-once
+    * dedup-by-neighbor merge (distances are deterministic longs). */
+  class StreamingAdcTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AdcCandidate, AdcNeighbor] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[AdcTopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AdcTopKState]("adc_topk",
+        org.apache.spark.sql.Encoders.product[AdcTopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AdcCandidate],
+        timerValues: TimerValues): Iterator[AdcNeighbor] = {
+      val st = if (state.exists()) state.get() else AdcTopKState(Array.empty, Array.empty)
+      val merged = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      st.ids.indices.foreach(i => merged(st.ids(i)) = st.dists(i))
+      rows.foreach(c => merged(c.neighbor_id) = c.adist_fp)
+      val top = merged.toArray.sortBy { case (id, d) => (d, id) }.take(k)
+      state.update(AdcTopKState(top.map(_._1), top.map(_._2)))
+      top.iterator.zipWithIndex.map { case ((id, d), i) =>
+        AdcNeighbor(key, i + 1L, id, d, d.toDouble / 1e9)
+      }
+    }
+  }
+
+  /** Streaming IVF∘SQ8 probe at ingest — [[annProbeStream]] with the
+    * static side COMPRESSED: candidates join against `(cell,
+    * neighbor_id, codes)` byte-code rows instead of float vectors, and
+    * the pair cost is the codegen'd fixed-point
+    * [[graft.functions.SqAdcDist]]. The scale motivation is specific to
+    * streaming: a stream-static join re-plans and RE-SCANS the static
+    * side every micro-batch, so a 4×-smaller static relation is a
+    * 4×-smaller cost PER BATCH, forever — compression pays down the
+    * whole stream lifetime, not once. Probe discipline is
+    * [[probeCellsExploded]], shared with the float form; state is 3k
+    * scalars per in-flight query. With a single-batch trigger the
+    * output IS [[graft.sim.SqIndex.searchIvfSq]]'s result, including
+    * the fixed-point distances (spec-pinned, with a re-delivered
+    * query). */
+  def sqProbeStream(queries: DataFrame, ivf: graft.sim.IvfIndex.Model,
+      m: graft.sim.SqIndex.Model, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): Dataset[AdcNeighbor] = {
+    import queries.sparkSession.implicits._
+    require(k >= 1, "k must be >= 1")
+    val probed = probeCellsExploded(queries, ivf.centroids, idCol, vecCol, nprobe)
+    val codesRel = ivf.cells.filter(col(vecCol).isNotNull)
+      .select(col("cell"), col(idCol).cast("long").as("neighbor_id"),
+        graft.sim.SqIndex.codesExpr(m, col(vecCol)).as("codes"))
+    probed
+      .join(codesRel, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.sq_adc_dist(col("codes"), col("q_vec"),
+          m.vmin, m.vdiff).as("adist_fp"))
+      .as[AdcCandidate]
+      .groupByKey(_.query_id)
+      .transformWithState(new StreamingAdcTopKProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 

@@ -604,6 +604,47 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVF∘SQ8 probe == batch searchIvfSq including fixed-point distances") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      // the ann-probe fixture: 4 well-separated clusters so nlist=4
+      // trains clean cells — the compressed serve must agree with the
+      // float one's probe geometry, just rank by SQ distance
+      val corpus = (0 until 16).map { i =>
+        val cl = i % 4
+        val base = Array.fill(4)(0.0f)
+        base(cl) = 4.0f
+        base((cl + 1) % 4) = 0.25f * (i / 4)
+        (i.toLong, base)
+      }
+      val corpusDf = corpus.toDF("id", "vec")
+      val ivf = graft.sim.IvfIndex.build(corpusDf, "id", "vec", nlist = 4)
+      val m = graft.sim.SqIndex.train(corpusDf, "id", "vec")
+      val queries = Seq(2L, 5L, 11L).map(i => corpus(i.toInt))
+      val mem = MemoryStream[(Long, Array[Float])]
+      val out = EventsStream.sqProbeStream(
+        mem.toDF().toDF("id", "vec"), ivf, m, "id", "vec", k = 3, nprobe = 2)
+      val q = out.writeStream.format("memory").queryName("sq_probe_stream")
+        .outputMode("update").start()
+      mem.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      // batch 2 re-delivers query 2 (at-least-once): deterministic long
+      // distances dedup by neighbor — identical rows, no growth
+      mem.addData(queries.drop(2) :+ queries.head: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("sq_probe_stream").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.sim.SqIndex.searchIvfSq(ivf, m,
+          queries.toDF("id", "vec"), "id", "vec", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Set(2L, 5L, 11L))
+    }
+  }
+
   test("streaming multi-table LSH probe == batch lshTopKTables over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
