@@ -240,6 +240,89 @@ object TextAnalysis {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  final case class PackedDoc(doc_id: Long, bucket: Int, seq: Long,
+      pos: Int, n_tokens: Long)
+
+  /** Greedy sequence packing — the pretraining "pack" step (T5's
+    * pack_examples / GPT-style example packing): concatenate documents
+    * in order into fixed-capacity training sequences of at most
+    * `maxTokens` whitespace tokens, starting a new sequence when the
+    * next document would overflow (a document longer than `maxTokens`
+    * gets a sequence of its own — the truncate/split policy is the
+    * trainer's, not the packer's). Output: one row per document with
+    * its `(bucket, seq, pos)` placement and token count — the join key
+    * a sequence-builder needs, not the concatenated text (never
+    * materialize 100 TB of re-concatenated strings in the packer).
+    *
+    * Distribution: greedy packing is PREFIX-DEPENDENT — each boundary
+    * depends on every prior fill — so it is not window-expressible, and
+    * this is the package's one non-codec `mapPartitions` (the (d)
+    * last-resort case, justified the same way: genuinely sequential
+    * semantics). The sequential scope is capped by sharding into
+    * `nBuckets` via the cross-engine h60 hash of the id: each bucket is
+    * one deterministic greedy run, buckets run in parallel, and the
+    * result is INDEPENDENT of physical partitioning because
+    * `repartition(bucket) + sortWithinPartitions(bucket, id)` pins each
+    * bucket contiguous and id-sorted before the fold (spec-pinned under
+    * a hostile 7-way pre-shuffle). At 100 TB: nBuckets scales with the
+    * corpus (buckets ≈ cores × waves), per-bucket state is three
+    * scalars, and packing quality is unaffected by sharding for any
+    * bucket holding ≫ 1 sequence — padding waste is per-sequence, not
+    * per-bucket. Ordering is by id (stable under appends: old buckets
+    * re-pack identically iff ids are monotone); first-fit-DECREASING
+    * (order by n_tokens desc) packs a few percent tighter but re-packs
+    * the world on every append — the wrong trade for an incremental
+    * corpus, so it is deliberately not the default.
+    *
+    * Fully deterministic (h60 bucket, id order, integer fills), so the
+    * whole pack — boundaries included — replays in DuckDB as one
+    * recursive CTE walking each bucket in rank order (q188 is a full
+    * hash compare; q189 pins the padding-fraction objective). */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, nBuckets: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withTok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        pmod(h60(concat(col(idCol).cast("string"), lit(":pack"))),
+          lit(nBuckets.toLong)).cast("int").as("bucket"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    withTok
+      .repartition(nBuckets, col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        var curBucket = Int.MinValue
+        var seq = 0L; var fill = 0L; var pos = 0
+        it.map { case (id, b, n) =>
+          if (b != curBucket) { curBucket = b; seq = 0L; fill = 0L; pos = 0 }
+          if (fill > 0L && fill + n > maxTokens) { seq += 1; fill = 0L; pos = 0 }
+          fill += n
+          val out = PackedDoc(id, b, seq, pos, n)
+          pos += 1
+          out
+        }
+      }
+      .toDF()
+  }
+
+  /** The packing objective, measured: per-bucket sequence counts and
+    * the padding fraction `1 − Σtokens / (n_seqs · maxTokens)` —
+    * what a trainer actually wastes on pad tokens under this pack.
+    * Fixed-point division (µ units) so the metric hash-compares. */
+  def packStats(packed: DataFrame, maxTokens: Int): DataFrame =
+    packed.groupBy("bucket")
+      // seq ids are contiguous 0..max within a bucket by construction,
+      // so max+1 counts sequences without a countDistinct expand
+      .agg((max("seq") + lit(1L)).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("padding_frac_ppm",
+        lit(1000000L) -
+          expr(s"(sum_tokens * 1000000) div (n_seqs * $maxTokens)"))
+
   /** Temperature-scaled mixture budgeting — the "α-sampling" data-mix
     * pass (GPT-3 / multilingual-LM style): each source's token budget is
     * proportional to `src_tokens^α` with α = 1/2, flattening the mix so
@@ -876,6 +959,23 @@ object TextAnalysis {
         "source", col("n_chars"), budgetTokens = 700L)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens", "doc_id")
+    },
+
+    // greedy sequence packing (r14): the pretraining pack step —
+    // h60-bucketed deterministic greedy fill into 512-token sequences;
+    // every boundary replays in the oracle's recursive-CTE walk
+    "q188_pack_sequences" -> { (s, d) =>
+      packSequences(Tables(s, d, "documents"), "text", "doc_id",
+        maxTokens = 512, nBuckets = 8)
+        .orderBy("bucket", "seq", "pos")
+    },
+
+    // the packing objective: per-bucket sequence count and fixed-point
+    // padding fraction — what the trainer wastes on pad tokens
+    "q189_pack_stats" -> { (s, d) =>
+      packStats(packSequences(Tables(s, d, "documents"), "text", "doc_id",
+        maxTokens = 512, nBuckets = 8), maxTokens = 512)
+        .orderBy("bucket")
     },
 
     // per-document salient terms — tf-idf ranking with a deterministic
@@ -1562,6 +1662,21 @@ object TextAnalysis {
         |       ELSE CAST(chars_all - chars_uniq AS DOUBLE) / chars_all END
         |    AS dup_char_frac
         |FROM m ORDER BY doc_id""".stripMargin,
+    // see packWalkCtes below the map for the shared recursive walk
+    "q188_pack_sequences" ->
+      s"""WITH RECURSIVE ${packWalkCtes(maxTokens = 512, nBuckets = 8)}
+        |SELECT doc_id, bucket, seq, pos, n_tokens FROM walk
+        |ORDER BY bucket, seq, pos""".stripMargin,
+    "q189_pack_stats" ->
+      s"""WITH RECURSIVE ${packWalkCtes(maxTokens = 512, nBuckets = 8)},
+        |g AS (
+        |  SELECT bucket, max(seq) + 1 AS n_seqs,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM walk GROUP BY bucket)
+        |SELECT bucket, n_seqs, n_docs, sum_tokens,
+        |  1000000 - (sum_tokens * 1000000) // (n_seqs * 512) AS padding_frac_ppm
+        |FROM g ORDER BY bucket""".stripMargin,
     "q99_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source, n_chars,
@@ -1769,4 +1884,34 @@ object TextAnalysis {
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** The [[packSequences]] replay shared by q188/q189: h60 bucket, per-
+    * bucket id-rank, then the greedy walk as a recursive CTE — one row
+    * per (bucket, rank) step carrying `(seq, pos, fill)`; each
+    * iteration advances EVERY bucket one document (depth = the largest
+    * bucket, not the corpus), with the exact break rule `fill + n >
+    * maxTokens` on the running integer fill. The anchor row is rank 1
+    * with fill = its own n_tokens — [[packSequences]]'s first-document
+    * behavior, where the `fill > 0` guard never fires. */
+  private def packWalkCtes(maxTokens: Int, nBuckets: Int): String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT)
+       |      % $nBuckets AS INTEGER) AS bucket,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, bucket, n_tokens,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM t),
+       |walk(bucket, rn, doc_id, n_tokens, seq, pos, fill) AS (
+       |  SELECT bucket, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT), CAST(0 AS INTEGER), n_tokens
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+       |    CASE WHEN w.fill + r.n_tokens > $maxTokens THEN w.seq + 1 ELSE w.seq END,
+       |    CAST(CASE WHEN w.fill + r.n_tokens > $maxTokens THEN 0
+       |              ELSE w.pos + 1 END AS INTEGER),
+       |    CASE WHEN w.fill + r.n_tokens > $maxTokens THEN r.n_tokens
+       |         ELSE w.fill + r.n_tokens END
+       |  FROM walk w JOIN r ON r.bucket = w.bucket AND r.rn = w.rn + 1)""".stripMargin
 }

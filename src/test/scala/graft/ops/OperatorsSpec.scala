@@ -1590,3 +1590,68 @@ class RelationalOpsSpec extends SparkSpec {
       .filter(c("fx").isNotNull).count() == 0)
   }
 }
+
+class PackSequencesSpec extends SparkSpec {
+  import spark.implicits._
+  private def c(n: String) = col(n)
+
+  test("greedy pack on a crafted bucket: boundaries, oversize singleton, positions") {
+    // one bucket (nBuckets = 1), ids in order; token counts 3,3,3,10,2:
+    // maxTokens=8 → seq0 = {1,2} (3+3=6; +3 would be 9), seq1 = {3},
+    // wait: doc3 n=3 fits nothing? 6+3=9>8 → seq1 starts at doc3 (fill 3),
+    // doc4 n=10 > 8 → closes seq1, gets seq2 ALONE (oversize singleton),
+    // doc5 n=2 → 10+2>8 → seq3
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (5L, "x y"))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id",
+      maxTokens = 8, nBuckets = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSeq
+    assert(packed == Seq((1L, 0L, 0), (2L, 0L, 1), (3L, 1L, 0),
+      (4L, 2L, 0), (5L, 3L, 0)))
+  }
+
+  test("pack is deterministic under a hostile pre-shuffle and loses no document") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, "text", "doc_id", maxTokens = 512, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sortBy(_._1)
+    val base = run(docs)
+    val hostile = run(docs.repartition(7, c("text")))
+    assert(base == hostile)
+    assert(base.length == docs.count().toInt) // every doc placed once
+  }
+
+  test("capacity invariant: every multi-doc sequence fits maxTokens; seqs and positions contiguous") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id",
+      maxTokens = 512, nBuckets = 8)
+    val bySeq = packed.groupBy("bucket", "seq")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"),
+        min("pos").as("p0"), max("pos").as("p1"))
+    // a sequence over capacity must be an oversize SINGLETON
+    assert(bySeq.filter(c("tok") > 512 && c("n") > 1).count() == 0)
+    // positions are 0..n-1 within each sequence
+    assert(bySeq.filter(c("p0") =!= 0 || c("p1") =!= c("n") - 1).count() == 0)
+    // seq ids are contiguous 0..max within each bucket (packStats leans
+    // on this for its max+1 count)
+    val byBucket = packed.groupBy("bucket")
+      .agg(countDistinct("seq").as("d"), (max("seq") + 1).as("m"))
+    assert(byBucket.filter(c("d") =!= c("m")).count() == 0)
+  }
+
+  test("packStats: padding fraction is the exact fixed-point objective") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text")
+    // one bucket, maxTokens 8: seq0={1,2} (6 tok), seq1={3} (3 tok)
+    // padding = 1 - 9/16 = 0.4375 → 437500 ppm
+    val stats = TextAnalysis.packStats(
+      TextAnalysis.packSequences(docs, "text", "doc_id", 8, 1), 8).collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    assert(r.getAs[Long]("n_seqs") == 2L && r.getAs[Long]("sum_tokens") == 9L)
+    assert(r.getAs[Long]("padding_frac_ppm") == 437500L)
+  }
+}
