@@ -703,6 +703,81 @@ object EventsStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class PackInput(doc_id: Long, bucket: Int, n_tokens: Long)
+  final case class PackState(seq: Long, fill: Long, pos: Int, lastId: Long)
+
+  /** Per-bucket streaming greedy packer: carries `(seq, fill, pos)`
+    * across micro-batches so arriving documents CONTINUE the standing
+    * pack instead of restarting it — the streaming twin of
+    * [[graft.text.TextAnalysis.packSequences]], whose id-order design
+    * is exactly what makes this fold well-defined: under the monotone-id
+    * delivery contract (each batch's ids exceed the last's — the shape
+    * of any append-only ingest with assigned ids), the stream's
+    * placements equal the batch pack of everything seen, boundaries
+    * included (spec-pinned). Rows inside a batch sort by id before the
+    * fold (per-bucket per-BATCH memory, not standing state), and
+    * `lastId` drops at-least-once redeliveries — a replayed document
+    * must not be packed twice. State: four scalars per bucket. */
+  class StreamingPackProcessor(maxTokens: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, PackInput, graft.text.TextAnalysis.PackedDoc] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PackState]("pack",
+        org.apache.spark.sql.Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[PackInput],
+        timerValues: TimerValues): Iterator[graft.text.TextAnalysis.PackedDoc] = {
+      val st = if (state.exists()) state.get()
+        else PackState(0L, 0L, 0, Long.MinValue)
+      var seq = st.seq; var fill = st.fill; var pos = st.pos
+      var lastId = st.lastId
+      val out = rows.toArray.sortBy(_.doc_id)
+        .filter(_.doc_id > lastId) // redelivered prefix drops
+        .map { r =>
+          if (fill > 0L && fill + r.n_tokens > maxTokens) {
+            seq += 1; fill = 0L; pos = 0
+          }
+          fill += r.n_tokens
+          lastId = r.doc_id
+          val placed = graft.text.TextAnalysis.PackedDoc(
+            r.doc_id, key, seq, pos, r.n_tokens)
+          pos += 1
+          placed
+        }
+      state.update(PackState(seq, fill, pos, lastId))
+      out.iterator
+    }
+  }
+
+  /** Streaming greedy sequence packing at ingest — each arriving
+    * document is assigned its `(bucket, seq, pos)` training-sequence
+    * placement ONCE, immediately, and the standing pack never rewrites:
+    * exactly the property a downstream sequence-builder needs to
+    * materialize shards incrementally. The batch packer re-packs its
+    * whole input per run; this form pays each document once, forever —
+    * the packing counterpart of `foldBatchIntoClusters`' append-only
+    * discipline. Update mode; every row is a new placement. */
+  def packStream(docs: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, nBuckets: Int): Dataset[graft.text.TextAnalysis.PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(maxTokens >= 1, s"maxTokens=$maxTokens must be >= 1")
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        pmod(graft.text.TextAnalysis.h60(
+          concat(col(idCol).cast("string"), lit(":pack"))),
+          lit(nBuckets.toLong)).cast("int").as("bucket"),
+        size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .where(col("doc_id").isNotNull)
+      .as[PackInput]
+      .groupByKey(_.bucket)
+      .transformWithState(new StreamingPackProcessor(maxTokens),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class AdcCandidate(query_id: Long, neighbor_id: Long, adist_fp: Long)
   final case class AdcNeighbor(query_id: Long, rnk: Long, neighbor_id: Long,
       adist_fp: Long, adist: Double)

@@ -604,6 +604,43 @@ class EventsStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming pack == batch packSequences under monotone delivery; redelivery packs nothing twice") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDBProvider {
+      val docs = Tables(spark, sf("sf0.01"), "documents")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      val (batch1, batch2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val out = EventsStream.packStream(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        maxTokens = 512, nBuckets = 8)
+      val q = out.writeStream.format("memory").queryName("pack_stream")
+        .outputMode("update").start()
+      mem.addData(batch1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(batch2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // batch 3 RE-DELIVERS all of batch 2 (at-least-once): lastId must
+      // drop every row — the standing pack may not move
+      mem.addData(batch2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("pack_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSeq.sortBy(_._1)
+      // each document placed exactly once (dups would break the sort-set compare)
+      assert(streamed.map(_._1).distinct.length == streamed.length)
+      val batch = graft.text.TextAnalysis.packSequences(
+          Tables(spark, sf("sf0.01"), "documents"), "text", "doc_id",
+          maxTokens = 512, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSeq.sortBy(_._1)
+      // monotone ids across batches → the streamed fold IS the batch
+      // pack, boundaries included
+      assert(streamed == batch)
+    }
+  }
+
   test("streaming IVF∘SQ8 probe == batch searchIvfSq including fixed-point distances") {
     implicit val sqlCtx = spark.sqlContext
     withRocksDBProvider {
