@@ -1643,6 +1643,16 @@ class PackSequencesSpec extends SparkSpec {
     assert(byBucket.filter(c("d") =!= c("m")).count() == 0)
   }
 
+  test("suggestedPackBuckets: waste cap binds on small corpora, wave floor at scale") {
+    // small corpus: cap = 270704/(512*16) = 33 buckets < 4*32 cores
+    assert(TextAnalysis.suggestedPackBuckets(270704L, 512, cores = 32) == 33)
+    // 100 TB-ish: 25T tokens → cap is astronomical, 4 waves of cores win
+    assert(TextAnalysis.suggestedPackBuckets(25L * 1000 * 1000 * 1000 * 1000,
+      512, cores = 8000) == 32000)
+    // degenerate: corpus under one bucket's worth → 1 (never 0)
+    assert(TextAnalysis.suggestedPackBuckets(100L, 512, cores = 32) == 1)
+  }
+
   test("packStats: padding fraction is the exact fixed-point objective") {
     val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")).toDF("doc_id", "text")
     // one bucket, maxTokens 8: seq0={1,2} (6 tok), seq1={3} (3 tok)
