@@ -444,6 +444,246 @@ case class SqAdcDist(left: Expression, right: Expression,
       newRight: Expression): SqAdcDist = copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix–vector product `y_r = Σ_i x_i · R[r][i]` with the float
+  * matrix as a codegen REFERENCE OBJECT — the [[NearestCell]] discipline
+  * applied to the OPQ rotation. The composed form (`array` of dim
+  * `vec_dot(v, typedLit(row))` nodes) carries dim² literal floats through
+  * every plan that rotates: at dim 64 that is 4096 multiply-add subtrees,
+  * and the generated projection METHOD overflows janino's 64 KB limit —
+  * Spark pays the failed compile, then runs the stage INTERPRETED
+  * (measured: the q177 rotate stage compiles 6955 generated lines, fails,
+  * and falls back). Here the matrix rides one reference object, the loop
+  * is ~15 generated lines, and the arithmetic is term-for-term identical:
+  * per output row an index-ascending double fold of
+  * `((double) x_i) · ((double) R[r][i])`, cast to float — exactly
+  * `vec_dot(v, typedLit(row)).cast("float")`. */
+case class MatVecFloat(child: Expression, mat: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  // element nullability true to match the composed array(cast(vec_dot))
+  // schema it replaces (values are never null for a non-null input)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = true)
+  override def prettyName: String = "mat_vec_f"
+
+  override def nullSafeEval(v: Any): Any =
+    MatVecFloat.compute(v.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("mat", mat, "float[][]")
+      s"${ev.value} = graft.functions.MatVecFloat.compute($v, $m);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecFloat =
+    copy(child = newChild)
+}
+
+object MatVecFloat {
+  def compute(x: ArrayData, mat: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Float](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      val n = math.min(x.numElements(), row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * row(i).toDouble; i += 1 }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Per-query fixed-point ADC distance table (PqIndex.dtabFp's value) with
+  * the SERVED codebook as a reference object: entry `j·ksub + c` =
+  * `floor((|c_jc|² − 2·q_j·c_jc) · 1e9)` as a long. The composed form is
+  * m·ksub (`floor((lit − 2·vec_dot(slice, typedLit)) · 1e9)`) subtrees —
+  * ~1300 expression nodes per PQ query plan at m=8/ksub=16, paid in
+  * analysis and codegen on EVERY plan that builds a distance table.
+  * Arithmetic is term-for-term identical: `norms` is the index-ascending
+  * double |c|² fold over the served (double) centroid, the dot is the
+  * vec_dot fold of `(double) q[j·dsub+i] · (double) centF[i]` over the
+  * float-rounded centroid, and the combine order is
+  * `((norm − (2.0 · dot)) · 1e9)` before the floor — exactly the
+  * composed tree's evaluation. */
+case class PqDistTable(child: Expression, served: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+
+  @transient private lazy val norms: Array[Array[Double]] =
+    served.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+  @transient private lazy val centsF: Array[Array[Array[Float]]] =
+    served.map(_.map(_.map(_.toFloat)))
+
+  override def nullSafeEval(v: Any): Any =
+    PqDistTable.compute(v.asInstanceOf[ArrayData], centsF, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cf = ctx.addReferenceObj("centsF", centsF, "float[][][]")
+      val nm = ctx.addReferenceObj("norms", norms, "double[][]")
+      s"${ev.value} = graft.functions.PqDistTable.compute($v, $cf, $nm);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqDistTable =
+    copy(child = newChild)
+}
+
+object PqDistTable {
+  def compute(q: ArrayData, centsF: Array[Array[Array[Float]]],
+      norms: Array[Array[Double]]): ArrayData = {
+    val m = centsF.length
+    val ksub = if (m == 0) 0 else centsF(0).length
+    val dsub = if (ksub == 0) 0 else centsF(0)(0).length
+    val out = new Array[Long](m * ksub)
+    val qn = q.numElements()
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      // slice(q, j·dsub+1, dsub) semantics: elements past the end of q
+      // simply don't exist, so the dot runs over min(dsub, qn − base)
+      val n = math.max(0, math.min(dsub, qn - base))
+      var c = 0
+      while (c < ksub) {
+        val cent = centsF(j)(c)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += q.getFloat(base + i).toDouble * cent(i).toDouble; i += 1 }
+        out(j * ksub + c) =
+          math.floor((norms(j)(c) - 2.0 * dot) * 1e9).toLong
+        c += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** ADC pair cost `Σ_j dtab[j·ksub + codes_j]` as one codegen'd fold —
+  * replaces the interpreted `aggregate(zip_with(codes, sequence, λ), 0L,
+  * +)` lambda pair on the (corpus × query) hot path, the same
+  * higher-order-function tax [[SqAdcDist]] documented at 8×. Long adds
+  * in ascending j, exactly the fold it replaces. */
+case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int> codes, array<bigint> dtab), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val dtab = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      acc += dtab.getLong(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $b.getLong($j * $ksub + $a.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise float difference `a_i − b_i` — the residualization map
+  * (`x − centroid(cell)`), replacing an interpreted `zip_with` lambda on
+  * what is, in the residual-PQ paths, a full-corpus projection. Length =
+  * max(|a|, |b|) with null elements past the shorter input — exactly
+  * `zip_with(a, b, (x, y) => x − y)`'s padding semantics (inputs are
+  * same-length in every caller; the padding never fires). */
+case class VectorSubFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = true)
+  override def prettyName: String = "vec_sub_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorSubFloat.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorSubFloat.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorSubFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorSubFloat {
+  def compute(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) null
+        else java.lang.Float.valueOf(a.getFloat(i) - b.getFloat(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   private def expr(c: Column): Expression = GraftBridge.toExpression(c)
   private def column(e: Expression): Column = GraftBridge.toColumn(e)
@@ -497,4 +737,20 @@ object VectorFunctions {
   def sq_adc_dist(codes: Column, qVec: Column,
       vmin: Array[Double], vdiff: Array[Double]): Column =
     column(SqAdcDist(expr(codes), expr(qVec), vmin, vdiff))
+
+  /** Matrix–vector product with a float matrix reference object. */
+  def mat_vec_f(v: Column, mat: Array[Array[Float]]): Column =
+    column(MatVecFloat(expr(v), mat))
+
+  /** Per-query fixed-point ADC distance table over a served codebook. */
+  def pq_dist_table(qVec: Column, served: Array[Array[Array[Double]]]): Column =
+    column(PqDistTable(expr(qVec), served))
+
+  /** ADC pair cost: Σ_j dtab[j·ksub + codes_j], exact long fold. */
+  def pq_adc_dist(codes: Column, dtab: Column, ksub: Int): Column =
+    column(PqAdcDist(expr(codes), expr(dtab), ksub))
+
+  /** Element-wise float difference (zip_with (a,b) => a−b semantics). */
+  def vec_sub_f(a: Column, b: Column): Column =
+    column(VectorSubFloat(expr(a), expr(b)))
 }

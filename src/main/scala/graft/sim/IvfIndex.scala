@@ -96,7 +96,6 @@ object IvfIndex {
     val clean = corpus.filter(col(vecCol).isNotNull)
     val train = if (trainSixteenths >= 16) clean
       else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
-    val dim = clean.select(size(col(vecCol))).head().getInt(0)
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
     var centroids: Array[Array[Double]] = train
@@ -107,6 +106,9 @@ object IvfIndex {
       s"training sample (${centroids.length} vectors) smaller than nlist=$nlist — " +
         (if (trainSixteenths < 16) "raise trainSixteenths"
          else "the corpus itself is smaller than nlist; lower nlist"))
+    // dim from the init sample instead of a dedicated head() job — one
+    // fewer Spark job per build (same value for the fixed-dim corpora)
+    val dim = centroids.head.length
     // fixed-point coordinate sums (the q64 trick): floor(x·1e9) longs add
     // exactly and order-independently, so the trained centroids are
     // IDENTICAL under any partitioning/merge order — a double sum would

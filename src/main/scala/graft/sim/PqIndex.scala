@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions.{nearest_cell, vec_dot}
+import graft.functions.VectorFunctions.{mat_vec_f, nearest_cell, pq_adc_dist, pq_dist_table, vec_dot, vec_sub_f}
 
 /** Product quantization (PQ) — the MEMORY path for 100 TB similarity
   * search, complementing [[IvfIndex]] (the I/O path) and the hyperplane
@@ -88,9 +88,6 @@ object PqIndex {
     val clean = corpus.filter(col(vecCol).isNotNull)
     val train = if (trainSixteenths >= 16) clean
       else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
-    val dim = clean.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val dsub = dim / m
     val initHash = graft.text.TextAnalysis.h60(
       concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
     val initRows = train.select(col(vecCol)).orderBy(initHash, col(idCol))
@@ -100,6 +97,12 @@ object PqIndex {
       s"training sample (${initRows.length} vectors) smaller than ksub=$ksub — " +
         (if (trainSixteenths < 16) "raise trainSixteenths"
          else "the corpus itself is smaller than ksub; lower ksub"))
+    // dim comes from the init sample instead of a dedicated head() job —
+    // one fewer Spark job per train call, same value (every vector in
+    // the fixture-governed corpora has the same length)
+    val dim = initRows.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
     val cents: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, c) => initRows(c).slice(j * dsub, (j + 1) * dsub))
     val subs = train
@@ -148,23 +151,19 @@ object PqIndex {
     * rank-equivalent Euclidean form (the `|q_j|²` constant per query is
     * dropped, exactly like [[IvfIndex]]'s probe distance), fixed-pointed
     * per SUBSPACE so the per-pair total is an exact long sum. */
-  private def dtabFp(cb: Codebook, qVec: Column): Column = {
-    val served = cb.served
-    array((for (j <- 0 until cb.m; c <- 0 until cb.ksub) yield {
-      val cent = served(j)(c)
-      floor((lit(norm2(cent)) - lit(2.0) *
-        vec_dot(slice(qVec, j * cb.dsub + 1, cb.dsub),
-          typedLit(cent.map(_.toFloat).toSeq))) * lit(1e9)).cast("long")
-    }): _*)
-  }
+  private def dtabFp(cb: Codebook, qVec: Column): Column =
+    // one reference-object expression ([[graft.functions.PqDistTable]])
+    // instead of m·ksub floor/vec_dot/literal subtrees (~1300 plan nodes
+    // at m=8/ksub=16) — same arithmetic, term for term
+    pq_dist_table(qVec, cb.served)
 
   /** ADC pair cost over a `codes`/`dtab` pair of columns: `m` array
-    * lookups folded into an exact long sum. */
+    * lookups folded into an exact long sum — codegen'd
+    * ([[graft.functions.PqAdcDist]]); the zip_with/aggregate fold it
+    * replaces interprets two lambdas per pair on the corpus × query
+    * hot path (the SqAdcDist 8× lesson). */
   private def adcDistCol(cb: Codebook): Column =
-    aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)),
-        (c, j) => element_at(col("dtab"), j * cb.ksub + c + 1)),
-      lit(0L), (acc, x) => acc + x)
+    pq_adc_dist(col("codes"), col("dtab"), cb.ksub)
 
   /** Per-query top-k over `(query_id, neighbor_id, adist_fp)` rows.
     * `adist_fp` is the fixed-point distance (hash-exact); `adist` its
@@ -353,10 +352,13 @@ object PqIndex {
     * search paths unchanged: OPQ is rotate-then-PQ, nothing else. */
   def rotate(df: DataFrame, idCol: String, vecCol: String,
       rot: Array[Array[Float]]): DataFrame =
+    // one MatVecFloat reference-object expression: the composed
+    // array-of-vec_dot form carries dim² literals, overflows janino's
+    // 64 KB method limit at dim 64 (6955 generated lines, failed
+    // compile, interpreted fallback — measured on q177's encode stage)
+    // and pays plan analysis per job; values are bit-identical
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), array(rot.map(row =>
-        vec_dot(col(vecCol), typedLit(row.toSeq)).cast("float")): _*)
-        .as(vecCol))
+      .select(col(idCol), mat_vec_f(col(vecCol), rot).as(vecCol))
 
   /** Fixed-point cross-covariance sufficient statistics for the OPQ
     * Procrustes step: `s[(i·m + sub)·ksub + cell]` = Σ over corpus rows
@@ -366,12 +368,14 @@ object PqIndex {
     * d·m·ksub longs and the codebook alone (ŷ is piecewise-constant per
     * (sub, cell)): the corpus is touched ONCE per OPQ iteration and
     * never shuffles anything wider than 2048 keyed sums. */
-  private def crossCovFp(x: DataFrame, codes: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, ksub: Int): Array[Long] = {
-    val assigned = codes.select(col(idCol),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-    val rows = x.select(col(idCol), col(vecCol))
-      .join(assigned, Seq(idCol))
+  private def crossCovFp(rel: DataFrame, vecCol: String,
+      dim: Int, m: Int, ksub: Int): Array[Long] = {
+    // `rel` carries BOTH the unrotated vector and its code array in one
+    // relation (the caller computes codes in the same projection), so
+    // the x↔codes pairing that used to be an id equi-join is free — one
+    // corpus pass, zero joins, identical (sub, cell, i) groups and sums
+    val rows = rel
+      .select(posexplode(col("codes")).as(Seq("sub", "cell")), col(vecCol))
       .select(col("sub"), col("cell"),
         explode(sequence(lit(0), lit(dim - 1))).as("i"),
         col(vecCol))
@@ -491,8 +495,12 @@ object PqIndex {
       val rotated = rotate(trainRel, idCol, vecCol, rot)
       val cb = train(rotated, idCol, vecCol, m, ksub,
         trainSixteenths = 16) // trainRel is already the sample
-      val codes = encode(rotated, idCol, vecCol, cb)
-      val sfp = crossCovFp(trainRel, codes, idCol, vecCol, dim, m, ksub)
+      // x and codes(rotate(x)) in ONE projection: same values as
+      // encode(rotated) joined back on id, without the join
+      val withCodes = trainRel.filter(col(vecCol).isNotNull)
+        .select(col(vecCol),
+          codesExpr(cb, mat_vec_f(col(vecCol), rot)).as("codes"))
+      val sfp = crossCovFp(withCodes, vecCol, dim, m, ksub)
       // C[i][j] = Σ_cell s[i][sub_j][cell] · c_{sub_j,cell}[j % dsub]
       // (cell-ascending fold, DOUBLE codebook — the same copy encode
       // assigns with); then A = Cᵀ because rotate() computes y = R·x,
@@ -535,7 +543,9 @@ object PqIndex {
     ivf.cells.filter(col(vecCol).isNotNull)
       .join(broadcast(ivf.centroids), Seq("cell"))
       .select(col(idCol),
-        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as(vecCol),
+        // codegen'd element-wise difference — the zip_with lambda it
+        // replaces interprets per element on a full-corpus projection
+        vec_sub_f(col(vecCol), col("centroid")).as(vecCol),
         col("cell"))
 
   /** Residual PQ training (FAISS `by_residual=true`, step 1): codebooks
@@ -571,8 +581,7 @@ object PqIndex {
     val probesR = IvfIndex.probesFor(ivf.centroids, queries, idCol, vecCol,
         nprobe)
       .join(broadcast(ivf.centroids), Seq("cell"))
-      .withColumn("q_res", zip_with(col("q_vec"), col("centroid"),
-        (a, b) => a - b))
+      .withColumn("q_res", vec_sub_f(col("q_vec"), col("centroid")))
       .select(col("query_id"), col("cell"),
         dtabFp(cb, col("q_res")).as("dtab"),
         floor(vec_dot(col("q_res"), col("q_res")) * lit(1e9)).cast("long")

@@ -195,6 +195,75 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("mat_vec_f == composed array(vec_dot(v, typedLit(row)).cast(float)) bit-for-bit") {
+    val rot = graft.sim.PqIndex.seededRotation(64, seed = 7L)
+    val emb = Tables(spark, sf(), "embeddings").limit(200)
+    val composed = array(rot.map(row =>
+      VectorFunctions.vec_dot(col("embedding"), typedLit(row.toSeq)).cast("float")): _*)
+    val diff = emb.select(
+        VectorFunctions.mat_vec_f(col("embedding"), rot).as("a"),
+        composed.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.isEmpty)
+  }
+
+  test("pq_dist_table == composed floor((norm − 2·vec_dot(slice, lit))·1e9) entries") {
+    val rnd = new scala.util.Random(31)
+    val m = 4; val ksub = 8; val dsub = 4
+    val served = Array.fill(m, ksub)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1))
+    def norm2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+    import spark.implicits._
+    val qs = (0 until 100).map(i =>
+      (i.toLong, Array.fill(m * dsub)(rnd.nextFloat() * 4 - 2).toSeq)).toDF("id", "q")
+    val composed = array((for (j <- 0 until m; c <- 0 until ksub) yield {
+      val cent = served(j)(c)
+      floor((lit(norm2(cent)) - lit(2.0) *
+        VectorFunctions.vec_dot(slice(col("q"), j * dsub + 1, dsub),
+          typedLit(cent.map(_.toFloat).toSeq))) * lit(1e9)).cast("long")
+    }): _*)
+    val diff = qs.select(
+        VectorFunctions.pq_dist_table(col("q"), served).as("a"), composed.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.isEmpty)
+  }
+
+  test("pq_adc_dist == interpreted aggregate(zip_with(codes, sequence, element_at)) fold") {
+    val rnd = new scala.util.Random(37)
+    val m = 4; val ksub = 8
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(m)(rnd.nextInt(ksub)).toSeq,
+        Array.fill(m * ksub)(rnd.nextLong() % 1000000000L).toSeq)
+    }.toDF("id", "codes", "dtab")
+    val composed = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(col("dtab"), j * ksub + c + 1)),
+      lit(0L), (acc, x) => acc + x)
+    val diff = rows.select(
+        VectorFunctions.pq_adc_dist(col("codes"), col("dtab"), ksub).as("a"),
+        composed.as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+  }
+
+  test("vec_sub_f == zip_with((a,b) => a − b) incl. unequal lengths") {
+    val rnd = new scala.util.Random(41)
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      val na = rnd.nextInt(8); val nb = if (i % 3 == 0) rnd.nextInt(8) else na
+      (i.toLong, Array.fill(na)(rnd.nextFloat() * 10 - 5).toSeq,
+        Array.fill(nb)(rnd.nextFloat() * 10 - 5).toSeq)
+    }.toDF("id", "a", "b")
+    val diff = rows.select(
+        VectorFunctions.vec_sub_f(col("a"), col("b")).as("x"),
+        zip_with(col("a"), col("b"), (p, q) => p - q).as("y"))
+      .filter(not(col("x") <=> col("y")))
+    assert(diff.isEmpty)
+  }
+
   test("minhash_agg matches numPerm separate min(xxhash64(h, i)) aggregates") {
     val numPerm = 16
     val hashed = Tables(spark, sf(), "documents").limit(50)
