@@ -34,12 +34,36 @@ object ImageDHash {
   val Cols = 11
   val Rows = 6
 
+  // The same magic-byte gate [[graft.mm.Multimodal]] documents for its
+  // decode path: every image container the JDK can read has a fixed
+  // leading magic (PNG/JPEG/GIF/BMP/TIFF, WBMP's weak 0x00 0x00), so
+  // gating loses no true decodes — and WITHOUT it, ImageIO walks the
+  // whole provider registry per payload (reader discovery + stream
+  // setup per row) on a corpus where most payloads are not images at
+  // all. Measured on q182: the ungated form paid that walk on every
+  // row of a text-payload corpus.
+  private def m(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && m(b, 1, "PNG")) ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      m(b, 0, "GIF8") || m(b, 0, "BM") ||
+      (m(b, 0, "II") && b(2) == 0x2A && b(3) == 0) ||
+      (m(b, 0, "MM") && b(2) == 0 && b(3) == 0x2A) ||
+      (b(0) == 0 && b(1) == 0))
+
   /** Pixel-path dHash; null when no installed reader decodes the
     * payload (caller falls back). */
   def tryDecode(payload: Array[Byte]): java.lang.Long = {
+    if (!looksLikeImage(payload)) return null
     try {
+      // MemoryCacheImageInputStream: the bare InputStream overload wraps
+      // in a temp-FILE-backed cache stream (ImageIO.getUseCache default)
+      // — a per-row disk write; the payload is already in memory
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       if (img == null) return null
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return null
@@ -89,10 +113,14 @@ object ImageDHash {
   /** sha256-derived 60-bit fallback — `'0x' || substr(sha256_hex, 1,
     * 15)` in DuckDB terms, the cross-engine replay the q182 oracle
     * leans on. */
-  def fallback(payload: Array[Byte]): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("SHA-256").digest(payload)
-        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+  def fallback(payload: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    // the first 15 hex chars = the digest's first 60 bits, extracted
+    // directly (the hex round-trip paid 32 String.format calls per row)
+    ((d(0) & 0xFFL) << 52) | ((d(1) & 0xFFL) << 44) | ((d(2) & 0xFFL) << 36) |
+      ((d(3) & 0xFFL) << 28) | ((d(4) & 0xFFL) << 20) | ((d(5) & 0xFFL) << 12) |
+      ((d(6) & 0xFFL) << 4) | ((d(7) >> 4) & 0xFL)
+  }
 
   /** The total form the expression evaluates. */
   def eval(payload: Array[Byte]): Long = {
