@@ -430,13 +430,19 @@ object Extended {
       .filter(col("v").isNotNull)
     val compressed = melted.groupBy(col(groupCol), col("vc"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    val counts = compressed.groupBy(groupCol, "vc").agg(sum("cnt").as("n"))
     val w = Window.partitionBy(col(groupCol), col("vc")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the per-(group, vc) total `n` rides a whole-partition window frame
+    // over the SAME partitioning as the cumulative rank — the separate
+    // counts aggregation + broadcast join it replaces re-computed the
+    // whole melt+aggregate subtree a second time (one extra corpus scan,
+    // one extra exchange, one broadcast build); the window sum of the
+    // same `cnt` longs is the identical exact value
+    val wAll = Window.partitionBy(col(groupCol), col("vc"))
     var ranked = compressed
       .withColumn("cum", sum("cnt").over(w))
       .withColumn("first", col("cum") - col("cnt") + 1)
-      .join(broadcast(counts), Seq(groupCol, "vc"))
+      .withColumn("n", sum("cnt").over(wAll))
     val flat = specs.flatMap { case (c, qs) => qs.map { case (n, q) => (c, n, q) } }
     for ((c, name, q) <- flat) {
       ranked = ranked
