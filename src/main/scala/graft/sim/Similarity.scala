@@ -30,6 +30,21 @@ object Similarity {
   }
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run two INDEPENDENT eager model fits as concurrent Spark jobs
+    * (guide: overlap independent jobs — actions are only sequential
+    * because driver code calls them sequentially). The training collects
+    * are driver-side and tiny; the win is overlapping their per-job
+    * scheduling + scan floors. Results are deterministic functions of
+    * their inputs, so execution order cannot matter. */
+  private def par2[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf))
+  }
+
   /** Deterministic index-ascending dot product of two float vectors, in
     * double precision — a native codegen'd Catalyst expression
     * ([[graft.functions.VectorDot]]); same accumulation order as the
@@ -1107,8 +1122,11 @@ object Similarity {
     // cell-restricted fixed-point ADC scan.
     "q134_ann_ivfpq" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
-      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+      // the coarse quantizer and the PQ codebook are independent fits
+      // over the same corpus — overlap their training jobs
+      val (ivf, cb) = par2(
+        IvfIndex.build(emb, "vec_id", "embedding", nlist = 8),
+        PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8))
       PqIndex.searchIvfAdc(ivf, cb, emb.filter(col("vec_id") < 6),
         "vec_id", "embedding", k = 3, nprobe = 3)
         .orderBy("query_id", "rnk")
@@ -1237,8 +1255,10 @@ object Similarity {
     // range/encode/scan replay, restricted to the probed cells.
     "q185_ann_ivfsq" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val ivf = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
-      val m = SqIndex.train(emb, "vec_id", "embedding")
+      // independent fits (coarse quantizer ⊥ SQ ranges) — overlap them
+      val (ivf, m) = par2(
+        IvfIndex.build(emb, "vec_id", "embedding", nlist = 8),
+        SqIndex.train(emb, "vec_id", "embedding"))
       SqIndex.searchIvfSq(ivf, m, emb.filter(col("vec_id") < 6),
         "vec_id", "embedding", k = 3, nprobe = 3)
         .orderBy("query_id", "rnk")
