@@ -60,17 +60,14 @@ object Synthetic {
       noiseMilli: Int = 300, anisotropic: Boolean = false): Column = {
     require(dim >= 1 && k >= 1 && noiseMilli >= 0 && noiseMilli <= 1000,
       s"dim=$dim k=$k noiseMilli=$noiseMilli out of range")
-    val cell = clusterCell(id, k, seed)
-    array((0 until dim).map { j =>
-      val ctr = h60(concat(lit(s"ctr:$seed:"), cell.cast("string"),
-        lit(s":$j"))) % lit(2001L) - lit(1000L)
-      val noi = h60(concat(id.cast("string"), lit(s":n:$seed:$j"))) %
-        lit(2001L) - lit(1000L)
-      val base = ctr * lit(1000L) + noi * lit(noiseMilli.toLong)
-      val (num, div) =
-        if (anisotropic) (base * lit((dim - j).toLong), dim * 1e6)
-        else (base, 1e6)
-      (num / lit(div)).cast("float")
-    }: _*)
+    // one codegen'd expression ([[graft.functions.ClusteredEmbeddingExpr]]):
+    // the composed array-of-h60-chains form carried ~dim·2 md5 subtrees
+    // per plan AND re-hashed every (cell, j) center per ROW; the
+    // expression precomputes the k×dim center lattice once and pays
+    // dim+1 md5 calls per row — bit-identical values (spec-pinned
+    // against the composed form; q174 pins the whole construction
+    // against DuckDB's replay)
+    graft.functions.SyntheticFunctions.clustered_embedding(
+      id, dim, k, seed, noiseMilli, anisotropic)
   }
 }

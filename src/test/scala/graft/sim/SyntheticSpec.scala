@@ -63,4 +63,33 @@ class SyntheticSpec extends SparkSpec {
     assert(variance(0) > 10 * variance(15),
       s"var(0)=${variance(0)} var(15)=${variance(15)}")
   }
+
+  test("ClusteredEmbeddingExpr == the composed h60-chain form bit-for-bit") {
+    import graft.text.TextAnalysis.h60
+    // the pre-r14-optimization composed construction, verbatim
+    def composed(id: org.apache.spark.sql.Column, dim: Int, k: Int,
+        seed: Long, noiseMilli: Int, anisotropic: Boolean) = {
+      val cell = Synthetic.clusterCell(id, k, seed)
+      array((0 until dim).map { j =>
+        val ctr = h60(concat(lit(s"ctr:$seed:"), cell.cast("string"),
+          lit(s":$j"))) % lit(2001L) - lit(1000L)
+        val noi = h60(concat(id.cast("string"), lit(s":n:$seed:$j"))) %
+          lit(2001L) - lit(1000L)
+        val base = ctr * lit(1000L) + noi * lit(noiseMilli.toLong)
+        val (num, div) =
+          if (anisotropic) (base * lit((dim - j).toLong), dim * 1e6)
+          else (base, 1e6)
+        (num / lit(div)).cast("float")
+      }: _*)
+    }
+    for (aniso <- Seq(false, true); noise <- Seq(0, 300, 1000)) {
+      val diff = spark.range(300).select(
+          Synthetic.clusteredEmbedding(col("id"), dim = 16, k = 8, seed = 77L,
+            noiseMilli = noise, anisotropic = aniso).as("a"),
+          composed(col("id"), dim = 16, k = 8, seed = 77L,
+            noiseMilli = noise, anisotropic = aniso).as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(diff.isEmpty, s"aniso=$aniso noise=$noise")
+    }
+  }
 }
