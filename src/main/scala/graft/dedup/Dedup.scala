@@ -411,25 +411,20 @@ object Dedup {
     * Pure expression — for each bit position, sum ±1 over tokens and
     * take the sign. */
   def simHash(textCol: Column): Column =
-    simHashFold(textCol, t => graft.text.TextAnalysis.h60(t))
+    // one-pass native fingerprint ([[graft.functions.SimHash60]]): the
+    // composed fold it replaces ran 60 interpreted aggregate passes per
+    // row, each re-hashing every token (no subexpression elimination
+    // across lambda boundaries) — 60 md5 walks of the document; values
+    // bit-identical (stream == batch specs pin it against SimHashAgg)
+    graft.functions.TextFunctions.simhash60(tokens(lower(textCol)))
 
   /** The wide fingerprint's two 60-bit halves as per-row Column
     * expressions — the streaming-side form of [[simHashWideTable]]
     * (same hash families: raw token and token||"#2"). */
-  def simHashWideCols(textCol: Column): (Column, Column) =
-    (simHashFold(textCol, t => graft.text.TextAnalysis.h60(t)),
-      simHashFold(textCol,
-        t => graft.text.TextAnalysis.h60(concat(t, lit("#2")))))
-
-  private def simHashFold(textCol: Column, hashFn: Column => Column): Column = {
+  def simHashWideCols(textCol: Column): (Column, Column) = {
     val toks = tokens(lower(textCol))
-    val hashes = transform(toks, hashFn)
-    val bitExprs = (0 until simHashBits).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitExprs.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+    (graft.functions.TextFunctions.simhash60(toks),
+      graft.functions.TextFunctions.simhash60(toks, "#2"))
   }
 
   /** Hamming distance between two fingerprints. */

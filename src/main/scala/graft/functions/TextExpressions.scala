@@ -352,7 +352,94 @@ object BpeEncode {
   }
 }
 
+/** 60-bit SimHash of a token-array column in ONE pass — the per-row
+  * (streaming-side) fingerprint. The composed form it replaces
+  * evaluated, per bit position, an interpreted `aggregate` lambda over
+  * a `transform(toks, h60)` subtree: 60 separate fold passes per row,
+  * and because higher-order functions are interpreted with no
+  * cross-lambda subexpression elimination, each pass re-hashed every
+  * token — 60 md5 walks of the document. Here each token is hashed
+  * ONCE (`suffix` appended first — the wide family's second hash is
+  * `h60(token ‖ "#2")`) and all 60 bit votes accumulate in one walk.
+  * Arithmetic is identical: vote_b = Σ_tokens ±1 by hash bit b (a null
+  * token votes −1 on every bit, like the null-propagating `when`), bit
+  * set iff vote > 0. */
+case class SimHash60(child: Expression, suffix: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash60.compute(v.asInstanceOf[ArrayData], suffix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sfx = ctx.addReferenceObj("suffix", suffix, "java.lang.String")
+      s"${ev.value} = graft.functions.SimHash60.compute($v, $sfx);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  /** `conv(substring(md5(s), 1, 15), 16, 10)` — first 60 digest bits. */
+  private def h60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xFFL) << 52) | ((d(1) & 0xFFL) << 44) | ((d(2) & 0xFFL) << 36) |
+      ((d(3) & 0xFFL) << 28) | ((d(4) & 0xFFL) << 20) | ((d(5) & 0xFFL) << 12) |
+      ((d(6) & 0xFFL) << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  def compute(toks: ArrayData, suffix: String): Long = {
+    val bits = 60
+    val votes = new Array[Int](bits)
+    val sfx = suffix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 }
+      } else {
+        val t = toks.getUTF8String(i).getBytes
+        val all = if (sfx.length == 0) t else {
+          val a = java.util.Arrays.copyOf(t, t.length + sfx.length)
+          System.arraycopy(sfx, 0, a, t.length, sfx.length)
+          a
+        }
+        val h = h60(all)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
 object TextFunctions {
+  /** One-pass 60-bit SimHash over a token array (optional per-token
+    * hash-family suffix — "" = the base family, "#2" = the wide
+    * family's second hash). */
+  def simhash60(tokens: Column, suffix: String = ""): Column =
+    GraftBridge.toColumn(SimHash60(GraftBridge.toExpression(tokens), suffix))
+
   /** Stopword-overlap language ID over a token array column. */
   def lang_id_best(tokens: Column, langs: Seq[(String, Seq[String])]): Column = {
     val sorted = langs.sortBy(_._1)

@@ -684,6 +684,231 @@ object VectorSubFloat {
   }
 }
 
+/** Unit normalization `x_d / ‖x‖` as ONE codegen'd pass. The composed
+  * `transform(v, x => x / sqrt(vec_dot(v, v)))` evaluates the norm
+  * dot-product INSIDE the lambda — codegen's subexpression elimination
+  * does not cross lambda boundaries, so the full dim-element dot runs
+  * once per ELEMENT (dim² multiplies per row on the corpus-wide
+  * normalize pass). Here the norm folds once, then one divide+cast per
+  * element — identical arithmetic order, bit-identical floats. */
+case class UnitNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = true)
+  override def prettyName: String = "unit_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    UnitNormalize.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnitNormalize.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitNormalize =
+    copy(child = newChild)
+}
+
+object UnitNormalize {
+  def compute(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { val f = x.getFloat(i).toDouble; dot += f * f; i += 1 }
+    val norm = math.sqrt(dot)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (x.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** SQ8 encode `floor(((x_d − vmin_d) / vdiff_d) · 255)` (0 when
+  * `vdiff_d = 0`, optionally clamped to [0, 255]) as one codegen'd
+  * pass — replaces the interpreted `zip_with(v, sequence, λ)` lambda
+  * with two array-literal lookups per element on the corpus-wide
+  * encode (the [[SqAdcDist]] lesson applied to the write side).
+  * Identical arithmetic: double subtract/divide/multiply, floor,
+  * int truncation. */
+case class SqEncode(child: Expression, vmin: Array[Double],
+    vdiff: Array[Double], clamp: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "sq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    SqEncode.compute(v.asInstanceOf[ArrayData], vmin, vdiff, clamp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mn = ctx.addReferenceObj("vmin", vmin, "double[]")
+      val df = ctx.addReferenceObj("vdiff", vdiff, "double[]")
+      s"${ev.value} = graft.functions.SqEncode.compute($v, $mn, $df, $clamp);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+object SqEncode {
+  def compute(x: ArrayData, vmin: Array[Double], vdiff: Array[Double],
+      clamp: Boolean): ArrayData = {
+    val dim = vmin.length
+    // zip_with(v, sequence(1, dim)) semantics: output length =
+    // max(|v|, dim), with null x past |v| → null element unless the
+    // diff-is-zero guard fires first (inputs are always dim-length in
+    // every caller; the padding never fires)
+    val n = math.max(x.numElements(), dim)
+    val out = new Array[Any](n)
+    var d = 0
+    while (d < n) {
+      out(d) =
+        if (d >= dim) null // sequence side exhausted → null index → null
+        else if (vdiff(d) == 0.0) Integer.valueOf(0)
+        else if (d >= x.numElements() || x.isNullAt(d)) null
+        else {
+          val raw = math.floor(((x.getFloat(d).toDouble - vmin(d)) /
+            vdiff(d)) * 255.0).toLong.toInt
+          Integer.valueOf(
+            if (clamp) math.max(0, math.min(255, raw)) else raw)
+        }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Hamming distance over packed-word code columns: Σ popcount(a_i ⊕
+  * b_i), one codegen'd fold — replaces the interpreted
+  * `aggregate(zip_with(a, b, λ), 0L, +)` pair on the corpus × query
+  * hamming scan. Null/length-mismatch semantics mirror the fold it
+  * replaces (null element → null total); inputs are same-length and
+  * non-null in every caller. */
+case class HammingWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_words"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    if (na != nb) return null // zip_with pads the shorter side with null
+    var acc = 0L
+    var i = 0
+    while (i < na) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |long $acc = 0L;
+         |boolean $bad = ($na != $nb);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $na; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HammingWords = copy(left = newLeft, right = newRight)
+}
+
+/** Sign-bit packing `bit b of word w = (x_{60w+b} > mean_{60w+b})` as
+  * one codegen'd pass — replaces dim `when(element_at(...) > lit)`
+  * subtrees per plan on the corpus-wide binarize. Missing/null
+  * dimensions contribute a 0 bit, exactly like the composed form's
+  * null-propagating `when`. */
+case class BinSignPack(child: Expression, means: Array[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bin_sign_pack"
+
+  override def nullSafeEval(v: Any): Any =
+    BinSignPack.compute(v.asInstanceOf[ArrayData], means)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mn = ctx.addReferenceObj("means", means, "double[]")
+      s"${ev.value} = graft.functions.BinSignPack.compute($v, $mn);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BinSignPack =
+    copy(child = newChild)
+}
+
+object BinSignPack {
+  def compute(x: ArrayData, means: Array[Double]): ArrayData = {
+    val dim = means.length
+    val nWords = (dim + 59) / 60
+    val out = new Array[Long](nWords)
+    var w = 0
+    while (w < nWords) {
+      val bits = math.min(60, dim - w * 60)
+      var word = 0L
+      var b = 0
+      while (b < bits) {
+        val d = w * 60 + b
+        if (d < x.numElements() && !x.isNullAt(d) &&
+          x.getFloat(d).toDouble > means(d)) word |= (1L << b)
+        b += 1
+      }
+      out(w) = word
+      w += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   private def expr(c: Column): Expression = GraftBridge.toExpression(c)
   private def column(e: Expression): Column = GraftBridge.toColumn(e)
@@ -753,4 +978,19 @@ object VectorFunctions {
   /** Element-wise float difference (zip_with (a,b) => a−b semantics). */
   def vec_sub_f(a: Column, b: Column): Column =
     column(VectorSubFloat(expr(a), expr(b)))
+
+  /** Unit normalization x/‖x‖, one pass. */
+  def unit_normalize(v: Column): Column = column(UnitNormalize(expr(v)))
+
+  /** SQ8 encode under trained [min, max] ranges. */
+  def sq_encode(v: Column, vmin: Array[Double], vdiff: Array[Double],
+      clamp: Boolean): Column = column(SqEncode(expr(v), vmin, vdiff, clamp))
+
+  /** Hamming distance over packed-word code arrays. */
+  def hamming_words(a: Column, b: Column): Column =
+    column(HammingWords(expr(a), expr(b)))
+
+  /** Sign-bit packing against per-dimension means (60-bit words). */
+  def bin_sign_pack(v: Column, means: Array[Double]): Column =
+    column(BinSignPack(expr(v), means))
 }

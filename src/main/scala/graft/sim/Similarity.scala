@@ -95,9 +95,14 @@ object Similarity {
     * (≈ 1). Per-row expression math — zero shuffle, normalizes 100 TB as
     * a map pass. Zero-norm vectors are dropped (no direction to keep). */
   def unitNormalize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // one codegen'd pass ([[graft.functions.UnitNormalize]]): the
+    // transform-lambda form evaluated the norm dot-product inside the
+    // lambda, once per ELEMENT (subexpression elimination does not
+    // cross lambda boundaries) — dim² multiplies per row on what is a
+    // corpus-wide map stage; values bit-identical (spec-pinned)
     df.filter(col(vecCol).isNotNull && dot(col(vecCol), col(vecCol)) > 0.0)
-      .select(col(idCol), transform(col(vecCol),
-        x => (x.cast("double") / l2Norm(col(vecCol))).cast("float")).as(vecCol))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.unit_normalize(col(vecCol)).as(vecCol))
 
   /** Recall@k of an approximate top-k against the exact one — THE
     * acceptance metric for every ANN geometry choice (nlist/nprobe, PQ

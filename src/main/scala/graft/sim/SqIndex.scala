@@ -76,16 +76,12 @@ object SqIndex {
   def clampedCodesExpr(m: Model, vecCol: Column): Column =
     codesWith(m, vecCol, clamp = true)
 
-  private def codesWith(m: Model, vecCol: Column, clamp: Boolean): Column = {
-    val vminL = typedLit(m.vmin.toSeq)
-    val diffL = typedLit(m.vdiff.toSeq)
-    zip_with(vecCol, sequence(lit(1), lit(m.dim)), (x, d) => {
-      val raw = floor(((x.cast("double") - element_at(vminL, d)) /
-        element_at(diffL, d)) * lit(255.0)).cast("int")
-      val c = if (clamp) greatest(lit(0), least(lit(255), raw)) else raw
-      when(element_at(diffL, d) === 0.0, lit(0)).otherwise(c)
-    })
-  }
+  private def codesWith(m: Model, vecCol: Column, clamp: Boolean): Column =
+    // codegen'd one-pass encode ([[graft.functions.SqEncode]]) — the
+    // zip_with lambda it replaces interpreted per element on the
+    // corpus-wide rewrite (the SqAdcDist lesson, write side); identical
+    // floor/divide arithmetic, oracle hashes unchanged (q184/q185)
+    graft.functions.VectorFunctions.sq_encode(vecCol, m.vmin, m.vdiff, clamp)
 
   /** Compress the corpus to (id, codes) — a zero-shuffle map stage, the
     * 4×-smaller rewrite of the float store. */
@@ -249,19 +245,12 @@ object SqIndex {
     * word); at dim 64 a vector is TWO longs — still 16× less memory
     * than the floats — and hamming distance is one XOR+popcount per
     * word. */
-  def binCodeExpr(means: Array[Double], vecCol: Column): Column = {
-    val dim = means.length
-    val nWords = (dim + 59) / 60
-    array((0 until nWords).map { w =>
-      val bits = math.min(60, dim - w * 60)
-      (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-        val d = w * 60 + b
-        acc.bitwiseOR(
-          when(element_at(vecCol, d + 1).cast("double") > lit(means(d)),
-            lit(1L << b)).otherwise(lit(0L)))
-      }
-    }: _*)
-  }
+  def binCodeExpr(means: Array[Double], vecCol: Column): Column =
+    // codegen'd one-pass packing ([[graft.functions.BinSignPack]]) —
+    // the composed form carried dim when/element_at subtrees per plan;
+    // identical bits (missing/null dims → 0, like the null-propagating
+    // when it replaces)
+    graft.functions.VectorFunctions.bin_sign_pack(vecCol, means)
 
   /** Compress the corpus to (id, bcode) — zero-shuffle map stage. */
   def encodeBinary(corpus: DataFrame, idCol: String, vecCol: String,
@@ -269,10 +258,12 @@ object SqIndex {
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), binCodeExpr(means, col(vecCol)).as("bcode"))
 
-  /** Hamming distance between two packed-word code columns. */
+  /** Hamming distance between two packed-word code columns — codegen'd
+    * ([[graft.functions.HammingWords]]); the zip_with/aggregate fold it
+    * replaces interpreted two lambdas per pair on the corpus × query
+    * hamming scan. */
   def hammingWords(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.hamming_words(a, b)
 
   /** Two-stage binary serve: hamming shortlist over the packed sign
     * bits (ties by lowest id — deterministic like every ranking here),

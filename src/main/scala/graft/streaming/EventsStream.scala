@@ -423,10 +423,9 @@ object EventsStream {
       // like the batch twin drops it — encoded into the non-nullable
       // BlockDoc it would instead fail the micro-batch, and a replayed
       // poison row would fail every restart of the query. Null TEXT
-      // drops too: the Column-form simHash folds it to fingerprint 0,
-      // which would make every null-text doc a mutual hamming-0 "dup"
-      // (the batch twin's simHashTable maps null text to a NULL
-      // fingerprint that never pairs)
+      // drops too: the one-pass SimHash60 expression yields a NULL
+      // fingerprint for null text (like the batch twin's simHashTable),
+      // and the filter below drops it before any block can pair it
       .where(col("doc_id").isNotNull && col("simhash").isNotNull &&
         col(textCol).isNotNull)
       .select(col("doc_id"), col("simhash"),

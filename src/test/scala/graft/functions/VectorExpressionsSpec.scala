@@ -264,6 +264,84 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("unit_normalize == transform(v, x => x / sqrt(vec_dot(v, v))) bit-for-bit") {
+    val emb = Tables(spark, sf(), "embeddings").limit(300)
+    val composed = transform(col("embedding"),
+      x => (x.cast("double") /
+        sqrt(VectorFunctions.vec_dot(col("embedding"), col("embedding"))))
+        .cast("float"))
+    val diff = emb.select(
+        VectorFunctions.unit_normalize(col("embedding")).as("a"),
+        composed.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.isEmpty)
+  }
+
+  test("sq_encode == composed zip_with floor form, incl. clamp and zero-diff dims") {
+    val rnd = new scala.util.Random(47)
+    val dim = 12
+    val vmin = Array.fill(dim)(rnd.nextDouble() * 2 - 1.5)
+    val vdiff = Array.tabulate(dim)(d => if (d == 5) 0.0 else rnd.nextDouble() + 0.1)
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 6 - 3).toSeq)).toDF("id", "v")
+    val vminL = typedLit(vmin.toSeq); val diffL = typedLit(vdiff.toSeq)
+    for (clamp <- Seq(false, true)) {
+      val composed = zip_with(col("v"), sequence(lit(1), lit(dim)), (x, d) => {
+        val raw = floor(((x.cast("double") - element_at(vminL, d)) /
+          element_at(diffL, d)) * lit(255.0)).cast("int")
+        val c = if (clamp) greatest(lit(0), least(lit(255), raw)) else raw
+        when(element_at(diffL, d) === 0.0, lit(0)).otherwise(c)
+      })
+      val diff = rows.select(
+          VectorFunctions.sq_encode(col("v"), vmin, vdiff, clamp).as("a"),
+          composed.as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(diff.isEmpty, s"clamp=$clamp")
+    }
+  }
+
+  test("hamming_words == aggregate(zip_with(bit_count(xor))) on random words") {
+    val rnd = new scala.util.Random(53)
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(2)(rnd.nextLong() & ((1L << 60) - 1)).toSeq,
+        Array.fill(2)(rnd.nextLong() & ((1L << 60) - 1)).toSeq)).toDF("id", "a", "b")
+    val composed = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val diff = rows.select(
+        VectorFunctions.hamming_words(col("a"), col("b")).as("x"), composed.as("y"))
+      .filter(col("x") =!= col("y"))
+    assert(diff.isEmpty)
+  }
+
+  test("bin_sign_pack == composed when/element_at fold on dim-length vectors") {
+    val rnd = new scala.util.Random(59)
+    val dim = 64
+    val means = Array.fill(dim)(rnd.nextDouble() * 0.2 - 0.1)
+    import spark.implicits._
+    // dim-length vectors only: that is the callers' contract, and the
+    // composed element_at form THROWS under ANSI on shorter input
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f).toSeq)
+    }.toDF("id", "v")
+    val nWords = (dim + 59) / 60
+    val composed = array((0 until nWords).map { w =>
+      val bits = math.min(60, dim - w * 60)
+      (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+        val d = w * 60 + b
+        acc.bitwiseOR(
+          when(element_at(col("v"), d + 1).cast("double") > lit(means(d)),
+            lit(1L << b)).otherwise(lit(0L)))
+      }
+    }: _*)
+    val diff = rows.select(
+        VectorFunctions.bin_sign_pack(col("v"), means).as("a"), composed.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.isEmpty)
+  }
+
   test("minhash_agg matches numPerm separate min(xxhash64(h, i)) aggregates") {
     val numPerm = 16
     val hashed = Tables(spark, sf(), "documents").limit(50)
