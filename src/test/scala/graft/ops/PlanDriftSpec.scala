@@ -56,7 +56,9 @@ class PlanDriftSpec extends SparkSpec {
     // keeps the 1/1 shape (same geometry and oracle as q143)
     "q67_cosine_rewrite"      -> PlanMetrics(1, 1, pushedFilters = true,  prunedSchema = true),
     "q70_multimodal_meta"     -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
-    "q85_percentiles"         -> PlanMetrics(7, 2, pushedFilters = true,  prunedSchema = true),
+    // r14 optimization: the per-(group, vc) total rides the rank
+    // window's partitioning (no second melt aggregation, no broadcast)
+    "q85_percentiles"         -> PlanMetrics(5, 1, pushedFilters = true,  prunedSchema = true),
     "q86_approx_percentiles"  -> PlanMetrics(3, 1, pushedFilters = true,  prunedSchema = true),
     "q87_json_extract"        -> PlanMetrics(1, 0, pushedFilters = false, prunedSchema = true),
     "q96_asof_presplit"       -> PlanMetrics(6, 0, pushedFilters = false, prunedSchema = true),
