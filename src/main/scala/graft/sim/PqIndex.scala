@@ -226,12 +226,15 @@ object PqIndex {
     * ladder aggregation (~5 shuffles where the r12 plan had 72). */
   def shortlistRecallCurve(cb: Codebook, codes: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      ladder: Seq[Int]): DataFrame = {
+      ladder: Seq[Int], exactPre: Option[DataFrame] = None): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.sorted && ladder.head >= k,
       s"ladder must be ascending, starting >= k: $ladder")
-    val exact = graft.plans.LeafPlanRegistry.record(
+    // `exactPre`: the caller may materialize the brute leaf concurrently
+    // with codebook training (independent eager jobs); must be
+    // bruteForceTopK over the same (queries, corpus, k), checkpointed
+    val exact = exactPre.getOrElse(graft.plans.LeafPlanRegistry.record(
       Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k))
-      .localCheckpoint()
+      .localCheckpoint())
     // the deepest ADC ranking, immediately restricted to the EXACT
     // pairs (broadcast semi-join, |queries|·k rows out): the window
     // must rank every candidate — that is the TOTAL rule's inherent

@@ -237,11 +237,15 @@ object Similarity {
     * form planned 40. */
   def ivfRecallCurve(model: IvfIndex.Model, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      ladder: Seq[Int]): DataFrame = {
+      ladder: Seq[Int], exactPre: Option[DataFrame] = None): DataFrame = {
     require(ladder.nonEmpty && ladder.forall(_ >= 1),
       s"ladder=$ladder must be non-empty, all steps >= 1")
-    val exact = graft.plans.LeafPlanRegistry.record(
-      bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint()
+    // `exactPre` lets the caller materialize the brute-force leaf
+    // CONCURRENTLY with quantizer training (the two are independent
+    // eager jobs — see par2); it must be bruteForceTopK over the same
+    // (queries, corpus, k), localCheckpoint'ed
+    val exact = exactPre.getOrElse(graft.plans.LeafPlanRegistry.record(
+      bruteForceTopK(queries, corpus, idCol, vecCol, k)).localCheckpoint())
     val assigned = model.cells
       .select(col(idCol).as("neighbor_id"), col("cell"))
       .join(broadcast(exact.select("query_id", "neighbor_id")),
@@ -996,9 +1000,15 @@ object Similarity {
     "q168_ann_nprobe_sized" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      val model = IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+      // quantizer training and the brute-force exact leaf are
+      // independent eager jobs — overlap them
+      val (model, exact) = par2(
+        IvfIndex.build(emb, "vec_id", "embedding", nlist = 8),
+        graft.plans.LeafPlanRegistry.record(
+          bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+          .localCheckpoint())
       val curve = ivfRecallCurve(model, queries, emb, "vec_id", "embedding",
-        k = 3, ladder = nprobeLadder(8))
+        k = 3, ladder = nprobeLadder(8), exactPre = Some(exact))
       val chosen = curve.filter(col("recall") >= 0.9)
         .agg(min("nprobe").as("_chosen"))
       curve.crossJoin(broadcast(chosen))
@@ -1038,12 +1048,19 @@ object Similarity {
     // exists. ONE ADC ranking + ONE exact scoring, prefix-sliced.
     "q171_ann_shortlist_sized" -> { (s, d) =>
       val emb = Tables(s, d, "embeddings")
-      val cb = PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
-      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
       val queries = emb.filter(col("vec_id") < 6)
-      val ladder = PqIndex.shortlistLadder(3, emb.count())
+      // three independent eager pieces — codebook training, the corpus
+      // count for the ladder endpoint, the brute exact leaf — overlap
+      val (cb, (n, exact)) = par2(
+        PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8),
+        par2(emb.count(),
+          graft.plans.LeafPlanRegistry.record(
+            bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
+            .localCheckpoint()))
+      val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+      val ladder = PqIndex.shortlistLadder(3, n)
       val curve = PqIndex.shortlistRecallCurve(cb, codes, emb, queries,
-        "vec_id", "embedding", k = 3, ladder)
+        "vec_id", "embedding", k = 3, ladder, exactPre = Some(exact))
       val chosen = curve.filter(col("recall") >= 0.9)
         .agg(min("shortlist").as("_chosen"))
       curve.crossJoin(broadcast(chosen))
