@@ -169,7 +169,8 @@ object Bench {
     // SPARK_GRAFT_CPUS=4 had leaked into one side of the comparison and
     // nothing in the artifact said so.
     val env = s""""cpus":$cpus,"shuffle_partitions":${
-      spark.conf.get("spark.sql.shuffle.partitions")},"objagg_keys":$objAggKeys"""
+      spark.conf.get("spark.sql.shuffle.partitions")},"objagg_keys":$objAggKeys,"pause_ms":${
+      sys.env.getOrElse("SPARK_GRAFT_PAUSE_MS", "400")}"""
     val json =
       s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir",$env,"metric":"total","unit":"sec","n":${results.size},"value":$total}"""
     println(json)
