@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the caller RAW: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which broke the
+// driver's trailing-JSON-line parse of graft.Bench for three rounds
+// (BENCH_r12–r14 all "parsed": null — the per-query line was never
+// valid JSON from byte 0). StdoutOutput inherits this process's
+// stdout/stderr, so the bench's one-line JSON lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own trailing "[success] Total time: ..." line (printed
+// AFTER the bench's JSON) must not be the last stdout line either —
+// without it the canonical per-query JSON is literally last, so even a
+// parse-the-last-line driver succeeds.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -161,9 +161,6 @@ object Bench {
     val slowSec = sys.env.getOrElse("SPARK_GRAFT_SLOW_SEC", "10").toDouble
     val slow = results.filter(_._2 > slowSec).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    // per-query map FIRST, summary fields LAST: the driver archives only
-    // the tail of stdout, and a leading "value" on a >2000-char line was
-    // truncated away in every prior round (BENCH_r*.json "parsed": null)
     // self-description: the knobs that make two recordings comparable.
     // An r13 soak read as a false 23-28×/decade regression purely because
     // SPARK_GRAFT_CPUS=4 had leaked into one side of the comparison and
@@ -173,23 +170,22 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_PAUSE_MS", "400")}"""
     val json =
       s"""{"queries":$qs,"errors":$errs,"slow":$slow,"sf":"$sfDir",$env,"metric":"total","unit":"sec","n":${results.size},"value":$total}"""
-    println(json)
-    // The driver archives only a bounded TAIL of stdout and parses a
-    // trailing JSON line; with 150+ queries the full line above runs
-    // ~5000 chars and its head gets truncated away (every BENCH_r*.json
-    // through r11 came back "parsed": null). So the LAST stdout line is
-    // a compact summary guaranteed to fit whole inside the tail: same
-    // metric/value contract, per-query map restricted to the 15 slowest
-    // (the only ones a grader reads first), full map still in the line
-    // above and in the bench_out.json artifact.
+    // Output-contract fix (r15, declared in OPTIMIZATION_r15.md; timed
+    // region / query set / methodology untouched): the driver parses a
+    // trailing stdout JSON line, and for ≥3 rounds got "parsed": null
+    // (BENCH_r12–r14) because (a) sbt's logger prefixed every line with
+    // "[info] " — not JSON from byte 0 — and (b) a compact "slowest"
+    // summary plus the bench_out.json notice were printed AFTER the full
+    // per-query line. Fixed by (a) run/outputStrategy := StdoutOutput in
+    // build.sbt (forked JVM writes stdout raw), and (b) printing the
+    // summary FIRST (a short fallback line that always fits a bounded
+    // tail) and the FULL per-query JSON as the LAST stdout line.
     val top = results.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir",$env,"errors":$errs,"slow":$slow,"slowest":$top}""")
-    // ALSO land the JSON in its own file: the driver archives a stdout
-    // tail, and r10's BENCH artifact came back "parsed": null because the
-    // line was buried in log noise. A dedicated file is machine-readable
-    // without scraping. Overridable for soak runs that want distinct names.
+    // ALSO land the JSON in its own file: machine-readable without
+    // scraping. Overridable for soak runs that want distinct names.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -198,6 +194,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // the canonical one-line JSON, last on stdout (see contract fix note)
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -38,6 +38,29 @@ object OptProbe {
 
     val which = if (args.isEmpty) "q177" else args(0)
 
+    // per-job telemetry: id, wall ms, stage count — the evidence for the
+    // "N sequential driver jobs × local job floor" accounting
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet()
+          starts.put(js.jobId, (System.nanoTime(), js.stageInfos.size))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null) System.err.println(
+            f"[job] id=${je.jobId}%-4d ${(System.nanoTime() - s._1) / 1e6}%8.1f ms  stages=${s._2}")
+        }
+      })
+    def jobsIn[A](name: String)(f: => A): A = {
+      val before = jobCount.get()
+      val r = t(name)(f)
+      System.err.println(s"[jobs] $name: ${jobCount.get() - before} jobs")
+      r
+    }
+
     which match {
       case "q119" =>
         val docs = Tables(spark, sfDir, "documents")
@@ -133,9 +156,46 @@ object OptProbe {
         val clean = emb.filter(col("embedding").isNotNull)
         val m = 8; val ksub = 16
         for (round <- 1 to 2) {
-          t(s"train round$round") {
+          jobsIn(s"train round$round") {
             PqIndex.train(clean, "vec_id", "embedding", m, ksub)
           }
+        }
+
+      case "jobs" =>
+        // job-structure accounting for the Lloyd-loop queries
+        val emb = Tables(spark, sfDir, "embeddings")
+        jobsIn("q133 full") {
+          val cb = jobsIn("  PqIndex.train") {
+            PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8)
+          }
+          val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
+          jobsIn("  searchADC+noop") {
+            PqIndex.searchADC(cb, codes, emb.filter(col("vec_id") < 6),
+              "vec_id", "embedding", k = 3)
+              .orderBy("query_id", "rnk")
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        jobsIn("q134 build") {
+          IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+        }
+        jobsIn("q173 full") {
+          val ivf = jobsIn("  IvfIndex.build") {
+            IvfIndex.build(emb, "vec_id", "embedding", nlist = 8)
+          }
+          val cb = jobsIn("  trainResidual") {
+            PqIndex.trainResidual(ivf, "vec_id", "embedding", m = 4, ksub = 8)
+          }
+          jobsIn("  searchIvfAdcResidual+noop") {
+            PqIndex.searchIvfAdcResidual(ivf, cb, emb.filter(col("vec_id") < 6),
+              "vec_id", "embedding", k = 3, nprobe = 3)
+              .orderBy("query_id", "rnk")
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        jobsIn("q177 trainOpq") {
+          PqIndex.trainOpq(emb, "vec_id", "embedding",
+            m = 8, ksub = 16, opqIters = 1, nsIters = 60, rotSeed = 7L)
         }
 
       case "q176" =>
