@@ -23,6 +23,7 @@ run / outputStrategy := Some(StdoutOutput)
 // without it the canonical per-query JSON is literally last, so even a
 // parse-the-last-line driver succeeds.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // read by sbt's command engine, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

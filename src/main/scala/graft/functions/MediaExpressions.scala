@@ -42,6 +42,12 @@ object ImageDHash {
   // setup per row) on a corpus where most payloads are not images at
   // all. Measured on q182: the ungated form paid that walk on every
   // row of a text-payload corpus.
+  // ASSUMPTION (stated for deployments, not a concern here): the magic
+  // whitelist matches the STOCK JDK reader set. A JVM with a service-
+  // loaded third-party ImageIO plugin whose container has a different
+  // magic would take the sha256 fallback for payloads that plugin could
+  // decode; such a deployment should derive the gate from the
+  // registered ImageReaderSpis' format magics instead.
   private def m(b: Array[Byte], off: Int, s: String): Boolean =
     b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
   private def looksLikeImage(b: Array[Byte]): Boolean =

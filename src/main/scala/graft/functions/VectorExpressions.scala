@@ -600,16 +600,28 @@ case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
             s"${l.simpleString} and ${r.simpleString}")
     }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc_dist"
 
+  // A null code element or an out-of-range table index yields a NULL
+  // total — exactly the composed element_at/aggregate fold's behavior
+  // (null propagates through the `+`; element_at past the array bounds
+  // is NULL under non-ANSI). Without the guard, a null element read 0
+  // from an Unsafe array (silently wrong distance) and a bad code read
+  // out of dtab's bounds. Callers never produce either; the guard is
+  // one compare per KiB-table lookup.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val dtab = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    val nTab = dtab.numElements()
     var acc = 0L
     var j = 0
     while (j < m) {
-      acc += dtab.getLong(j * ksub + codes.getInt(j))
+      if (codes.isNullAt(j)) return null
+      val idx = j * ksub + codes.getInt(j)
+      if (idx < 0 || idx >= nTab) return null
+      acc += dtab.getLong(idx)
       j += 1
     }
     acc
@@ -618,14 +630,20 @@ case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val j = ctx.freshName("j"); val m = ctx.freshName("m")
-      val acc = ctx.freshName("acc")
+      val acc = ctx.freshName("acc"); val idx = ctx.freshName("idx")
+      val nTab = ctx.freshName("nTab"); val bad = ctx.freshName("bad")
       s"""
          |int $m = $a.numElements();
+         |int $nTab = $b.numElements();
          |long $acc = 0L;
+         |boolean $bad = false;
          |for (int $j = 0; $j < $m; $j++) {
-         |  $acc += $b.getLong($j * $ksub + $a.getInt($j));
+         |  if ($a.isNullAt($j)) { $bad = true; break; }
+         |  int $idx = $j * $ksub + $a.getInt($j);
+         |  if ($idx < 0 || $idx >= $nTab) { $bad = true; break; }
+         |  $acc += $b.getLong($idx);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -781,8 +799,12 @@ object SqEncode {
         else if (vdiff(d) == 0.0) Integer.valueOf(0)
         else if (d >= x.numElements() || x.isNullAt(d)) null
         else {
+          // Double.toInt saturates at Int.MaxValue/MinValue exactly like
+          // the composed cast("int") on a double (non-ANSI); the earlier
+          // .toLong.toInt wrapped modulo 2^32 for extreme out-of-range
+          // inputs (unclamped path only — clamp pins to [0, 255] anyway)
           val raw = math.floor(((x.getFloat(d).toDouble - vmin(d)) /
-            vdiff(d)) * 255.0).toLong.toInt
+            vdiff(d)) * 255.0).toInt
           Integer.valueOf(
             if (clamp) math.max(0, math.min(255, raw)) else raw)
         }

@@ -160,14 +160,8 @@ object Skew {
   /** Corpus-scaled shuffle-partition count — the last of the sizing
     * rules ([[suggestedAsofBucketWidth]], `Similarity.suggestedLshBits`,
     * `IvfIndex.suggestedNlist`, `Similarity.suggestedNprobe`), applied
-    * to the one knob every shuffle shares. Two regimes, take the max:
+    * to the one knob every shuffle shares. Three regimes:
     *
-    *  - **cores floor**: below the point where any partition risks
-    *    spill, more-than-core partitions are pure per-partition
-    *    overhead (task launch, one output file per reducer, merge
-    *    machinery). Measured at sf10 on local[32]: 32 partitions beat
-    *    96 and 256 across the 7-query join tail (BASELINE.md r11) —
-    *    with no network to amortize, nothing pays back the extra tasks.
     *  - **bytes ceiling**: once `estRows · avgRowBytes` exceeds
     *    `cores · targetPartitionBytes`, partition count must track data
     *    VOLUME or per-task shuffle blocks outgrow executor memory and
@@ -175,27 +169,50 @@ object Skew {
     *    per-task in-memory budget (default 1 GiB: a safe fraction of
     *    the 4 GiB/task this harness runs; size it to YOUR executor
     *    memory / cores on a real cluster).
+    *  - **cores target**: below the spill point, one partition per core
+    *    is the local optimum — more-than-core partitions are pure
+    *    per-partition overhead (task launch, one output file per
+    *    reducer, merge machinery). Measured at sf10 on local[32]: 32
+    *    partitions beat 96 and 256 across the 7-query join tail
+    *    (BASELINE.md r11).
+    *  - **bytes floor** (r15, from the r14 inverse-scaling evidence):
+    *    when the corpus is so small that even `cores` partitions fall
+    *    under `minPartitionBytes` each, the extra tasks are again pure
+    *    scheduling overhead — the driver's 8-core r14 run beat the
+    *    32-core run 1.6–1.8× on q36/q167/q170/q171 purely because 32
+    *    partitions over sf0.1-sized shuffles over-split them. The cap
+    *    is DATA-derived (ceil(bytes / minPartitionBytes)), not a core-
+    *    count tune: at sf10 and above it exceeds any realistic core
+    *    count and the rule is unchanged (sf10: 7.7 GB / 8 MiB ≈ 920
+    *    ≥ 32 cores; the 2M-vector ladders likewise), so it only acts
+    *    in the small-shuffle regime it was measured in.
     *
     * At 100 TB / 128-byte rows / 1 GiB target this returns ~100k
     * partitions regardless of cores — volume dominates; at harness SFs
-    * it returns the core count — the measured local optimum. The rule
-    * reproduces the hand-tuned 32 at sf10 (60M-row fact × ~128 B ≈
-    * 7.7 GB < 32 GiB core budget) and replaces it with a derivation a
-    * cluster deployment can re-run with its own numbers. */
+    * it returns min(cores, data-derived cap). The rule reproduces the
+    * hand-tuned 32 at sf10 (60M-row fact × ~128 B ≈ 7.7 GB < 32 GiB
+    * core budget) and replaces it with a derivation a cluster
+    * deployment can re-run with its own numbers. */
   def suggestedShufflePartitions(estRows: Long, avgRowBytes: Long,
-      cores: Int, targetPartitionBytes: Long = 1L << 30): Int = {
+      cores: Int, targetPartitionBytes: Long = 1L << 30,
+      minPartitionBytes: Long = 8L << 20): Int = {
     require(estRows >= 0 && avgRowBytes > 0 && cores >= 1 &&
-      targetPartitionBytes > 0,
+      targetPartitionBytes > 0 && minPartitionBytes > 0 &&
+      minPartitionBytes <= targetPartitionBytes,
       s"estRows=$estRows avgRowBytes=$avgRowBytes cores=$cores " +
-        s"targetPartitionBytes=$targetPartitionBytes out of range")
+        s"targetPartitionBytes=$targetPartitionBytes " +
+        s"minPartitionBytes=$minPartitionBytes out of range")
+    if (estRows == 0L) return cores // unknown/empty input: no data to size by
     val estBytes = // saturate instead of overflowing (10^19-byte corpora)
       if (estRows > Long.MaxValue / avgRowBytes) Long.MaxValue
       else estRows * avgRowBytes
-    // overflow-safe ceiling divide (estBytes may be Long.MaxValue)
-    val byVolume = (estBytes / targetPartitionBytes +
-      (if (estBytes % targetPartitionBytes > 0) 1L else 0L))
+    // overflow-safe ceiling divides (estBytes may be Long.MaxValue)
+    def ceilDiv(n: Long, d: Long): Long = n / d + (if (n % d > 0) 1L else 0L)
+    val byVolume = ceilDiv(estBytes, targetPartitionBytes)
       .min(Int.MaxValue.toLong).toInt
-    math.max(cores, byVolume)
+    val maxUseful = ceilDiv(estBytes, minPartitionBytes)
+      .max(1L).min(Int.MaxValue.toLong).toInt
+    math.max(math.min(cores, maxUseful), byVolume)
   }
 
   /** Hot-key report: the keys whose row counts exceed `threshold` — the

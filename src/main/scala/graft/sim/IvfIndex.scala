@@ -114,20 +114,21 @@ object IvfIndex {
     // IDENTICAL under any partitioning/merge order — a double sum would
     // drift with aggregation order on a real cluster and make the "index"
     // a nondeterministic function of task scheduling
-    val sums = (0 until dim).map(i =>
-      sum(floor(element_at(col(vecCol), i + 1).cast("double") * lit(1e9))
-        .cast("long")).as(s"s_$i"))
     for (_ <- 0 until maxIter) {
-      val stats = train
-        .withColumn("cell", assignExpr(col(vecCol), centroids))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+      // one single-stage job per Lloyd round, no shuffle/AQE replan —
+      // same exact fixed-point longs as the groupBy(cell) aggregation
+      // it replaces (see [[TrainFold]]), so centroids are bit-identical
+      val keyed = train.select(
+        assignExpr(col(vecCol), centroids).as("k"), col(vecCol))
+      val (counts, sums) = TrainFold.keyedFixedPointSums(keyed, nlist, dim)
       // empty cells keep their previous centroid
-      stats.foreach { r =>
-        val j = r.getAs[Int]("cell")
-        val n = r.getAs[Long]("n").toDouble
-        centroids(j) = Array.tabulate(dim)(i => r.getAs[Long](s"s_$i") / n / 1e9)
+      var j = 0
+      while (j < nlist) {
+        if (counts(j) > 0L) {
+          val n = counts(j).toDouble
+          centroids(j) = Array.tabulate(dim)(i => sums(j * dim + i) / n / 1e9)
+        }
+        j += 1
       }
     }
     val cells = clean

@@ -79,7 +79,8 @@ object PqIndex {
     * full-corpus training passes were the wasted work. */
   def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int, seed: Long = 42L, maxIter: Int = 2,
-      trainSixteenths: Int = 16): Codebook = {
+      trainSixteenths: Int = 16,
+      initVecs: Option[Array[Array[Double]]] = None): Codebook = {
     // a null vector would assign to a NULL cell, which Row.getAs[Int]
     // silently unboxes to 0 — corrupting cell 0's centroid instead of
     // failing; drop nulls like every other embedding pass does (and
@@ -88,11 +89,17 @@ object PqIndex {
     val clean = corpus.filter(col(vecCol).isNotNull)
     val train = if (trainSixteenths >= 16) clean
       else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
-    val initHash = graft.text.TextAnalysis.h60(
-      concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
-    val initRows = train.select(col(vecCol)).orderBy(initHash, col(idCol))
-      .limit(ksub).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // `initVecs` lets a caller that already holds the init sample (the
+    // OPQ trainer rotates ONE raw collect driver-side per alternation)
+    // skip the TakeOrdered job; it must equal what the collect below
+    // would return — the ksub lowest-h60(id:seed) vectors of `train`
+    val initRows = initVecs.getOrElse {
+      val initHash = graft.text.TextAnalysis.h60(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed).cast("string")))
+      train.select(col(vecCol)).orderBy(initHash, col(idCol))
+        .limit(ksub).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    }
     require(initRows.length == ksub,
       s"training sample (${initRows.length} vectors) smaller than ksub=$ksub — " +
         (if (trainSixteenths < 16) "raise trainSixteenths"
@@ -110,19 +117,29 @@ object PqIndex {
         col(vecCol))
       .select(col(idCol), col("sub"),
         slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)).as("subvec"))
-    val sums = (0 until dsub).map(i =>
-      sum(floor(element_at(col("subvec"), i + 1).cast("double") * lit(1e9))
-        .cast("long")).as(s"s_$i"))
     for (_ <- 0 until maxIter) {
-      val stats = subs.withColumn("cell", assignBySub(cents))
-        .groupBy("sub", "cell")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+      // one single-stage job per Lloyd round (TrainFold Scaladoc): the
+      // keyed projection flattens (sub, cell) to sub·ksub + cell; the
+      // fold's counts/sums are the same exact longs the groupBy
+      // aggregation produced, so centroids are bit-identical
+      val keyed = subs.select(
+        (col("sub") * lit(ksub) + assignBySub(cents)).cast("int").as("k"),
+        col("subvec"))
+      val (counts, sums) = TrainFold.keyedFixedPointSums(keyed, m * ksub, dsub)
       // empty cells keep their previous sub-centroid
-      stats.foreach { r =>
-        val j = r.getAs[Int]("sub"); val cell = r.getAs[Int]("cell")
-        val n = r.getAs[Long]("n").toDouble
-        cents(j)(cell) = Array.tabulate(dsub)(i => r.getAs[Long](s"s_$i") / n / 1e9)
+      var j = 0
+      while (j < m) {
+        var cell = 0
+        while (cell < ksub) {
+          val k = j * ksub + cell
+          if (counts(k) > 0L) {
+            val n = counts(k).toDouble
+            cents(j)(cell) =
+              Array.tabulate(dsub)(i => sums(k * dsub + i) / n / 1e9)
+          }
+          cell += 1
+        }
+        j += 1
       }
     }
     Codebook(dim, m, ksub, cents)
@@ -376,22 +393,13 @@ object PqIndex {
     // `rel` carries BOTH the unrotated vector and its code array in one
     // relation (the caller computes codes in the same projection), so
     // the x↔codes pairing that used to be an id equi-join is free — one
-    // corpus pass, zero joins, identical (sub, cell, i) groups and sums
-    val rows = rel
-      .select(posexplode(col("codes")).as(Seq("sub", "cell")), col(vecCol))
-      .select(col("sub"), col("cell"),
-        explode(sequence(lit(0), lit(dim - 1))).as("i"),
-        col(vecCol))
-      .groupBy("i", "sub", "cell")
-      .agg(sum(floor(element_at(col(vecCol), col("i") + 1).cast("double")
-        * lit(1e9)).cast("long")).as("s"))
-      .collect()
-    val s = new Array[Long](dim * m * ksub) // empty (sub, cell) → 0
-    rows.foreach { r =>
-      s((r.getAs[Int]("i") * m + r.getAs[Int]("sub")) * ksub +
-        r.getAs[Int]("cell")) = r.getAs[Long]("s")
-    }
-    s
+    // corpus pass, zero joins. The keyed sums fold in a single-stage job
+    // over the UN-exploded rows ([[TrainFold.codesCrossSums]]) — the
+    // posexplode × sequence-explode form blew each row up m·dim× (512×
+    // at dim 64 / m 8) and shuffled the blowup onto dim·m·ksub keys;
+    // the (i, sub, cell) groups and their exact long sums are identical.
+    TrainFold.codesCrossSums(
+      rel.select(col("codes"), col(vecCol)), m, ksub, dim)
   }
 
   /** Orthogonal polar factor by FIXED-COUNT Newton–Schulz iteration:
@@ -474,9 +482,35 @@ object PqIndex {
       trainSixteenths: Int = 16): (Array[Array[Float]], Codebook) = {
     require(opqIters >= 1, "opqIters must be >= 1")
     val clean = corpus.filter(col(vecCol).isNotNull)
-    val dim = clean.select(size(col(vecCol))).head().getInt(0)
+    // the Procrustes statistics honor the same training sample as the
+    // Lloyd fits — at 100 TB both read the calibration slice, never the
+    // full corpus (the final encode/serve still covers everything)
+    val trainRel = if (trainSixteenths >= 16) clean
+      else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
+    // ONE TakeOrdered collect supplies the init sample for EVERY inner
+    // train call AND the dim probe (replacing a dedicated head() job
+    // plus one init collect per train): the init ids are rotation-
+    // invariant — the h60 hash keys on the id alone and rotate() keeps
+    // exactly the non-null rows — so each train's init is these SAME
+    // rows rotated, computed driver-side with the IDENTICAL
+    // MatVecFloat.compute the rotate() expression runs (zero drift by
+    // construction; TrainFoldSpec pins it against the collected form).
+    val initHash = graft.text.TextAnalysis.h60(
+      concat(col(idCol).cast("string"), lit(":"), lit(42L).cast("string")))
+    val initRaw: Array[Array[Float]] = trainRel.select(col(vecCol))
+      .orderBy(initHash, col(idCol)).limit(ksub).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(initRaw.length == ksub,
+      s"training sample (${initRaw.length} vectors) smaller than ksub=$ksub")
+    val dim = initRaw.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
+    def rotatedInit(r: Array[Array[Float]]): Array[Array[Double]] =
+      initRaw.map { v =>
+        val out = graft.functions.MatVecFloat.compute(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), r)
+        Array.tabulate(out.numElements())(i => out.getFloat(i).toDouble)
+      }
     // rank(Ŷ) ≤ m·min(ksub, dsub): with fewer centroids than dimensions
     // per subspace the cross-covariance C = XᵀŶ is structurally rank-
     // deficient, the polar factor is undefined on its null space, and
@@ -487,17 +521,13 @@ object PqIndex {
       s"trainOpq needs ksub ($ksub) >= dsub ($dsub): the Procrustes " +
         "cross-covariance is rank-deficient when each subspace has fewer " +
         "centroids than dimensions — raise ksub or m")
-    // the Procrustes statistics honor the same training sample as the
-    // Lloyd fits — at 100 TB both read the calibration slice, never the
-    // full corpus (the final encode/serve still covers everything)
-    val trainRel = if (trainSixteenths >= 16) clean
-      else graft.ops.Extended.hashSample(clean, idCol, trainSixteenths)
     var rot = seededRotation(dim, rotSeed)
     var it = 0
     while (it < opqIters) {
       val rotated = rotate(trainRel, idCol, vecCol, rot)
       val cb = train(rotated, idCol, vecCol, m, ksub,
-        trainSixteenths = 16) // trainRel is already the sample
+        trainSixteenths = 16, // trainRel is already the sample
+        initVecs = Some(rotatedInit(rot)))
       // x and codes(rotate(x)) in ONE projection: same values as
       // encode(rotated) joined back on id, without the join
       val withCodes = trainRel.filter(col(vecCol).isNotNull)
@@ -532,7 +562,7 @@ object PqIndex {
       it += 1
     }
     val cbF = train(rotate(trainRel, idCol, vecCol, rot), idCol, vecCol,
-      m, ksub, trainSixteenths = 16)
+      m, ksub, trainSixteenths = 16, initVecs = Some(rotatedInit(rot)))
     (rot, cbF)
   }
 

@@ -1001,12 +1001,15 @@ object Similarity {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       // quantizer training and the brute-force exact leaf are
-      // independent eager jobs — overlap them
+      // independent eager jobs — overlap them. Build + record the leaf
+      // DF on THIS thread (LeafPlanRegistry is ThreadLocal by contract —
+      // record on a pool thread would strand the pushdown evidence);
+      // only the eager localCheckpoint goes to the future.
+      val exactDf = graft.plans.LeafPlanRegistry.record(
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
       val (model, exact) = par2(
         IvfIndex.build(emb, "vec_id", "embedding", nlist = 8),
-        graft.plans.LeafPlanRegistry.record(
-          bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
-          .localCheckpoint())
+        exactDf.localCheckpoint())
       val curve = ivfRecallCurve(model, queries, emb, "vec_id", "embedding",
         k = 3, ladder = nprobeLadder(8), exactPre = Some(exact))
       val chosen = curve.filter(col("recall") >= 0.9)
@@ -1050,13 +1053,14 @@ object Similarity {
       val emb = Tables(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 6)
       // three independent eager pieces — codebook training, the corpus
-      // count for the ladder endpoint, the brute exact leaf — overlap
+      // count for the ladder endpoint, the brute exact leaf — overlap.
+      // Record the leaf plan on THIS thread (ThreadLocal registry);
+      // only the eager localCheckpoint runs on the pool.
+      val exactDf = graft.plans.LeafPlanRegistry.record(
+        bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
       val (cb, (n, exact)) = par2(
         PqIndex.train(emb, "vec_id", "embedding", m = 4, ksub = 8),
-        par2(emb.count(),
-          graft.plans.LeafPlanRegistry.record(
-            bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3))
-            .localCheckpoint()))
+        par2(emb.count(), exactDf.localCheckpoint()))
       val codes = PqIndex.encode(emb, "vec_id", "embedding", cb)
       val ladder = PqIndex.shortlistLadder(3, n)
       val curve = PqIndex.shortlistRecallCurve(cb, codes, emb, queries,

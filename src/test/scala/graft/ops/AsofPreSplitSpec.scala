@@ -105,10 +105,17 @@ class AsofPreSplitSpec extends SparkSpec {
   test("suggestedShufflePartitions: cores floor locally, volume ceiling at cluster scale") {
     // the r11 sf10 measurement encoded: 60M-row fact × 128 B ≈ 7.7 GB
     // sits under the 32-core × 1 GiB budget → the rule reproduces the
-    // hand-tuned 32 (which beat 96 and 256 in the recorded sweep)
+    // hand-tuned 32 (which beat 96 and 256 in the recorded sweep); the
+    // r15 bytes FLOOR doesn't bite (7.7 GB / 8 MiB ≈ 920 ≥ 32 cores)
     assert(Skew.suggestedShufflePartitions(60_000_000L, 128L, 32) == 32)
-    // harness SFs: cores floor everywhere
-    assert(Skew.suggestedShufflePartitions(600_000L, 128L, 32) == 32)
+    // sf0.1-sized shuffle (600k × 128 B ≈ 77 MB): the r15 bytes floor
+    // caps partitions at ceil(77 MB / 8 MiB) = 10 — the r14 driver's
+    // 8-core run beat 32 cores 1.6–1.8× on q36/q167/q170/q171 purely
+    // because 32 partitions over-split shuffles this small
+    assert(Skew.suggestedShufflePartitions(600_000L, 128L, 32) == 10)
+    // ...and never splits below the core count when the data fills it
+    assert(Skew.suggestedShufflePartitions(600_000L, 128L, 8) == 8)
+    // zero rows = unknown/empty input: fall back to cores, never 1
     assert(Skew.suggestedShufflePartitions(0L, 128L, 4) == 4)
     // cluster regime: 100 TB at 128 B/row → volume dominates ANY core
     // count (the extrapolation the r11 recording documented)
