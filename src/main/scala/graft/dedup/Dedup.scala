@@ -1985,13 +1985,21 @@ object Dedup {
     // VERBATIM, so a green hash proves incremental == batch recompute.
     "q170_incremental_components" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
-      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+      // ONE tokenize→vote fingerprint pass feeds the standing build's
+      // self-join AND both sides of the batch-vs-corpus join (r15):
+      // fingerprints are pure per-doc values, so fps(docs) filtered by
+      // the id slices equals fps(slice) row for row — the composed form
+      // re-ran the pipeline five times (twice in the standing self-join,
+      // twice in `against`, once more for the batch side). The
+      // fingerprint table is 16 B/doc — the guide §8 "decide on a
+      // lightweight proxy" shape; q170's oracle hash is unchanged.
+      val fps = checkpointLeaf(simHashTable(docs, "text", "doc_id"))
       val standing = connectedComponents(
-        simHashNearDups(oldDocs, "text", "doc_id", maxHamming = 2),
+        simHashNearDupsFromFps(fps.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", maxHamming = 2),
         "id_a", "id_b")
-      val newPairs = simHashNearDupsAgainst(newDocs, docs, "text", "doc_id",
-        maxHamming = 2)
+      val newPairs = simHashNearDupsAgainstFps(
+        fps.filter(col("doc_id") % 10 === 0), fps, "doc_id", maxHamming = 2)
       appendComponents(standing, newPairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))
@@ -2006,13 +2014,15 @@ object Dedup {
     // touched-set argument on real data.
     "q179_incremental_components_delta" -> { (s, d) =>
       val docs = Tables(s, d, "documents")
-      val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
-      val newDocs = docs.filter(col("doc_id") % 10 === 0)
+      // shared fingerprint pass — see q170's note; q179's oracle (the
+      // batch closure) is unchanged
+      val fps = checkpointLeaf(simHashTable(docs, "text", "doc_id"))
       val standing = connectedComponents(
-        simHashNearDups(oldDocs, "text", "doc_id", maxHamming = 2),
+        simHashNearDupsFromFps(fps.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", maxHamming = 2),
         "id_a", "id_b")
-      val newPairs = simHashNearDupsAgainst(newDocs, docs, "text", "doc_id",
-        maxHamming = 2)
+      val newPairs = simHashNearDupsAgainstFps(
+        fps.filter(col("doc_id") % 10 === 0), fps, "doc_id", maxHamming = 2)
       appendComponentsDelta(standing, newPairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"), col("cluster_size"),
           col("keep").cast("int").as("keep"))

@@ -161,6 +161,43 @@ object OptProbe {
           }
         }
 
+      case "q85" =>
+        val li = Tables(spark, sfDir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"))
+        jobsIn("scan+melt noop") {
+          li.selectExpr("flag",
+              "stack(2, 'qty', cast(qty as double), 'price', cast(price as double)) as (vc, v)")
+            .filter(col("v").isNotNull)
+            .write.format("noop").mode("overwrite").save()
+        }
+        jobsIn("compressed agg noop") {
+          li.selectExpr("flag",
+              "stack(2, 'qty', cast(qty as double), 'price', cast(price as double)) as (vc, v)")
+            .filter(col("v").isNotNull)
+            .groupBy(col("flag"), col("vc"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        jobsIn("distinct groups noop") {
+          li.select(col("flag")).distinct()
+            .write.format("noop").mode("overwrite").save()
+        }
+        for (rep <- 1 to 2) {
+          jobsIn(s"q85 full rep$rep") {
+            graft.ops.Extended.groupedQuantiles(li, "flag", Seq(
+                "qty" -> Seq("p50_qty" -> 0.5, "p90_qty" -> 0.9),
+                "price" -> Seq("p25_price" -> 0.25)))
+              .select(col("flag").as("l_returnflag"),
+                round(col("p50_qty"), 6).as("p50_qty"),
+                round(col("p90_qty"), 6).as("p90_qty"),
+                round(col("p25_price"), 6).as("p25_price"))
+              .orderBy("l_returnflag")
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+
       case "jobs" =>
         // job-structure accounting for the Lloyd-loop queries
         val emb = Tables(spark, sfDir, "embeddings")
