@@ -200,12 +200,21 @@ object Dedup {
     val refBands = spark.read.parquet(s"$path/bands")
     val refSigs = spark.read.parquet(s"$path/sigs")
     // small by contract (one batch); materialize once — bands and the
-    // scoring join would otherwise re-run the shingle pipeline
+    // scoring join would otherwise re-run the shingle pipeline. The
+    // batch row count rides the SAME materialization job as an observe
+    // metric (the connectedComponents trick): bandKeys emits exactly
+    // `bands` rows per signature row, so sigs × bands equals the
+    // nb.count() job it replaces — identical bloom sizing, one fewer
+    // Spark job per probe.
+    val obs = org.apache.spark.sql.Observation()
     val newSigs = graft.plans.LeafPlanRegistry.record(
-        minHashSignatures(newDocs, textCol, idCol, numPerm))
+        minHashSignatures(newDocs, textCol, idCol, numPerm)
+          .observe(obs, count(lit(1)).as("n")))
       .localCheckpoint()
+    val batchSigs = obs.get("n").toString.toLong
     val nb = bandKeys(newSigs, idCol, bands, rows)
-    val bf = nb.stat.bloomFilter("band_hash", math.max(1000L, nb.count()), 0.01)
+    val bf = nb.stat.bloomFilter("band_hash",
+      math.max(1000L, batchSigs * bands), 0.01)
     val pruned = refBands
       .filter(graft.functions.SketchFunctions
         .bloom_might_contain_long(col("band_hash"), bf))
