@@ -26,7 +26,7 @@ import org.apache.spark.sql.catalyst.InternalRow
   * order produces the same sums — the same order-independence argument
   * the fixed-point aggregation itself was chosen for.
   */
-private[sim] object TrainFold {
+private[graft] object TrainFold {
 
   /** `counts(k)` and `sums(k·dim + i) = Σ floor(double(vec_i) · 1e9)`
     * over rows with key `k`, in one single-stage job. `df` must project
